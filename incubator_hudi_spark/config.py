@@ -1,0 +1,141 @@
+"""Write/table configuration for the PySpark-native Hudi-capability engine.
+
+Mirrors the reference's config surface (``hoodie.*`` keys) with a small
+dataclass.  Reference parity:
+  - hudi-client/hudi-client-common/src/main/java/org/apache/hudi/config/HoodieWriteConfig.java
+  - hudi-client/hudi-client-common/src/main/java/org/apache/hudi/config/HoodieStorageConfig.java:37-40
+    (120 MB target file size)
+  - hudi-client/hudi-client-common/src/main/java/org/apache/hudi/config/HoodieCompactionConfig.java:135-138
+    (100 MB small-file limit), :59-64 (cleaner retains 10 commits),
+    :79-83 (compact every 5 delta commits)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+# Table types — HoodieTableType.java:30-32
+COPY_ON_WRITE = "COPY_ON_WRITE"
+MERGE_ON_READ = "MERGE_ON_READ"
+
+# Write operations — org/apache/hudi/common/model/WriteOperationType.java:28-62
+UPSERT = "upsert"
+INSERT = "insert"
+BULK_INSERT = "bulk_insert"
+DELETE = "delete"
+DELETE_PARTITION = "delete_partition"
+INSERT_OVERWRITE = "insert_overwrite"
+INSERT_OVERWRITE_TABLE = "insert_overwrite_table"
+BOOTSTRAP = "bootstrap"
+COMPACT = "compact"
+CLUSTER = "cluster"
+
+# Query types — DataSourceOptions.scala:43-48
+QUERY_SNAPSHOT = "snapshot"
+QUERY_READ_OPTIMIZED = "read_optimized"
+QUERY_INCREMENTAL = "incremental"
+
+# Payloads (merge semantics) — OverwriteWithLatestAvroPayload.java:38,
+# DefaultHoodieRecordPayload.java:41,93
+PAYLOAD_OVERWRITE_LATEST = "overwrite_latest"   # arriving batch always wins
+PAYLOAD_DEFAULT = "default"                     # precombine (event-time) ordering guard
+
+# Bulk-insert sort modes — BulkInsertSortMode (GlobalSortPartitioner.java:34-45 etc.)
+SORT_GLOBAL = "GLOBAL_SORT"
+SORT_PARTITION = "PARTITION_SORT"
+SORT_NONE = "NONE"
+
+# Index types — HoodieIndex.java:106-108 (subset meaningful on Spark)
+INDEX_SIMPLE = "SIMPLE"
+INDEX_GLOBAL_SIMPLE = "GLOBAL_SIMPLE"
+INDEX_BLOOM = "BLOOM"          # min/max-key stats pruning from commit metadata
+INDEX_GLOBAL_BLOOM = "GLOBAL_BLOOM"
+
+# Cleaning policies — HoodieCleaningPolicy.java:24-26
+CLEAN_KEEP_LATEST_COMMITS = "KEEP_LATEST_COMMITS"
+CLEAN_KEEP_LATEST_FILE_VERSIONS = "KEEP_LATEST_FILE_VERSIONS"
+
+META_COMMIT_TIME = "_hoodie_commit_time"
+META_COMMIT_SEQNO = "_hoodie_commit_seqno"
+META_RECORD_KEY = "_hoodie_record_key"
+META_PARTITION_PATH = "_hoodie_partition_path"
+META_FILE_NAME = "_hoodie_file_name"  # carries the file-group id in our engine
+META_COLUMNS = [
+    META_COMMIT_TIME,
+    META_COMMIT_SEQNO,
+    META_RECORD_KEY,
+    META_PARTITION_PATH,
+    META_FILE_NAME,
+]
+DELETE_MARKER = "_hoodie_is_deleted"  # OverwriteWithLatestAvroPayload.java:81-84
+
+
+@dataclass
+class TableConfig:
+    """Persistent table-level config (reference: HoodieTableConfig.java /
+    ``hoodie.properties``; ours: ``.hoodie/table_properties.json``)."""
+
+    name: str
+    table_type: str = COPY_ON_WRITE
+    recordkey_fields: tuple[str, ...] = ()
+    # partition path: either a list of fields or a SQL expression string
+    # (TimestampBasedKeyGenerator-style, e.g. "date_format(ts,'yyyy-MM')").
+    partition_expr: Optional[str] = None
+    precombine_field: Optional[str] = None
+    payload: str = PAYLOAD_OVERWRITE_LATEST
+    version: int = 1
+
+    def to_json(self) -> dict:
+        return {
+            "hoodie.table.name": self.name,
+            "hoodie.table.type": self.table_type,
+            "hoodie.table.recordkey.fields": list(self.recordkey_fields),
+            "hoodie.table.partition.expr": self.partition_expr,
+            "hoodie.table.precombine.field": self.precombine_field,
+            "hoodie.table.payload": self.payload,
+            "hoodie.table.version": self.version,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableConfig":
+        return TableConfig(
+            name=d["hoodie.table.name"],
+            table_type=d.get("hoodie.table.type", COPY_ON_WRITE),
+            recordkey_fields=tuple(d.get("hoodie.table.recordkey.fields") or ()),
+            partition_expr=d.get("hoodie.table.partition.expr"),
+            precombine_field=d.get("hoodie.table.precombine.field"),
+            payload=d.get("hoodie.table.payload", PAYLOAD_OVERWRITE_LATEST),
+            version=int(d.get("hoodie.table.version", 1)),
+        )
+
+
+@dataclass
+class WriteConfig:
+    """Per-writer tunables (reference: HoodieWriteConfig.java:135-160,
+    HoodieStorageConfig.java:37-40, HoodieCompactionConfig.java)."""
+
+    target_file_size_bytes: int = 120 * 1024 * 1024     # hoodie.parquet.max.file.size
+    small_file_limit_bytes: int = 100 * 1024 * 1024     # hoodie.parquet.small.file.limit
+    record_size_estimate: int = 1024                    # hoodie.copyonwrite.record.size.estimate
+    index_type: str = INDEX_SIMPLE
+    combine_before_upsert: bool = True                  # hoodie.combine.before.upsert
+    combine_before_insert: bool = False
+    bulk_insert_sort_mode: str = SORT_GLOBAL
+    # MOR compaction (HoodieCompactionConfig.java:79-83)
+    compact_max_delta_commits: int = 5
+    inline_compaction: bool = False
+    # cleaning (HoodieCompactionConfig.java:46-69)
+    clean_policy: str = CLEAN_KEEP_LATEST_COMMITS
+    clean_retain_commits: int = 10
+    clean_retain_file_versions: int = 3
+    # archival (HoodieTimelineArchiveLog.java:120)
+    archive_min_commits: int = 20
+    archive_max_commits: int = 30
+    # shuffle parallelism cap for write repartitions (HoodieWriteConfig.java:135-160).
+    # None → one task per planned bucket (file-group), the natural Spark choice.
+    write_parallelism: Optional[int] = None
+    parquet_compression: str = "snappy"                 # ref default gzip; snappy/zstd is the Spark norm
+
+    def with_(self, **kw) -> "WriteConfig":
+        return replace(self, **kw)

@@ -1,0 +1,192 @@
+"""File-system view: "latest file slices per partition as of instant X".
+
+Reference: hudi-common/.../table/view/TableFileSystemView.java and
+AbstractTableFileSystemView.java (1118 LoC of listing+timeline logic), plus
+the embedded timeline server (hudi-timeline-service/.../TimelineService.java:47)
+that exists so executors don't re-list the filesystem.
+
+Our engine needs none of that machinery: completed commit metadata is a file
+**manifest** (like the reference's metadata table, HoodieBackedTableMetadataWriter,
+taken to its logical end), so the view is a pure fold over the timeline —
+O(#instants × #files-per-commit) driver work, zero filesystem listing.  Spark
+then distributes the resolved path list inside the read job itself.
+
+Data-file model (SURVEY §1.2):
+  - FileGroup  = (partition_path, file_group_id)
+  - FileSlice  = one version: base parquet file(s) written at ``base_instant``
+                 + ordered delta ("log") parquet files from later deltacommits
+  - COW rewrite → new slice (new base_instant); MOR upsert → delta file
+    appended to the latest slice; compaction → new slice.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Optional
+
+from . import timeline as tl
+from .metaclient import TableMetaClient
+
+
+@dataclass
+class WriteStat:
+    """One file written by a commit (HoodieCommitMetadata writeStats)."""
+
+    partition: str
+    file_group: str
+    path: str              # relative to table base path
+    size: int = 0
+    num_records: int = 0
+    min_key: Optional[str] = None
+    max_key: Optional[str] = None
+    log: bool = False      # True → MOR delta file
+    base_instant: Optional[str] = None  # slice this log file attaches to
+
+    def to_json(self) -> dict:
+        return self.__dict__.copy()
+
+    @staticmethod
+    def from_json(d: dict) -> "WriteStat":
+        return WriteStat(**{k: d.get(k) for k in (
+            "partition", "file_group", "path", "size", "num_records",
+            "min_key", "max_key", "log", "base_instant")})
+
+
+@dataclass
+class LogFile:
+    instant: str
+    path: str
+    size: int = 0
+    num_records: int = 0
+
+
+@dataclass
+class FileSlice:
+    partition: str
+    file_group: str
+    base_instant: str
+    base_files: list[WriteStat] = field(default_factory=list)
+    log_files: list[LogFile] = field(default_factory=list)
+
+    @property
+    def base_size(self) -> int:
+        return sum(f.size for f in self.base_files)
+
+    @property
+    def log_size(self) -> int:
+        return sum(f.size for f in self.log_files)
+
+
+class FileSystemView:
+    """Fold the completed timeline into file groups/slices."""
+
+    def __init__(self, meta: TableMetaClient, as_of: Optional[str] = None):
+        self.meta = meta
+        self.as_of = as_of
+        # (partition, fg) -> {base_instant -> FileSlice}
+        self._groups: dict[tuple[str, str], dict[str, FileSlice]] = {}
+        # (partition, fg) -> instant at which the group was replaced
+        self._replaced: dict[tuple[str, str], str] = {}
+        self._cleaned_paths: set[str] = set()
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _build(self) -> None:
+        instants = [
+            i for i in self.meta.timeline.completed(list(tl.DATA_ACTIONS) + [tl.CLEAN])
+            if self.as_of is None or i.time <= self.as_of
+        ]
+        for ins in instants:
+            md = self.meta.timeline.read_metadata(ins)
+            if ins.action == tl.CLEAN:
+                self._cleaned_paths.update(md.get("deleted_paths", []))
+                continue
+            for d in md.get("write_stats", []):
+                st = WriteStat.from_json(d)
+                key = (st.partition, st.file_group)
+                slices = self._groups.setdefault(key, {})
+                if st.log:
+                    base = st.base_instant or (max(slices) if slices else None)
+                    if base is None or base not in slices:
+                        # orphan log (base compacted away before as_of) — skip
+                        continue
+                    slices[base].log_files.append(
+                        LogFile(ins.time, st.path, st.size, st.num_records))
+                else:
+                    sl = slices.setdefault(
+                        st.base_instant or ins.time,
+                        FileSlice(st.partition, st.file_group, st.base_instant or ins.time))
+                    sl.base_files.append(st)
+            for part, fg in md.get("replaced_file_groups", []):
+                self._replaced.setdefault((part, fg), ins.time)
+
+    # ------------------------------------------------------------------
+    def latest_slices(
+        self,
+        partitions: Optional[Iterable[str]] = None,
+        include_pending_compaction: bool = True,
+    ) -> list[FileSlice]:
+        """Latest live slice per file group (partition-pruned if asked)."""
+        parts = set(partitions) if partitions is not None else None
+        out = []
+        for (part, fg), slices in self._groups.items():
+            if parts is not None and part not in parts:
+                continue
+            if (part, fg) in self._replaced:
+                continue
+            sl = self._latest_live(slices)
+            if sl is not None:
+                out.append(sl)
+        return sorted(out, key=lambda s: (s.partition, s.file_group))
+
+    def _latest_live(self, slices: dict[str, FileSlice]) -> Optional[FileSlice]:
+        for base in sorted(slices, reverse=True):
+            sl = slices[base]
+            live_bases = [f for f in sl.base_files if f.path not in self._cleaned_paths]
+            if live_bases:
+                live_logs = [l for l in sl.log_files if l.path not in self._cleaned_paths]
+                if len(live_bases) == len(sl.base_files):
+                    return FileSlice(sl.partition, sl.file_group, sl.base_instant,
+                                     live_bases, sorted(live_logs, key=lambda l: l.instant))
+        return None
+
+    def all_slices(self) -> list[tuple[tuple[str, str], list[FileSlice]]]:
+        """Every (file group → slices newest-first), for cleaning/compaction planning."""
+        out = []
+        for key, slices in self._groups.items():
+            ordered = [slices[b] for b in sorted(slices, reverse=True)]
+            out.append((key, ordered))
+        return out
+
+    def replaced_groups(self) -> dict[tuple[str, str], str]:
+        return dict(self._replaced)
+
+    def cleaned_paths(self) -> set[str]:
+        return set(self._cleaned_paths)
+
+    def partitions(self) -> list[str]:
+        return sorted({
+            part for (part, fg) in self._groups
+            if (part, fg) not in self._replaced
+        })
+
+    # ---- planning helpers ------------------------------------------------
+    def small_files(self, partition: str, limit_bytes: int) -> list[FileSlice]:
+        """Candidate slices for insert bin-packing (UpsertPartitioner.java:157-225).
+        Only clean COW slices (no logs) qualify."""
+        return [
+            sl for sl in self.latest_slices([partition])
+            if sl.base_size < limit_bytes and not sl.log_files
+        ]
+
+    def key_stats(self) -> list[tuple[str, str, str, str, str]]:
+        """(partition, fg, min_key, max_key, base_instant) of latest slices —
+        the BLOOM-style pruning stats (SparkHoodieBloomIndex.java:119-140,
+        min/max ranges; ours live in commit metadata instead of footers)."""
+        out = []
+        for sl in self.latest_slices():
+            mins = [f.min_key for f in sl.base_files if f.min_key is not None]
+            maxs = [f.max_key for f in sl.base_files if f.max_key is not None]
+            if mins and maxs:
+                out.append((sl.partition, sl.file_group, min(mins), max(maxs), sl.base_instant))
+        return out

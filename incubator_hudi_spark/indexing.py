@@ -1,0 +1,114 @@
+"""Index operators: key → file-group lookup, as DataFrame joins.
+
+Reference parity (hudi-client/.../index/):
+  - SIMPLE / GLOBAL_SIMPLE (SparkHoodieSimpleIndex.java:91-143): read
+    (key, partition, fileId) from latest base files of affected partitions,
+    left-join the incoming batch.  This is our default.
+  - BLOOM / GLOBAL_BLOOM (SparkHoodieBloomIndex.java:70-140): the reference
+    prunes candidate files with per-file min/max key ranges + bloom filters
+    from parquet footers before verifying against actual keys.  PySpark can't
+    read footer blooms, so our commit manifest stores per-file min/max record
+    keys (fsview.key_stats) and we prune the *file list* before the key scan —
+    same correctness (pruning is only an accelerator), one fewer pass.
+
+Scale notes: the key scan is column-pruned to the 3 meta columns (parquet
+columnar → reads ~nothing else), restricted to partitions present in the
+incoming batch (non-global), and further restricted by key-range overlap
+(BLOOM).  The join shuffles only (incoming ∪ candidate-keys), never the table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .config import (INDEX_BLOOM, INDEX_GLOBAL_BLOOM, INDEX_GLOBAL_SIMPLE,
+                     INDEX_SIMPLE, META_FILE_NAME, META_PARTITION_PATH,
+                     META_RECORD_KEY)
+from .fsview import FileSystemView
+from .metaclient import TableMetaClient
+
+FG_COL = "_hoodie_index_fg"
+CUR_PART_COL = "_hoodie_index_partition"
+
+_KEY_SCAN_SCHEMA = StructType([
+    StructField(META_RECORD_KEY, StringType()),
+    StructField(META_PARTITION_PATH, StringType()),
+    StructField(META_FILE_NAME, StringType()),
+])
+
+
+def is_global(index_type: str) -> bool:
+    return index_type in (INDEX_GLOBAL_SIMPLE, INDEX_GLOBAL_BLOOM)
+
+
+def _candidate_slices(view: FileSystemView, index_type: str,
+                      partitions: Optional[list[str]],
+                      key_range: Optional[tuple[str, str]]):
+    parts = None if is_global(index_type) else partitions
+    slices = view.latest_slices(parts)
+    if index_type in (INDEX_BLOOM, INDEX_GLOBAL_BLOOM) and key_range is not None:
+        lo, hi = key_range
+        pruned = []
+        for sl in slices:
+            mins = [f.min_key for f in sl.base_files if f.min_key is not None]
+            maxs = [f.max_key for f in sl.base_files if f.max_key is not None]
+            if not mins or not maxs:
+                pruned.append(sl)  # no stats → cannot prune
+            elif not (hi < min(mins) or lo > max(maxs)):
+                pruned.append(sl)
+        slices = pruned
+    return slices
+
+
+def load_key_index(spark: SparkSession, meta: TableMetaClient, view: FileSystemView,
+                   index_type: str = INDEX_SIMPLE,
+                   partitions: Optional[list[str]] = None,
+                   key_range: Optional[tuple[str, str]] = None) -> DataFrame:
+    """DataFrame(key, partition, fg) of all live records in candidate slices.
+
+    MOR: records first inserted into log files don't exist in base files; we
+    also scan the key columns of log (delta parquet) files so tagging sees
+    them (the reference achieves this via HoodieMergedLogRecordScanner).
+    Deleted keys resolve via latest-wins on the delete marker downstream —
+    for tagging purposes a delete row still maps the key to its file group.
+    """
+    slices = _candidate_slices(view, index_type, partitions, key_range)
+    paths = []
+    for sl in slices:
+        paths.extend(meta.abs_path(f.path) for f in sl.base_files)
+        paths.extend(meta.abs_path(l.path) for l in sl.log_files)
+    if not paths:
+        return spark.createDataFrame([], _KEY_SCAN_SCHEMA) \
+            .select(F.col(META_RECORD_KEY),
+                    F.col(META_PARTITION_PATH).alias(CUR_PART_COL),
+                    F.col(META_FILE_NAME).alias(FG_COL))
+    df = spark.read.schema(_KEY_SCAN_SCHEMA).parquet(*paths)
+    # a key may appear in several files of one group (MOR base+log) → dedup
+    return (df.select(F.col(META_RECORD_KEY),
+                      F.col(META_PARTITION_PATH).alias(CUR_PART_COL),
+                      F.col(META_FILE_NAME).alias(FG_COL))
+              .dropDuplicates([META_RECORD_KEY, FG_COL]))
+
+
+def tag_locations(incoming: DataFrame, index_df: DataFrame, index_type: str,
+                  key_col: str = META_RECORD_KEY,
+                  partition_col: str = META_PARTITION_PATH) -> DataFrame:
+    """Attach (fg, current partition) to incoming rows; null fg → insert.
+
+    Non-global: key unique within partition → join on (key, partition).
+    Global: key unique table-wide → join on key only; an update whose
+    incoming partition differs is routed to its *existing* partition
+    (update-partition-path=false default, SparkHoodieGlobalBloomIndex.java:143).
+    """
+    if is_global(index_type):
+        tagged = incoming.join(index_df, on=[key_col], how="left")
+        tagged = tagged.withColumn(
+            partition_col,
+            F.coalesce(F.col(CUR_PART_COL), F.col(partition_col)))
+        return tagged.drop(CUR_PART_COL)
+    idx = index_df.withColumnRenamed(CUR_PART_COL, partition_col)
+    return incoming.join(idx, on=[key_col, partition_col], how="left")

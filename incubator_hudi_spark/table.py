@@ -1,0 +1,609 @@
+"""HudiTable — the public table API (write operators × read operators).
+
+The programmatic surface mirrors the reference's SparkRDDWriteClient
+(hudi-client/hudi-spark-client/.../client/SparkRDDWriteClient.java:118-348)
+and datasource read dispatch (hudi-spark-datasource/.../DefaultSource.scala:
+111-137), re-expressed as DataFrame transforms over plain Parquet plus the
+JSON timeline.  Every operator below cites its reference twin.
+
+Scale design (what survives 1000 executors / 100 TB):
+  - reads resolve O(#file-groups) paths driver-side from the commit manifest —
+    zero filesystem listing — and hand Spark a plain parquet scan (Catalyst
+    pushdown/pruning/codegen all apply);
+  - upsert shuffles only the incoming batch + the rewritten file groups,
+    never the table;
+  - merges are key-hash windows (map-side combine, AQE skew handling);
+  - all planning state on the driver is O(#touched file groups).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
+
+from . import timeline as tl
+from .config import (BULK_INSERT, COPY_ON_WRITE, DELETE, DELETE_MARKER,
+                     DELETE_PARTITION, INSERT, INSERT_OVERWRITE,
+                     INSERT_OVERWRITE_TABLE, MERGE_ON_READ, META_COLUMNS,
+                     META_COMMIT_TIME, META_FILE_NAME, META_PARTITION_PATH,
+                     META_RECORD_KEY, QUERY_INCREMENTAL, QUERY_READ_OPTIMIZED,
+                     QUERY_SNAPSHOT, SORT_GLOBAL, SORT_PARTITION, UPSERT,
+                     TableConfig, WriteConfig)
+from .fsview import FileSlice, FileSystemView, WriteStat
+from .indexing import FG_COL, load_key_index, tag_locations
+from .metaclient import TableMetaClient
+from .plans.buckets import (assign_insert_buckets, avg_record_size,
+                            new_fg_id, plan_insert_buckets)
+from .writer import (API_DELETE, FG, NEW_FLAG, collect_write_stats,
+                     drop_deleted, merge_latest, ordered_meta_projection,
+                     precombine_dedup, with_commit_meta, with_key_columns,
+                     write_instant_files)
+
+
+class HudiTable:
+    def __init__(self, spark: SparkSession, base_path: str,
+                 write_config: Optional[WriteConfig] = None):
+        self.spark = spark
+        self.meta = TableMetaClient(base_path)
+        self.cfg = write_config or WriteConfig()
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+    @staticmethod
+    def create(spark: SparkSession, base_path: str, name: str,
+               recordkey_fields: Sequence[str],
+               partition_expr: Optional[str] = None,
+               precombine_field: Optional[str] = None,
+               table_type: str = COPY_ON_WRITE,
+               payload: Optional[str] = None,
+               write_config: Optional[WriteConfig] = None) -> "HudiTable":
+        """CREATE TABLE (CreateHoodieTableCommand.scala equivalent)."""
+        from .config import PAYLOAD_OVERWRITE_LATEST
+        tc = TableConfig(
+            name=name, table_type=table_type,
+            recordkey_fields=tuple(recordkey_fields),
+            partition_expr=partition_expr,
+            precombine_field=precombine_field,
+            payload=payload or PAYLOAD_OVERWRITE_LATEST)
+        TableMetaClient.initialize(base_path, tc)
+        t = HudiTable(spark, base_path, write_config)
+        t._recover_dangling()
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, base_path: str,
+             write_config: Optional[WriteConfig] = None) -> "HudiTable":
+        if not TableMetaClient.exists(base_path):
+            raise FileNotFoundError(f"not a table (no .hoodie): {base_path}")
+        t = HudiTable(spark, base_path, write_config)
+        return t
+
+    @property
+    def tc(self) -> TableConfig:
+        return self.meta.config
+
+    @property
+    def timeline(self) -> tl.Timeline:
+        return self.meta.timeline
+
+    def view(self, as_of: Optional[str] = None) -> FileSystemView:
+        return FileSystemView(self.meta, as_of=as_of)
+
+    def _recover_dangling(self) -> None:
+        """Crash recovery on open: roll back inflight/requested *data* writes
+        left behind by a failed writer (reference: rollback-on-start,
+        BaseRollbackActionExecutor + marker files; our manifest design means
+        dangling files are invisible anyway — we just clear the instants)."""
+        from .services.rollback import rollback_pending
+        rollback_pending(self)
+
+    # ------------------------------------------------------------------
+    # schema bookkeeping (TableSchemaResolver.java:55,154-179 — schema rides
+    # in the last commit's metadata; evolution = compatible adds)
+    # ------------------------------------------------------------------
+    def stored_schema(self) -> Optional[StructType]:
+        last = self.timeline.last_completed(tl.DATA_ACTIONS)
+        if last is None:
+            return None
+        md = self.timeline.read_metadata(last)
+        sj = md.get("schema")
+        return StructType.fromJson(json.loads(sj)) if sj else None
+
+    @staticmethod
+    def _evolve(prev: Optional[StructType], new: StructType) -> StructType:
+        if prev is None:
+            return new
+        by_name = {f.name: f for f in prev.fields}
+        for f in new.fields:
+            old = by_name.get(f.name)
+            if old is None:
+                by_name[f.name] = f  # backwards-compatible add
+            elif old.dataType.simpleString() != f.dataType.simpleString():
+                raise ValueError(
+                    f"incompatible schema change for column {f.name}: "
+                    f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}")
+        # preserve previous order, append new fields
+        fields = list(prev.fields) + [f for f in new.fields if f.name not in
+                                      {p.name for p in prev.fields}]
+        return StructType(fields)
+
+    def _read_schema(self, extra_bool_cols: Sequence[str] = ()) -> StructType:
+        s = self.stored_schema()
+        if s is None:
+            raise ValueError("table has no completed commits")
+        fields = list(s.fields)
+        names = {f.name for f in fields}
+        for c in extra_bool_cols:
+            if c not in names:
+                fields.append(StructField(c, BooleanType()))
+        return StructType(fields)
+
+    # ------------------------------------------------------------------
+    # commit protocol helpers
+    # ------------------------------------------------------------------
+    def _start(self, action: str) -> tl.Instant:
+        t = tl.new_instant_time()
+        ins = self.timeline.create_requested(t, action)
+        return self.timeline.transition_to_inflight(ins)
+
+    def _complete(self, instant: tl.Instant, operation: str,
+                  stats: list[WriteStat],
+                  schema: Optional[StructType],
+                  replaced: Optional[Iterable[tuple[str, str]]] = None,
+                  extra: Optional[dict] = None,
+                  completed_action: Optional[str] = None) -> tl.Instant:
+        md = {
+            "instant": instant.time,
+            "operation": operation,
+            "schema": schema.json() if schema is not None else None,
+            "write_stats": [s.to_json() for s in stats],
+            "replaced_file_groups": [list(x) for x in (replaced or [])],
+            "num_records_written": sum(s.num_records for s in stats),
+            "total_bytes_written": sum(s.size for s in stats),
+            "extra": extra or {},
+        }
+        return self.timeline.transition_to_completed(instant, md, completed_action)
+
+    # ------------------------------------------------------------------
+    # write preparation
+    # ------------------------------------------------------------------
+    def _prepare(self, df: DataFrame, instant_time: str, combine: bool) -> DataFrame:
+        from .indexing import is_global
+        out = with_key_columns(df, self.tc)
+        if combine:
+            out = precombine_dedup(out, self.tc,
+                                   global_index=is_global(self.cfg.index_type))
+        out = with_commit_meta(out, instant_time)
+        return ordered_meta_projection(out, [f.name for f in df.schema.fields])
+
+    def _commit_schema(self, prepared: DataFrame) -> StructType:
+        drop = {FG, API_DELETE}
+        new = StructType([f for f in prepared.schema.fields if f.name not in drop])
+        return self._evolve(self.stored_schema(), new)
+
+    # ==================================================================
+    # WRITE OPERATORS
+    # ==================================================================
+    def bulk_insert(self, df: DataFrame, sort_mode: Optional[str] = None) -> str:
+        """First-load path (SparkRDDWriteClient.java:223-244,
+        SparkBulkInsertHelper.java + sort modes §2.4).  No index lookup; sizes
+        new files to target; GLOBAL_SORT default → key-sorted files whose
+        min/max ranges make the BLOOM-style index prune hard."""
+        instant = self._start(tl.COMMIT)
+        prepared = self._prepare(df, instant.time, self.cfg.combine_before_insert)
+        stats, fg_map, schema = self._write_inserts(
+            prepared, instant.time, pack_small_files=False,
+            sort_mode=sort_mode or self.cfg.bulk_insert_sort_mode)
+        self._complete(instant, BULK_INSERT, stats, schema)
+        self._post_commit()
+        return instant.time
+
+    def insert(self, df: DataFrame) -> str:
+        """Insert with small-file bin packing (SparkRDDWriteClient.java:172-178;
+        packing = UpsertPartitioner small-file handling).  No key-based
+        routing: duplicate keys are *not* merged (reference semantics)."""
+        instant = self._start(tl.COMMIT)
+        prepared = self._prepare(df, instant.time, self.cfg.combine_before_insert)
+        stats, fg_map, schema = self._write_inserts(
+            prepared, instant.time,
+            pack_small_files=(self.tc.table_type == COPY_ON_WRITE),
+            sort_mode=SORT_PARTITION)
+        self._complete(instant, INSERT, stats, schema)
+        self._post_commit()
+        return instant.time
+
+    def _write_inserts(self, prepared: DataFrame, instant_time: str,
+                       pack_small_files: bool, sort_mode: str,
+                       action_view: Optional[FileSystemView] = None):
+        """Shared insert path: profile → bucket plan → assign → write.
+        Packed small file groups are rewritten (old ∪ new) — COW semantics."""
+        view = action_view if action_view is not None else self.view()
+        # validate evolution on the raw batch BEFORE any union coerces types
+        self._commit_schema(prepared)
+        profile = {r[0]: r[1] for r in
+                   prepared.groupBy(META_PARTITION_PATH).count().collect()}
+        rec_size = avg_record_size(self.meta, self.timeline,
+                                   self.cfg.record_size_estimate)
+        plan = plan_insert_buckets(profile, view if pack_small_files else None,
+                                   self.cfg, rec_size,
+                                   pack_small_files=pack_small_files)
+        assigned = assign_insert_buckets(self.spark, prepared, plan,
+                                         META_PARTITION_PATH, META_RECORD_KEY, FG)
+        assigned = assigned.withColumn(META_FILE_NAME, F.col(FG))
+        fg_map = {b.file_group: b.partition for b in plan}
+
+        packed = [b for b in plan if not b.is_new_fg]
+        if packed:
+            old = self._read_fg_files(view, {b.file_group for b in packed})
+            assigned = old.unionByName(assigned, allowMissingColumns=True)
+
+        sort_cols = self._sort_cols(sort_mode)
+        schema = self._commit_schema(assigned)
+        stats = write_instant_files(assigned, self.meta, instant_time, fg_map,
+                                    self.cfg, sort_cols=sort_cols)
+        return stats, fg_map, schema
+
+    def _sort_cols(self, sort_mode: str) -> Optional[list[str]]:
+        if sort_mode == SORT_GLOBAL:
+            return [META_PARTITION_PATH, META_RECORD_KEY]
+        if sort_mode == SORT_PARTITION:
+            return [META_RECORD_KEY]
+        return None
+
+    def upsert(self, df: DataFrame) -> str:
+        """The heart (SparkRDDWriteClient.java:149-159 →
+        BaseSparkCommitActionExecutor.java:112-145): preCombine → index tag →
+        partition into update/insert buckets → COW merge-rewrite of affected
+        file groups / MOR delta append."""
+        return self._upsert_impl(df, UPSERT)
+
+    def delete(self, keys_df: DataFrame) -> str:
+        """Hard delete by key (SparkRDDWriteClient.java:248-253,
+        SparkDeleteHelper.java:49-105): dedup keys → tag → keep only existing
+        → merge that drops them (COW) or delete-marker delta rows (MOR)."""
+        return self._upsert_impl(keys_df.withColumn(API_DELETE, F.lit(True)),
+                                 DELETE)
+
+    def _upsert_impl(self, df: DataFrame, operation: str) -> str:
+        is_delete = operation == DELETE
+        action = (tl.DELTA_COMMIT if self.tc.table_type == MERGE_ON_READ
+                  else tl.COMMIT)
+        instant = self._start(action)
+        prepared = self._prepare(df, instant.time,
+                                 combine=self.cfg.combine_before_upsert)
+        # validate evolution on the raw batch BEFORE any union coerces types
+        self._commit_schema(prepared)
+        prepared = prepared.persist()
+        try:
+            view = self.view()
+            # workload profile (BaseSparkCommitActionExecutor.java:122-127) +
+            # key range for BLOOM-style pruning — one Spark action
+            prof = prepared.groupBy(META_PARTITION_PATH).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(META_RECORD_KEY).alias("mn"),
+                F.max(META_RECORD_KEY).alias("mx")).collect()
+            partitions = [r[0] for r in prof]
+            key_range = (min(r[2] for r in prof), max(r[3] for r in prof)) if prof else None
+
+            index_df = load_key_index(self.spark, self.meta, view,
+                                      self.cfg.index_type, partitions, key_range)
+            tagged = tag_locations(prepared, index_df, self.cfg.index_type).persist()
+
+            # per-file-group update counts + per-partition insert counts
+            fg_prof = tagged.groupBy(META_PARTITION_PATH, FG_COL).count().collect()
+            update_fgs = {r[1]: r[0] for r in fg_prof if r[1] is not None}
+            insert_profile = {r[0]: r[2] for r in fg_prof if r[1] is None}
+
+            updates = tagged.filter(F.col(FG_COL).isNotNull()) \
+                            .withColumn(FG, F.col(FG_COL)).drop(FG_COL)
+            inserts = tagged.filter(F.col(FG_COL).isNull()).drop(FG_COL)
+            if is_delete:
+                inserts = inserts.limit(0)  # deletes of absent keys are no-ops
+                insert_profile = {}
+
+            if self.tc.table_type == MERGE_ON_READ:
+                stats, fg_map, schema = self._upsert_mor(
+                    view, instant.time, updates, inserts,
+                    update_fgs, insert_profile)
+            else:
+                stats, fg_map, schema = self._upsert_cow(
+                    view, instant.time, updates, inserts,
+                    update_fgs, insert_profile)
+            self._complete(instant, operation, stats, schema)
+        finally:
+            prepared.unpersist()
+        self._post_commit()
+        return instant.time
+
+    def _upsert_cow(self, view: FileSystemView, instant_time: str,
+                    updates: DataFrame, inserts: DataFrame,
+                    update_fgs: dict[str, str], insert_profile: dict[str, int]):
+        """COW merge: rewrite exactly the affected file groups —
+        old ∪ new → latest-wins window → drop deletes → write new slices."""
+        rec_size = avg_record_size(self.meta, self.timeline,
+                                   self.cfg.record_size_estimate)
+        plan = plan_insert_buckets(insert_profile, view, self.cfg, rec_size,
+                                   pack_small_files=True)
+        assigned = assign_insert_buckets(self.spark, inserts, plan,
+                                         META_PARTITION_PATH, META_RECORD_KEY, FG)
+        new_rows = updates.unionByName(assigned, allowMissingColumns=True) \
+                          .withColumn(NEW_FLAG, F.lit(True))
+
+        fg_map = {b.file_group: b.partition for b in plan}
+        fg_map.update(update_fgs)
+        rewrite_fgs = set(update_fgs) | {b.file_group for b in plan if not b.is_new_fg}
+        if rewrite_fgs:
+            old = self._read_fg_files(view, rewrite_fgs) \
+                      .withColumn(NEW_FLAG, F.lit(False))
+            merged = old.unionByName(new_rows, allowMissingColumns=True)
+        else:
+            merged = new_rows
+        merged = merge_latest(merged, self.tc)
+        merged = drop_deleted(merged).drop(API_DELETE)
+        merged = merged.withColumn(META_FILE_NAME, F.col(FG))
+        schema = self._commit_schema(merged)
+        stats = write_instant_files(merged, self.meta, instant_time, fg_map,
+                                    self.cfg, sort_cols=[META_RECORD_KEY])
+        return stats, fg_map, schema
+
+    def _upsert_mor(self, view: FileSystemView, instant_time: str,
+                    updates: DataFrame, inserts: DataFrame,
+                    update_fgs: dict[str, str], insert_profile: dict[str, int]):
+        """MOR: updates/deletes append parquet *delta* files to their file
+        group's latest slice (HoodieAppendHandle.java:71,336-390 — Spark has
+        no appendable row format, so one small columnar delta file per
+        (commit, file group) replaces the avro log block); inserts create new
+        base files."""
+        stats: list[WriteStat] = []
+        fg_map: dict[str, str] = {}
+        schema = None
+
+        if update_fgs:
+            base_of = {sl.file_group: sl.base_instant
+                       for sl in view.latest_slices()}
+            upd = updates.withColumn(META_FILE_NAME, F.col(FG))
+            schema = self._commit_schema(upd)
+            stats += write_instant_files(
+                upd, self.meta, instant_time, dict(update_fgs), self.cfg,
+                sort_cols=[META_RECORD_KEY], log=True,
+                fg_base_instant={fg: base_of.get(fg) for fg in update_fgs},
+                subdir="log")
+            fg_map.update(update_fgs)
+
+        has_inserts = bool(insert_profile) and any(v > 0 for v in insert_profile.values())
+        if has_inserts:
+            rec_size = avg_record_size(self.meta, self.timeline,
+                                       self.cfg.record_size_estimate)
+            plan = plan_insert_buckets(insert_profile, None, self.cfg, rec_size,
+                                       pack_small_files=False)
+            assigned = assign_insert_buckets(self.spark, inserts, plan,
+                                             META_PARTITION_PATH,
+                                             META_RECORD_KEY, FG)
+            assigned = assigned.drop(API_DELETE) \
+                               .withColumn(META_FILE_NAME, F.col(FG))
+            schema = self._commit_schema(assigned)
+            stats += write_instant_files(assigned, self.meta, instant_time,
+                                         {b.file_group: b.partition for b in plan},
+                                         self.cfg, sort_cols=[META_RECORD_KEY])
+            fg_map.update({b.file_group: b.partition for b in plan})
+
+        if schema is None:
+            schema = self.stored_schema()
+        return stats, fg_map, schema
+
+    # ------------------------------------------------------------------
+    def insert_overwrite(self, df: DataFrame) -> str:
+        """Atomically replace only the partitions present in the input
+        (SparkInsertOverwriteCommitActionExecutor — replacecommit, NOT Spark's
+        mode=overwrite)."""
+        instant = self._start(tl.REPLACE_COMMIT)
+        prepared = self._prepare(df, instant.time, self.cfg.combine_before_insert)
+        view = self.view()
+        parts = [r[0] for r in prepared.select(META_PARTITION_PATH).distinct().collect()]
+        replaced = [(sl.partition, sl.file_group)
+                    for sl in view.latest_slices(parts)]
+        stats, fg_map, schema = self._write_inserts(
+            prepared, instant.time, pack_small_files=False,
+            sort_mode=self.cfg.bulk_insert_sort_mode, action_view=view)
+        self._complete(instant, INSERT_OVERWRITE, stats, schema, replaced=replaced)
+        self._post_commit()
+        return instant.time
+
+    def insert_overwrite_table(self, df: DataFrame) -> str:
+        """Replace every partition (SparkInsertOverwriteTableCommitActionExecutor)."""
+        instant = self._start(tl.REPLACE_COMMIT)
+        prepared = self._prepare(df, instant.time, self.cfg.combine_before_insert)
+        view = self.view()
+        replaced = [(sl.partition, sl.file_group) for sl in view.latest_slices()]
+        stats, fg_map, schema = self._write_inserts(
+            prepared, instant.time, pack_small_files=False,
+            sort_mode=self.cfg.bulk_insert_sort_mode, action_view=view)
+        self._complete(instant, INSERT_OVERWRITE_TABLE, stats, schema,
+                       replaced=replaced)
+        self._post_commit()
+        return instant.time
+
+    def delete_partitions(self, partitions: Sequence[str]) -> str:
+        """Logical partition drop via replacecommit
+        (SparkDeletePartitionCommitActionExecutor) — readers skip the replaced
+        file groups immediately; the cleaner reclaims files later."""
+        instant = self._start(tl.REPLACE_COMMIT)
+        view = self.view()
+        replaced = [(sl.partition, sl.file_group)
+                    for sl in view.latest_slices(partitions)]
+        self._complete(instant, DELETE_PARTITION, [], self.stored_schema(),
+                       replaced=replaced)
+        self._post_commit()
+        return instant.time
+
+    def bootstrap(self, source_path: str) -> str:
+        """FULL_RECORD bootstrap (SparkBootstrapCommitActionExecutor.java:
+        104-146): adopt an existing parquet dataset by bulk-inserting it."""
+        return self.bulk_insert(self.spark.read.parquet(source_path))
+
+    def filter_exists(self, df: DataFrame) -> DataFrame:
+        """Keep only records NOT already in the table
+        (HoodieReadClient/SparkRDDWriteClient.java:131-141 → left_anti)."""
+        from .indexing import CUR_PART_COL, is_global
+        keyed = with_key_columns(df, self.tc)
+        view = self.view()
+        index_df = load_key_index(self.spark, self.meta, view, self.cfg.index_type)
+        if is_global(self.cfg.index_type):
+            idx = index_df.select(META_RECORD_KEY).distinct()
+            on = [META_RECORD_KEY]
+        else:
+            idx = index_df.select(
+                META_RECORD_KEY,
+                F.col(CUR_PART_COL).alias(META_PARTITION_PATH)).distinct()
+            on = [META_RECORD_KEY, META_PARTITION_PATH]
+        return keyed.join(idx, on=on, how="left_anti") \
+                    .drop(META_RECORD_KEY, META_PARTITION_PATH)
+
+    # ==================================================================
+    # READ OPERATORS (DefaultSource.scala:111-137 dispatch)
+    # ==================================================================
+    def read(self, query_type: str = QUERY_SNAPSHOT,
+             begin: Optional[str] = None, end: Optional[str] = None,
+             as_of: Optional[str] = None,
+             partitions: Optional[Sequence[str]] = None) -> DataFrame:
+        if query_type == QUERY_INCREMENTAL:
+            return self._read_incremental(begin, end, partitions)
+        view = self.view(as_of=as_of or end)
+        slices = view.latest_slices(partitions)
+        return self._read_slices(slices,
+                                 read_optimized=(query_type == QUERY_READ_OPTIMIZED))
+
+    def _read_fg_files(self, view: FileSystemView, fgs: set[str]) -> DataFrame:
+        slices = [sl for sl in view.latest_slices() if sl.file_group in fgs]
+        return self._read_slices(slices, read_optimized=False, raw=True)
+
+    def _read_slices(self, slices: list[FileSlice], read_optimized: bool,
+                     raw: bool = False) -> DataFrame:
+        """Clean slices (no logs) → plain parquet scan; dirty slices →
+        base ∪ deltas → latest-wins window → drop deletes
+        (MergeOnReadSnapshotRelation.scala:94-138 / HoodieMergeOnReadRDD.scala
+        merged iterator, vectorized).  Only dirty file groups pay the merge
+        shuffle — at scale that's the set compaction hasn't reached yet."""
+        schema = self._read_schema()
+        out_cols = [f.name for f in schema.fields]
+        clean = [sl for sl in slices if not sl.log_files or read_optimized]
+        dirty = [] if read_optimized else [sl for sl in slices if sl.log_files]
+        parts = []
+        if clean:
+            paths = [self.meta.abs_path(f.path) for sl in clean for f in sl.base_files]
+            parts.append(self.spark.read.schema(schema).parquet(*paths))
+        if dirty:
+            dschema = self._read_schema(extra_bool_cols=[API_DELETE, DELETE_MARKER])
+            base_paths = [self.meta.abs_path(f.path) for sl in dirty for f in sl.base_files]
+            log_paths = [self.meta.abs_path(l.path) for sl in dirty for l in sl.log_files]
+            b = self.spark.read.schema(dschema).parquet(*base_paths) \
+                    .withColumn(NEW_FLAG, F.lit(False))
+            l = self.spark.read.schema(dschema).parquet(*log_paths) \
+                    .withColumn(NEW_FLAG, F.lit(True))
+            d = merge_latest(b.unionByName(l), self.tc)
+            if not raw:
+                d = drop_deleted(d)
+            parts.append(d.select(*[c for c in dschema.names
+                                    if c in out_cols or (raw and c == API_DELETE)]))
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        if raw:
+            df = df.withColumn(FG, F.col(META_FILE_NAME))
+        elif not read_optimized:
+            df = drop_deleted(df)
+        return df
+
+    def _read_incremental(self, begin: Optional[str], end: Optional[str],
+                          partitions: Optional[Sequence[str]]) -> DataFrame:
+        """Change-stream in (begin, end]: latest value of every key changed in
+        the range (IncrementalRelation.scala:64-181 /
+        MergeOnReadIncrementalRelation.scala:95-111).  File set = commits'
+        manifests, so the scan touches only file groups with changes; the
+        ``_hoodie_commit_time`` range filter additionally prunes parquet row
+        groups via min/max (free pushdown — it's a leading stored column)."""
+        instants = [i for i in self.timeline.completed_data_instants()
+                    if (begin is None or i.time > begin)
+                    and (end is None or i.time <= end)]
+        if not instants:
+            return self.spark.createDataFrame([], self._read_schema())
+        hi = end or instants[-1].time
+        touched: set[str] = set()
+        for ins in instants:
+            md = self.timeline.read_metadata(ins)
+            touched.update(st["file_group"] for st in md.get("write_stats", []))
+        view = self.view(as_of=hi)
+        slices = [sl for sl in view.latest_slices(partitions)
+                  if sl.file_group in touched]
+        df = self._read_slices(slices, read_optimized=False)
+        cond = F.col(META_COMMIT_TIME) <= F.lit(hi)
+        if begin is not None:
+            cond = cond & (F.col(META_COMMIT_TIME) > F.lit(begin))
+        return df.filter(cond)
+
+    # ==================================================================
+    # table services (delegate to services/)
+    # ==================================================================
+    def _post_commit(self) -> None:
+        """Post-commit services (SparkRDDWriteClient.java:263-281): inline
+        compaction trigger + auto-clean/archival when configured."""
+        if self.cfg.inline_compaction and self.tc.table_type == MERGE_ON_READ:
+            from .services.compaction import maybe_inline_compact
+            maybe_inline_compact(self)
+
+    def schedule_compaction(self, **kw) -> Optional[str]:
+        from .services.compaction import schedule_compaction
+        return schedule_compaction(self, **kw)
+
+    def run_compaction(self, instant_time: Optional[str] = None) -> Optional[str]:
+        from .services.compaction import run_compaction
+        return run_compaction(self, instant_time)
+
+    def cluster(self, sort_columns: Optional[Sequence[str]] = None,
+                partitions: Optional[Sequence[str]] = None) -> Optional[str]:
+        from .services.clustering import run_clustering
+        return run_clustering(self, sort_columns, partitions)
+
+    def clean(self) -> dict:
+        from .services.cleaning import run_clean
+        return run_clean(self)
+
+    def rollback(self, instant_time: str) -> str:
+        from .services.rollback import rollback_instant
+        return rollback_instant(self, instant_time)
+
+    def savepoint(self) -> str:
+        from .services.savepoint import create_savepoint
+        return create_savepoint(self)
+
+    def restore(self, savepoint_time: str) -> str:
+        from .services.savepoint import restore_to_savepoint
+        return restore_to_savepoint(self, savepoint_time)
+
+    def archive(self) -> int:
+        from .services.archival import run_archival
+        return run_archival(self)
+
+    # ==================================================================
+    # SQL-DML style API (MergeIntoHoodieTableCommand.scala re-expressed as
+    # DataFrame algebra) lives in dml.py; re-exported here for ergonomics.
+    # ==================================================================
+    def merge(self, source: DataFrame, on: str, **kw) -> str:
+        from .dml import merge_into
+        return merge_into(self, source, on, **kw)
+
+    def update(self, set_exprs: dict[str, str], where: Optional[str] = None) -> str:
+        from .dml import update_table
+        return update_table(self, set_exprs, where)
+
+    def delete_where(self, where: str) -> str:
+        from .dml import delete_where
+        return delete_where(self, where)

@@ -1,0 +1,239 @@
+"""Write-pipeline building blocks shared by every write operator.
+
+Replaces the reference's record-at-a-time I/O handles wholesale
+(HoodieCreateHandle / HoodieMergeHandle.java:280-325 merge loop /
+HoodieAppendHandle.java:336-390) with declarative DataFrame stages:
+
+    incoming df
+      → meta columns (pure expressions; HoodieRecord.java:37-45)
+      → preCombine window dedup (SparkWriteHelper.java:49-67)
+      → index tag join (indexing.py)
+      → bucket assignment (plans/buckets.py)
+      → repartition(#buckets, _fg) → write.partitionBy(_fg).parquet(<instant dir>)
+
+Every file lands in an immutable per-instant directory; the commit manifest
+(WriteStat list) is assembled driver-side from parquet footers (row counts +
+record-key min/max — the same stats the reference persists as footer bloom
+ranges, SparkHoodieBloomIndex.java:119-140).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .config import (DELETE_MARKER, META_COLUMNS, META_COMMIT_SEQNO,
+                     META_COMMIT_TIME, META_FILE_NAME, META_PARTITION_PATH,
+                     META_RECORD_KEY, PAYLOAD_DEFAULT, TableConfig, WriteConfig)
+from .fsview import WriteStat
+from .keygen import add_key_columns
+from .metaclient import TableMetaClient
+
+FG = "_fg"                       # transient bucket column, becomes the dir name
+API_DELETE = "_hoodie_api_delete"  # hard delete (EmptyPayload semantics)
+
+
+def with_key_columns(df: DataFrame, tc: TableConfig) -> DataFrame:
+    return add_key_columns(df, tc.recordkey_fields, tc.partition_expr,
+                           META_RECORD_KEY, META_PARTITION_PATH)
+
+
+def with_commit_meta(df: DataFrame, instant_time: str) -> DataFrame:
+    """_hoodie_commit_time/_hoodie_commit_seqno for rows written at this
+    instant.  seqno = instant + monotonic id (cheap, unique, no shuffle)."""
+    return (df
+            .withColumn(META_COMMIT_TIME, F.lit(instant_time))
+            .withColumn(META_COMMIT_SEQNO,
+                        F.concat_ws("_", F.lit(instant_time),
+                                    F.monotonically_increasing_id().cast("string"))))
+
+
+def ordered_meta_projection(df: DataFrame, data_fields: Sequence[str]) -> DataFrame:
+    """Meta columns first, then data columns (HoodieRecord.java:37-45 layout)."""
+    cols = [c for c in META_COLUMNS if c in df.columns]
+    cols += [f for f in data_fields if f in df.columns and f not in cols]
+    extras = [c for c in df.columns if c not in cols and c != FG]
+    return df.select(*cols, *extras, *( [FG] if FG in df.columns else [] ))
+
+
+MERGE_KEY = [META_RECORD_KEY, META_PARTITION_PATH]
+# Record identity is the HoodieKey = (recordKey, partitionPath)
+# (HoodieKey.java:30-57); for non-global indexes the same recordKey may exist
+# in two partitions as two distinct records (SparkWriteHelper.java:49-67 keys
+# dedup by HoodieKey unless the index is global).  Global-index tagging
+# rewrites the incoming partition to the record's current one *before* any
+# merge, so (key, partition) windows are correct for both modes.
+
+
+def precombine_dedup(df: DataFrame, tc: TableConfig,
+                     global_index: bool = False) -> DataFrame:
+    """Within-batch dedup: exactly one survivor per HoodieKey, max precombine
+    wins (SparkWriteHelper.java:49-67 reduceByKey(preCombine), vectorized as a
+    window — map-side partial aggregation free via Tungsten).  Global indexes
+    dedup by record key alone (a key is table-unique there)."""
+    keys = [META_RECORD_KEY] if global_index else MERGE_KEY
+    if tc.precombine_field and tc.precombine_field in df.columns:
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc_nulls_last(tc.precombine_field))
+        return (df.withColumn("_hoodie_rn", F.row_number().over(w))
+                  .filter(F.col("_hoodie_rn") == 1).drop("_hoodie_rn"))
+    return df.dropDuplicates(keys)
+
+
+def merge_order_columns(tc: TableConfig, df: DataFrame) -> list[Column]:
+    """Cross-version ordering for latest-wins merges.
+
+    - API deletes always win (EmptyPayload, SparkDeleteHelper.java:49-105).
+    - DEFAULT payload: precombine (event-time) guard first
+      (DefaultHoodieRecordPayload.java:41,93) — a stored row with a higher
+      ordering value survives a late-arriving update.
+    - OVERWRITE_LATEST: the newest commit wins (OverwriteWithLatestAvroPayload
+      .java:50-57); in-batch dups were already preCombined.
+    """
+    cols: list[Column] = []
+    if API_DELETE in df.columns:
+        cols.append(F.desc_nulls_last(API_DELETE))
+    if tc.payload == PAYLOAD_DEFAULT and tc.precombine_field and \
+            tc.precombine_field in df.columns:
+        cols.append(F.desc_nulls_last(tc.precombine_field))
+    cols.append(F.desc(META_COMMIT_TIME))
+    cols.append(F.desc(META_COMMIT_SEQNO))
+    return cols
+
+
+def latest_wins(df: DataFrame, tc: TableConfig) -> DataFrame:
+    """Keep the winning version per HoodieKey (global collapse)."""
+    w = Window.partitionBy(*MERGE_KEY).orderBy(*merge_order_columns(tc, df))
+    return (df.withColumn("_hoodie_rn", F.row_number().over(w))
+              .filter(F.col("_hoodie_rn") == 1).drop("_hoodie_rn"))
+
+
+NEW_FLAG = "_hoodie_is_new_version"
+
+
+def merge_latest(df: DataFrame, tc: TableConfig, flag_col: str = NEW_FLAG) -> DataFrame:
+    """The read/write merge kernel — replaces HoodieMergeHandle.java:280-325
+    and HoodieMergedLogRecordScanner.processNextRecord.
+
+    ``flag_col`` marks rows carrying *new* versions (the incoming batch on
+    write; log-file rows on MOR read).  Semantics, matching the reference's
+    merge loop: stored rows whose key is untouched by new versions pass
+    through byte-for-byte (duplicate keys from insert/bulk_insert included);
+    touched keys collapse to the single payload-resolved winner.
+
+    One window shuffle keyed by HoodieKey (key, partition); both the
+    pass-through flag and the winner rank come from the same shuffle, and only
+    the slices being merged ever enter it — never the whole table."""
+    order_w = Window.partitionBy(*MERGE_KEY).orderBy(*merge_order_columns(tc, df))
+    part_w = Window.partitionBy(*MERGE_KEY)
+    out = (df
+           .withColumn("_hoodie_has_new", F.max(F.col(flag_col).cast("int")).over(part_w))
+           .withColumn("_hoodie_rn", F.row_number().over(order_w))
+           .filter((F.col("_hoodie_has_new") == 0) | (F.col("_hoodie_rn") == 1))
+           .drop("_hoodie_has_new", "_hoodie_rn", flag_col))
+    return out
+
+
+def drop_deleted(df: DataFrame) -> DataFrame:
+    """Filter records whose winning version is a delete
+    (OverwriteWithLatestAvroPayload.java:81-84 delete marker + API deletes)."""
+    for c in (DELETE_MARKER, API_DELETE):
+        if c in df.columns:
+            df = df.filter(~F.coalesce(F.col(c), F.lit(False)))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# physical write + manifest stats
+# ---------------------------------------------------------------------------
+
+def write_instant_files(
+    df: DataFrame,
+    meta: TableMetaClient,
+    instant_time: str,
+    fg_to_partition: dict[str, str],
+    cfg: WriteConfig,
+    sort_cols: Optional[Sequence[str]] = None,
+    log: bool = False,
+    fg_base_instant: Optional[dict[str, str]] = None,
+    subdir: Optional[str] = None,
+) -> list[WriteStat]:
+    """Shuffle to one task per file group and write the instant directory.
+
+    ``df`` must carry the transient ``_fg`` column.  Returns the manifest.
+    """
+    n_buckets = max(1, len(fg_to_partition))
+    if cfg.write_parallelism:
+        n_buckets = min(n_buckets, cfg.write_parallelism)
+    out = df.repartition(n_buckets, F.col(FG))
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out_dir = meta.instant_data_dir(instant_time)
+    if subdir:
+        out_dir = os.path.join(out_dir, subdir)
+    (out.write
+        .option("compression", cfg.parquet_compression)
+        .partitionBy(FG)
+        .mode("append")          # dir is unique per instant; append avoids pre-listing
+        .parquet(out_dir))
+    return collect_write_stats(meta, out_dir, fg_to_partition, log=log,
+                               fg_base_instant=fg_base_instant,
+                               default_base_instant=instant_time)
+
+
+def collect_write_stats(meta: TableMetaClient, out_dir: str,
+                        fg_to_partition: dict[str, str],
+                        log: bool,
+                        fg_base_instant: Optional[dict[str, str]],
+                        default_base_instant: str) -> list[WriteStat]:
+    """Build WriteStats from the written files' parquet footers (row count +
+    record-key min/max).  O(#files) tiny footer reads on the driver behind a
+    thread pool; at cluster scale this becomes a mapInPandas job over the
+    path list — the manifest shape is identical."""
+    import pyarrow.parquet as pq
+
+    tasks = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith(f"{FG}="):
+            continue
+        fg = d.split("=", 1)[1]
+        fdir = os.path.join(out_dir, d)
+        for fn in sorted(os.listdir(fdir)):
+            if fn.endswith(".parquet"):
+                tasks.append((fg, os.path.join(fdir, fn)))
+
+    def stat_one(task):
+        fg, path = task
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        min_k = max_k = None
+        try:
+            ki = pf.schema_arrow.names.index(META_RECORD_KEY)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ki).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            if mins:
+                min_k, max_k = min(mins), max(maxs)
+        except ValueError:
+            pass
+        return WriteStat(
+            partition=fg_to_partition.get(fg, ""),
+            file_group=fg,
+            path=meta.rel_path(path),
+            size=os.path.getsize(path),
+            num_records=md.num_rows,
+            min_key=min_k, max_key=max_k,
+            log=log,
+            base_instant=(fg_base_instant or {}).get(fg, None if log else default_base_instant),
+        )
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        return list(ex.map(stat_one, tasks))

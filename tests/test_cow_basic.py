@@ -1,0 +1,196 @@
+"""COW write/read cycle tests — the engine analogue of the reference's
+TestHoodieClientOnCopyOnWriteStorage.java / TestCOWDataSource.scala invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_hudi_spark import (HudiTable, QUERY_INCREMENTAL,
+                                  QUERY_READ_OPTIMIZED, WriteConfig)
+from incubator_hudi_spark.config import META_COLUMNS, META_RECORD_KEY
+
+
+def make_lineitem_table(spark, path, **kw):
+    return HudiTable.create(
+        spark, path, name="lineitem",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate",
+        **kw)
+
+
+def test_bulk_insert_snapshot_roundtrip(spark, tmp_table_path, lineitem):
+    t = make_lineitem_table(spark, tmp_table_path)
+    t.bulk_insert(lineitem)
+    snap = t.read()
+    # bulk_insert does NOT dedup by default (reference semantics) — the
+    # driver's lineitem intentionally carries duplicate keys
+    assert snap.count() == lineitem.count()
+    for c in META_COLUMNS:
+        assert c in snap.columns
+    # values round-trip
+    a = snap.select(*lineitem.columns)
+    assert a.exceptAll(lineitem).count() == 0
+    assert lineitem.exceptAll(a).count() == 0
+
+
+def _hoodie_key_cols(df):
+    """Record identity = (recordKey, partitionPath) — month of shipdate here."""
+    return df.withColumn("_p", F.date_format("l_shipdate", "yyyy-MM"))
+
+
+def _dedup(df):
+    """Mirror of engine preCombine: one survivor per (key, partition)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("l_orderkey", "l_linenumber", "_p") \
+              .orderBy(F.desc("l_shipdate"))
+    return (_hoodie_key_cols(df).withColumn("rn", F.row_number().over(w))
+            .filter("rn=1").drop("rn", "_p"))
+
+
+def test_upsert_dedups_to_unique_keys(spark, tmp_table_path, lineitem):
+    t = make_lineitem_table(spark, tmp_table_path)
+    t.upsert(lineitem)
+    snap = t.read()
+    n_keys = _hoodie_key_cols(lineitem) \
+        .select("l_orderkey", "l_linenumber", "_p").distinct().count()
+    assert snap.count() == n_keys
+    exp = _dedup(lineitem)
+    assert snap.select(*lineitem.columns).exceptAll(exp).count() == 0
+
+
+def test_upsert_updates_and_inserts(spark, tmp_table_path, lineitem):
+    t = make_lineitem_table(spark, tmp_table_path)
+    base = lineitem.filter(F.col("l_orderkey") % 2 == 0)
+    rest = lineitem.filter(F.col("l_orderkey") % 2 == 1)
+    t.upsert(base)  # dedups in-batch → unique keys
+
+    updates = base.filter(F.col("l_returnflag") == "R") \
+                  .withColumn("l_quantity", F.col("l_quantity") + 1000)
+    t.upsert(updates.unionByName(rest))
+
+    snap = t.read()
+    # expected: overwrite-latest merge mirrored in plain Spark
+    b, u, r = _dedup(base), _dedup(updates), _dedup(rest)
+    kc = ["l_orderkey", "l_linenumber", "_p"]
+    exp = (_hoodie_key_cols(b).join(_hoodie_key_cols(u).select(*kc),
+                                    on=kc, how="left_anti").drop("_p")
+            .unionByName(u).unionByName(r)).select(*lineitem.columns)
+    got = snap.select(*lineitem.columns)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_precombine_in_batch_dedup(spark, tmp_table_path, lineitem):
+    t = make_lineitem_table(spark, tmp_table_path)
+    one = lineitem.limit(100)
+    # duplicate every row with an older shipdate and a poisoned quantity;
+    # preCombine must pick the newer shipdate row
+    # older-precombine twin in the SAME partition (month) must lose
+    dup = one.withColumn("l_shipdate", F.col("l_shipdate") - F.expr("interval 1 second")) \
+             .withColumn("l_quantity", F.lit(-1.0))
+    t.upsert(one.unionByName(dup))
+    snap = t.read()
+    n_keys = (one.select("l_orderkey", "l_linenumber",
+                         F.date_format("l_shipdate", "yyyy-MM").alias("p"))
+              .unionByName(dup.select("l_orderkey", "l_linenumber",
+                                      F.date_format("l_shipdate", "yyyy-MM").alias("p")))
+              .distinct().count())
+    assert snap.count() == n_keys
+    # a poisoned twin survives only if the 1s shift crossed a month boundary
+    # (different partition → different HoodieKey)
+    crossers = (dup.join(one.select("l_orderkey", "l_linenumber",
+                                    F.date_format("l_shipdate", "yyyy-MM").alias("p0")),
+                         on=["l_orderkey", "l_linenumber"])
+                .filter(F.date_format("l_shipdate", "yyyy-MM") != F.col("p0")).count())
+    assert snap.filter(F.col("l_quantity") < 0).count() == crossers
+
+
+def test_delete_keys(spark, tmp_table_path, lineitem):
+    t = make_lineitem_table(spark, tmp_table_path)
+    t.upsert(lineitem)  # unique keys
+    victims = lineitem.filter(F.col("l_returnflag") == "R")
+    t.delete(victims)
+    snap = t.read()
+    kc = ["l_orderkey", "l_linenumber", "_p"]
+    victim_keys = _hoodie_key_cols(victims).select(*kc).distinct()
+    all_keys = _hoodie_key_cols(lineitem).select(*kc).distinct()
+    assert snap.count() == all_keys.exceptAll(victim_keys).count()
+    assert _hoodie_key_cols(snap).join(victim_keys, on=kc, how="inner").count() == 0
+
+
+def test_insert_small_file_packing(spark, tmp_table_path, lineitem):
+    t = make_lineitem_table(spark, tmp_table_path)
+    t.bulk_insert(lineitem.limit(500))
+    n_files_before = len(t.view().latest_slices())
+    t.insert(lineitem.limit(500).withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000))
+    # inserts packed into existing small files → file-group count unchanged
+    assert len(t.view().latest_slices()) == n_files_before
+    assert t.read().count() == 1000
+
+
+def test_incremental_and_point_in_time(spark, tmp_table_path, lineitem):
+    t = make_lineitem_table(spark, tmp_table_path)
+    c1 = t.bulk_insert(lineitem)
+    updates = lineitem.filter(F.col("l_linenumber") == 1) \
+                      .withColumn("l_extendedprice", F.col("l_extendedprice") * 2)
+    c2 = t.upsert(updates)
+
+    inc = t.read(QUERY_INCREMENTAL, begin=c1, end=c2)
+    n_upd = _hoodie_key_cols(updates) \
+        .select("l_orderkey", "l_linenumber", "_p").distinct().count()
+    assert inc.count() == n_upd
+    assert inc.filter(F.col("l_linenumber") != 1).count() == 0
+
+    pit = t.read(as_of=c1)
+    assert pit.count() == lineitem.count()
+    assert pit.select(*lineitem.columns).exceptAll(lineitem).count() == 0
+
+
+def test_filter_exists(spark, tmp_table_path, lineitem):
+    t = make_lineitem_table(spark, tmp_table_path)
+    t.bulk_insert(lineitem.filter(F.col("l_orderkey") % 2 == 0))
+    fresh = t.filter_exists(lineitem)
+    assert fresh.count() == lineitem.filter(F.col("l_orderkey") % 2 == 1).count()
+
+
+def test_insert_overwrite_partition(spark, tmp_table_path, lineitem):
+    t = make_lineitem_table(spark, tmp_table_path)
+    t.bulk_insert(lineitem)
+    part = lineitem.select(F.date_format("l_shipdate", "yyyy-MM").alias("p")) \
+                   .groupBy("p").count().orderBy("p").first()["p"]
+    repl = lineitem.filter(F.date_format("l_shipdate", "yyyy-MM") == part) \
+                   .limit(10).withColumn("l_quantity", F.lit(42.0))
+    t.insert_overwrite(repl)
+    snap = t.read()
+    in_part = snap.filter(F.date_format("l_shipdate", "yyyy-MM") == part)
+    assert in_part.count() == 10
+    assert in_part.filter(F.col("l_quantity") != 42.0).count() == 0
+    out_part = lineitem.filter(F.date_format("l_shipdate", "yyyy-MM") != part)
+    assert snap.count() == out_part.count() + 10
+
+
+def test_delete_partition_and_overwrite_table(spark, tmp_table_path, lineitem):
+    t = make_lineitem_table(spark, tmp_table_path)
+    t.bulk_insert(lineitem)
+    parts = t.view().partitions()
+    t.delete_partitions([parts[0]])
+    snap = t.read()
+    assert snap.filter(F.col("_hoodie_partition_path") == parts[0]).count() == 0
+    exp = lineitem.filter(F.date_format("l_shipdate", "yyyy-MM") != parts[0]).count()
+    assert snap.count() == exp
+
+    t.insert_overwrite_table(lineitem.limit(7))
+    assert t.read().count() == 7
+
+
+def test_rollback_restores_previous_snapshot(spark, tmp_table_path, lineitem):
+    t = make_lineitem_table(spark, tmp_table_path)
+    c1 = t.bulk_insert(lineitem)
+    before = t.read().count()
+    c2 = t.upsert(lineitem.limit(50).withColumn("l_quantity", F.lit(-5.0)))
+    assert t.read().filter(F.col("l_quantity") < 0).count() == 50
+    t.rollback(c2)
+    snap = t.read()
+    assert snap.count() == before
+    assert snap.filter(F.col("l_quantity") < 0).count() == 0
