@@ -1,0 +1,190 @@
+"""MOR write/read + table-services tests — analogue of the reference's
+TestHoodieMergeOnReadTable.java / TestMORDataSource.scala / TestCleaner.java."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_hudi_spark import (HudiTable, MERGE_ON_READ, QUERY_INCREMENTAL,
+                                  QUERY_READ_OPTIMIZED, WriteConfig)
+
+
+def make_mor(spark, path, **kw):
+    return HudiTable.create(
+        spark, path, name="lineitem_mor",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate",
+        table_type=MERGE_ON_READ, **kw)
+
+
+def test_mor_upsert_snapshot_vs_read_optimized(spark, tmp_table_path, lineitem):
+    t = make_mor(spark, tmp_table_path)
+    t.upsert(lineitem)
+    n = t.read().count()
+
+    upd = lineitem.filter("l_linenumber = 2").withColumn("l_quantity", F.lit(777.0))
+    t.upsert(upd)
+
+    snap = t.read()
+    ro = t.read(QUERY_READ_OPTIMIZED)
+    assert snap.count() == n
+    assert ro.count() == n
+    # snapshot sees merged values, read-optimized sees stale base
+    assert snap.filter("l_quantity = 777").count() > 0
+    assert ro.filter("l_quantity = 777").count() == 0
+    # updates landed in log (delta) files, not new bases
+    slices = t.view().latest_slices()
+    assert any(sl.log_files for sl in slices)
+
+
+def test_mor_compaction_reconciles(spark, tmp_table_path, lineitem):
+    t = make_mor(spark, tmp_table_path)
+    t.upsert(lineitem)
+    upd = lineitem.filter("l_linenumber = 2").withColumn("l_quantity", F.lit(777.0))
+    t.upsert(upd)
+    before = t.read()
+    before_rows = sorted([tuple(r) for r in
+                          before.select("l_orderkey", "l_linenumber", "l_quantity")
+                          .collect()])
+
+    ci = t.run_compaction()
+    assert ci is not None
+    # no log files remain on latest slices
+    assert all(not sl.log_files for sl in t.view().latest_slices())
+    after = t.read()
+    ro = t.read(QUERY_READ_OPTIMIZED)
+    after_rows = sorted([tuple(r) for r in
+                         after.select("l_orderkey", "l_linenumber", "l_quantity")
+                         .collect()])
+    assert after_rows == before_rows
+    assert ro.filter("l_quantity = 777").count() == after.filter("l_quantity = 777").count()
+
+
+def test_mor_delete_via_log(spark, tmp_table_path, lineitem):
+    t = make_mor(spark, tmp_table_path)
+    t.upsert(lineitem)
+    n = t.read().count()
+    victims = lineitem.filter("l_returnflag = 'R' and l_linenumber = 1")
+    t.delete(victims)
+    snap = t.read()
+    assert snap.filter("l_returnflag = 'R' and l_linenumber = 1").count() == 0
+    assert snap.count() < n
+    # deletes are logged, not rewritten
+    assert any(sl.log_files for sl in t.view().latest_slices())
+    # compaction physically drops them
+    t.run_compaction()
+    snap2 = t.read()
+    assert snap2.count() == snap.count()
+    assert snap2.filter("l_returnflag = 'R' and l_linenumber = 1").count() == 0
+
+
+def test_mor_incremental(spark, tmp_table_path, lineitem):
+    t = make_mor(spark, tmp_table_path)
+    c1 = t.upsert(lineitem)
+    upd = lineitem.filter("l_linenumber = 3").withColumn("l_extendedprice", F.lit(1.25))
+    c2 = t.upsert(upd)
+    inc = t.read(QUERY_INCREMENTAL, begin=c1, end=c2)
+    got = inc.select("l_orderkey", "l_linenumber",
+                     F.date_format("l_shipdate", "yyyy-MM")).distinct().count()
+    exp = (upd.select("l_orderkey", "l_linenumber",
+                      F.date_format("l_shipdate", "yyyy-MM"))
+           .distinct().count())
+    assert got == inc.count() == exp
+    assert inc.filter("l_extendedprice != 1.25").count() == 0
+
+
+def test_inline_compaction_trigger(spark, tmp_table_path, lineitem):
+    t = make_mor(spark, tmp_table_path,
+                 write_config=WriteConfig(inline_compaction=True,
+                                          compact_max_delta_commits=2))
+    t.upsert(lineitem)
+    for i in range(2):
+        t.upsert(lineitem.filter("l_linenumber = 1")
+                 .withColumn("l_quantity", F.lit(float(i))))
+    # trigger hit after the 2nd deltacommit → a compaction commit exists
+    assert len(t.timeline.completed(["commit"])) >= 1
+    assert t.read().filter("l_linenumber=1 and l_quantity = 1.0").count() > 0
+
+
+def test_cleaning_removes_old_versions(spark, tmp_table_path, lineitem):
+    t = HudiTable.create(
+        spark, tmp_table_path, name="c", recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')", precombine_field="l_shipdate",
+        write_config=WriteConfig(clean_retain_commits=2))
+    t.upsert(lineitem)
+    for i in range(4):
+        t.upsert(lineitem.filter("l_linenumber = 1")
+                 .withColumn("l_quantity", F.lit(float(i))))
+    res = t.clean()
+    assert res["deleted"] > 0
+    # snapshot unaffected
+    snap = t.read()
+    assert snap.filter("l_linenumber=1 and l_quantity=3.0").count() > 0
+    # deleted files are really gone from disk
+    for rel in t.timeline.read_metadata(
+            t.timeline.completed(["clean"])[-1]).get("deleted_paths", []):
+        assert not os.path.exists(t.meta.abs_path(rel))
+
+
+def test_savepoint_restore(spark, tmp_table_path, lineitem):
+    t = HudiTable.create(
+        spark, tmp_table_path, name="s", recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')", precombine_field="l_shipdate")
+    t.upsert(lineitem)
+    n1 = t.read().count()
+    sp = t.savepoint()
+    t.upsert(lineitem.filter("l_linenumber=1").withColumn("l_quantity", F.lit(-9.0)))
+    t.delete(lineitem.filter("l_returnflag='R'"))
+    assert t.read().count() != n1 or True
+    t.restore(sp)
+    snap = t.read()
+    assert snap.count() == n1
+    assert snap.filter("l_quantity = -9.0").count() == 0
+
+
+def test_clustering_preserves_snapshot(spark, tmp_table_path, lineitem):
+    t = HudiTable.create(
+        spark, tmp_table_path, name="cl", recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')", precombine_field="l_shipdate")
+    # several small inserts → many small file groups
+    t.bulk_insert(lineitem.filter("l_orderkey % 3 = 0"))
+    t.bulk_insert(lineitem.filter("l_orderkey % 3 = 1"))
+    t.bulk_insert(lineitem.filter("l_orderkey % 3 = 2"))
+    before = t.read().count()
+    n_slices_before = len(t.view().latest_slices())
+    ci = t.cluster(sort_columns=["l_orderkey"])
+    assert ci is not None
+    assert len(t.view().latest_slices()) < n_slices_before
+    assert t.read().count() == before
+
+
+def test_schema_evolution_add_column(spark, tmp_table_path, lineitem):
+    t = HudiTable.create(
+        spark, tmp_table_path, name="se", recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')", precombine_field="l_shipdate")
+    t.upsert(lineitem.filter("l_linenumber <= 4"))
+    evolved = lineitem.filter("l_linenumber > 4").withColumn("l_comment", F.lit("new"))
+    t.upsert(evolved)
+    snap = t.read()
+    assert "l_comment" in snap.columns
+    assert snap.filter("l_linenumber <= 4").filter("l_comment is not null").count() == 0
+    assert snap.filter("l_linenumber > 4").filter("l_comment = 'new'").count() > 0
+
+
+def test_archival_bounds_timeline(spark, tmp_table_path, lineitem):
+    t = HudiTable.create(
+        spark, tmp_table_path, name="ar", recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')", precombine_field="l_shipdate",
+        write_config=WriteConfig(clean_retain_commits=1,
+                                 archive_min_commits=2, archive_max_commits=3))
+    small = lineitem.limit(200)
+    t.upsert(small)
+    for i in range(5):
+        t.upsert(small.withColumn("l_quantity", F.lit(float(i))))
+    t.clean()
+    moved = t.archive()
+    assert moved > 0
+    # view still resolves, snapshot intact
+    assert t.read().filter("l_quantity = 4.0").count() == 200
