@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's own surface (BASELINE.json extension goals): exact
+dedup, MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection — all as
+DataFrame transforms designed for 100 TB corpora:
+
+  - everything stays JVM-side (xxhash64 / higher-order array functions; no
+    Python UDFs in any hot path);
+  - candidate generation is *blocked* (LSH bands / simhash chunks), so the
+    pairwise stage shuffles only same-bucket groups, never the cross product;
+  - outputs are deterministic (fixed hash seeds via salt strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     normalize: bool = True) -> DataFrame:
+    """Groups of byte-identical (optionally whitespace/case-normalized) docs.
+    Returns (content_hash, group_size, doc_ids, keep_id).  A hash groupBy —
+    one shuffle on a 32-char key regardless of document size."""
+    c = F.col(text_col)
+    if normalize:
+        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return (df.withColumn("content_hash", F.md5(c))
+              .groupBy("content_hash")
+              .agg(F.count(F.lit(1)).alias("group_size"),
+                   F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+                   F.min(id_col).alias("keep_id"))
+              .filter(F.col("group_size") > 1))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Keep one representative (min id) per identical-content group."""
+    c = F.col(text_col)
+    if normalize:
+        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    w = Window.partitionBy(F.md5(c)).orderBy(F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column, w: int = 3) -> Column:
+    """Array of w-word shingles (lowercased, whitespace-tokenized)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.greatest(F.size(words) - F.lit(w - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, w)))
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-permutation MinHash as an array<long>: hash each shingle once per
+    salt and take the array minimum — pure JVM higher-order functions, no
+    overflow (xxhash64 is closed over longs), no UDF.
+
+    NB: pyspark HOF lambdas must be unary here — a captured default arg would
+    change the inspected arity and bind the array *index* instead."""
+    def hasher(salt: str):
+        return lambda s: F.xxhash64(s, F.lit(salt))
+    return F.array(*[
+        F.array_min(F.transform(shingles, hasher(f"mh{i}")))
+        for i in range(k)])
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 16, bands: int = 8,
+                      shingle_w: int = 3,
+                      verify_threshold: float | None = 0.5) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    shingle → k minhashes → ``bands`` band-hashes → bucket self-join →
+    distinct candidate pairs → (optional) exact signature-similarity verify.
+    Scale: the self-join is per (band, band_hash) bucket; skewed buckets
+    (boilerplate shingles) are handled by AQE skew-join. Returns
+    (id_a, id_b, sig_similarity)."""
+    r = k // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_w), k)
+    docs = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    banded = docs.select(
+        "_id", "_sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(",", *[
+                         F.element_at("_sig", b * r + j + 1).cast("string")
+                         for j in range(r)])).alias("bh"))
+            for b in range(bands)])).alias("bk")
+    ).select("_id", "_sig", "bk.band", "bk.bh")
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"),
+                      "band", "bh")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"),
+                      "band", "bh")
+    pairs = (a.join(b, on=["band", "bh"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", "sig_a", "sig_b")
+              .dropDuplicates(["id_a", "id_b"]))
+    pairs = pairs.withColumn(
+        "sig_similarity",
+        F.aggregate(F.zip_with("sig_a", "sig_b",
+                               lambda x, y: (x == y).cast("double")),
+                    F.lit(0.0), lambda acc, v: acc + v) / F.lit(float(k)))
+    out = pairs.select("id_a", "id_b", "sig_similarity")
+    if verify_threshold is not None:
+        out = out.filter(F.col("sig_similarity") >= verify_threshold)
+    return out
+
+
+def dedup_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 16, bands: int = 8,
+                  threshold: float = 0.7) -> DataFrame:
+    """Drop near-duplicates: every doc similar (≥ threshold) to a lower-id doc
+    is removed (greedy union-find approximation — one anti-join, no iteration;
+    exact connected components would add an iterative step, unnecessary for
+    dedup-keep-one semantics)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, k, bands,
+                              verify_threshold=threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens, fully vectorized: per token one
+    xxhash64; per bit a signed majority vote folded with ``aggregate``."""
+    tokens = F.split(F.lower(F.trim(text)), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def vote(b: int):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+    votes = [F.aggregate(hashes, F.lit(0), vote(b)) for b in range(bits)]
+    out = F.lit(0).cast("long")
+    for b, v in enumerate(votes):
+        bitval = F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))
+        out = out + F.when(v > 0, bitval).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates must share one of 4 16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ some chunk is identical), verified by exact
+    hamming distance (bit_count of xor)."""
+    docs = df.select(F.col(id_col).alias("_id"),
+                     simhash(F.col(text_col)).alias("_sh"))
+    chunked = docs.select(
+        "_id", "_sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("_sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"))
+            for c in range(4)])).alias("c")
+    ).select("_id", "_sh", "c.chunk", "c.ck")
+    a = chunked.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
+                       "chunk", "ck")
+    b = chunked.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
+                       "chunk", "ck")
+    return (a.join(b, on=["chunk", "ck"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("hamming", F.bit_count(
+                 F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard (the verify-grade metric; also usable standalone with
+# a blocking column)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        block_col: str | None = None,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard similarity of word n-gram sets for candidate pairs within
+    a blocking group (cross product *within* blocks only — supply a cheap
+    block like language or LSH bucket at scale).  Returns (id_a, id_b, jaccard)."""
+    sh = F.array_distinct(word_shingles(F.col(text_col), n))
+    docs = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"),
+                     (F.col(block_col) if block_col else F.lit(1)).alias("_blk"))
+    a = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_blk")
+    b = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_blk")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (a.join(b, on="_blk")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("jaccard", inter / union)
+             .filter(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", "jaccard"))

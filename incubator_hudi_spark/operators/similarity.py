@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+BASELINE.json extension goals: brute-force cosine top-k as the exactness
+baseline; LSH-bucketed and IVF (coarse-quantizer) variants as the 100 TB
+scale path.  All vector math is JVM-side (``zip_with`` + ``aggregate`` fold);
+no Python touches row data.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: (x * x).cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query set against
+    the corpus — an embarrassingly parallel scan, the right baseline even at
+    100 TB when the query batch fits in a broadcast (norms precomputed once
+    per side).  Ties broken by id for determinism.
+    Returns (query_id, vec_id, cosine_sim, rank)."""
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("_cv"),
+                      l2_norm(F.col(vec_col)).alias("_cn"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"),
+                       l2_norm(F.col(vec_col)).alias("_qn"))
+    scored = (c.join(F.broadcast(q))
+               .withColumn("cosine_sim", dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "vec_id", "cosine_sim", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes) — sub-linear candidate generation
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def lsh_bucket(vec: Column, hyperplanes: Sequence[Sequence[float]]) -> Column:
+    """Sign-bit bucket id from fixed random hyperplanes (deterministic seed)."""
+    bits = []
+    for p, plane in enumerate(hyperplanes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in plane]),
+                       lambda v, h: (v * h).cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             dim: Optional[int] = None, planes: int = 8,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's hyperplane
+    bucket.  At 100 TB the corpus is bucketed once (a write-time partition /
+    cluster column), so each query touches ~1/2^planes of the data."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    hp = _hyperplanes(dim, planes, seed)
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("_cv"),
+                      l2_norm(F.col(vec_col)).alias("_cn"),
+                      lsh_bucket(F.col(vec_col), hp).alias("_bkt"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"),
+                       l2_norm(F.col(vec_col)).alias("_qn"),
+                       lsh_bucket(F.col(vec_col), hp).alias("_bkt"))
+    scored = (c.join(F.broadcast(q), on="_bkt")
+               .withColumn("cosine_sim", dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "vec_id", "cosine_sim", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) — k-means-lite coarse quantizer
+# ---------------------------------------------------------------------------
+
+def ivf_assign(corpus: DataFrame, centroids: Sequence[Sequence[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (one pass; centroids are a
+    literal array — at scale they come from a sampled k-means job and are
+    broadcast).  Adds ``_ivf_cell``."""
+    best = None
+    for ci, cent in enumerate(centroids):
+        carr = F.array(*[F.lit(x) for x in cent])
+        d = dot(F.col(vec_col), carr) / (l2_norm(F.col(vec_col)) * F.lit(
+            math.sqrt(sum(x * x for x in cent)) or 1.0))
+        cell = F.struct(d.alias("sim"), F.lit(ci).alias("cell"))
+        best = cell if best is None else F.when(cell["sim"] > best["sim"], cell).otherwise(best)
+    return corpus.withColumn("_ivf_cell", best["cell"])
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95,
+                            planes: int = 8, seed: int = 42,
+                            dim: Optional[int] = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join + exact
+    cosine verify (≥ threshold).  Near-identical vectors agree on all sign
+    bits with high probability, so the self-join is per-bucket."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    hp = _hyperplanes(dim, planes, seed)
+    d = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                  l2_norm(F.col(vec_col)).alias("_n"),
+                  lsh_bucket(F.col(vec_col), hp).alias("_bkt"))
+    a = d.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                 F.col("_n").alias("na"), "_bkt")
+    b = d.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                 F.col("_n").alias("nb"), "_bkt")
+    return (a.join(b, on="_bkt")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine_sim", dot("va", "vb") / (F.col("na") * F.col("nb")))
+             .filter(F.col("cosine_sim") >= threshold)
+             .select("id_a", "id_b", "cosine_sim"))

@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions (whole-stage codegen, zero
+Python in the row path) and all expressible in ANSI SQL for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker-word lists for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"],
+    "es": ["el", "de", "que", "los", "las", "una", "por", "con", "para", "es"],
+    "it": ["di", "che", "il", "la", "per", "una", "sono", "con", "del", "non"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count_whitespace(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(_tokens(text))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish proxy: count of letter-runs, digit-runs, and isolated
+    punctuation — a stable upper bound on subword-tokenizer output used for
+    budget accounting."""
+    return F.size(F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def lang_marker_hits(text: Column, lang: str) -> Column:
+    """How many of ``lang``'s top marker words occur as tokens."""
+    toks = F.array_distinct(_tokens(text))
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(toks, markers))
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over marker-hit counts; 'unknown' when nothing matches.
+    Deterministic tie-break by language code order."""
+    best = F.lit("unknown")
+    best_hits = F.lit(0)
+    for lang in sorted(LANG_MARKERS):
+        hits = lang_marker_hits(text, lang)
+        is_better = hits > best_hits
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + composite score (heuristics in the
+    C4/Gopher-rules tradition, all closed-form)."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    return (df
+            .withColumn("n_chars", n_chars.cast("long"))
+            .withColumn("n_tokens", n_tokens.cast("long"))
+            .withColumn("avg_word_len",
+                        (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))))
+            .withColumn("punct_ratio",
+                        F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double")
+                        / F.greatest(n_chars, F.lit(1)))
+            .withColumn("digit_ratio",
+                        F.regexp_count(t, F.lit(r"[0-9]")).cast("double")
+                        / F.greatest(n_chars, F.lit(1)))
+            .withColumn("upper_ratio",
+                        F.regexp_count(t, F.lit(r"[A-Z]")).cast("double")
+                        / F.greatest(n_chars, F.lit(1)))
+            .withColumn("stopword_ratio",
+                        F.size(F.array_intersect(
+                            F.array_distinct(toks),
+                            F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])))
+                        .cast("double") / F.lit(10.0))
+            .withColumn("quality_score",
+                        (F.lit(1.0)
+                         - F.least(F.col("punct_ratio") * 2, F.lit(0.5))
+                         - F.least(F.col("digit_ratio"), F.lit(0.3)))
+                        * F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))))
+
+
+def doc_fingerprint(text: Column, w: int = 8) -> Column:
+    """Winnowing-style rolling-hash fingerprint: min xxhash64 over w-gram
+    character windows — a single long per doc, stable under small appends."""
+    chars = F.split(F.lower(F.regexp_replace(text, r"\s+", " ")), "")
+    n = F.greatest(F.size(chars) - F.lit(w - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(0), n - 1),
+                        lambda i: F.concat_ws("", F.slice(chars, i + 1, w)))
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop text analysis: language, token counts, quality, fingerprint."""
+    out = quality_features(df, text_col)
+    return (out
+            .withColumn("detected_lang", detect_language(F.col(text_col)))
+            .withColumn("n_tokens_bpe", token_count_bpe_ish(F.col(text_col)).cast("long"))
+            .withColumn("fingerprint", doc_fingerprint(F.col(text_col))))

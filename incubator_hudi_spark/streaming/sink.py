@@ -1,0 +1,69 @@
+"""Structured-streaming sink: ``df.writeStream.foreachBatch(HudiStreamingSink(t))``.
+
+Reference: HoodieStreamingSink.scala:41-119 — per-micro-batch upsert with
+retry; exactly-once via the batch id recorded in commit metadata (replayed
+batches after a crash are skipped).  PySpark cannot register a custom v2 sink,
+so the public surface is a `foreachBatch` callable — semantically identical
+(the reference's sink is itself a per-batch writer).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+
+from .. import timeline as tl
+
+BATCH_ID_KEY = "streaming.batch_id"
+QUERY_ID_KEY = "streaming.query_id"
+
+
+class HudiStreamingSink:
+    """Callable for ``writeStream.foreachBatch``; also usable directly for
+    manual micro-batching (``sink(df, i)``)."""
+
+    def __init__(self, table, operation: str = "upsert",
+                 query_id: str = "default",
+                 retries: int = 2,
+                 transform: Optional[Callable[[DataFrame], DataFrame]] = None):
+        self.table = table
+        self.operation = operation
+        self.query_id = query_id
+        self.retries = retries
+        self.transform = transform
+
+    def last_committed_batch(self) -> Optional[int]:
+        for ins in reversed(self.table.timeline.completed(tl.DATA_ACTIONS)):
+            extra = self.table.timeline.read_metadata(ins).get("extra", {})
+            if extra.get(QUERY_ID_KEY) == self.query_id and \
+                    extra.get(BATCH_ID_KEY) is not None:
+                return int(extra[BATCH_ID_KEY])
+        return None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> Optional[str]:
+        last = self.last_committed_batch()
+        if last is not None and batch_id <= last:
+            return None  # exactly-once: replayed batch already committed
+        if self.transform is not None:
+            batch_df = self.transform(batch_df)
+        err: Optional[Exception] = None
+        for _ in range(self.retries + 1):
+            try:
+                op = getattr(self.table, self.operation)
+                instant = op(batch_df)
+                self._stamp(instant, batch_id)
+                return instant
+            except Exception as e:  # retry (HoodieStreamingSink retry loop)
+                err = e
+        raise err
+
+    def _stamp(self, instant_time: str, batch_id: int) -> None:
+        timeline = self.table.timeline
+        for ins in timeline.completed(tl.DATA_ACTIONS):
+            if ins.time == instant_time:
+                md = timeline.read_metadata(ins)
+                md.setdefault("extra", {})[BATCH_ID_KEY] = int(batch_id)
+                md["extra"][QUERY_ID_KEY] = self.query_id
+                timeline._write_json(timeline._path(ins), md)
+                return

@@ -43,4 +43,5 @@ def orders(spark):
 
 @pytest.fixture(scope="session")
 def events(spark):
-    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from incubator_hudi_spark.functions.io import load_table
+    return load_table(spark, SF_DIR, "events")

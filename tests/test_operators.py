@@ -1,0 +1,156 @@
+"""LLM-data-pipeline operator tests: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_hudi_spark.operators import dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="session")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- dedup ----
+
+def test_exact_dedup_finds_planted_dups(spark, documents):
+    planted = documents.limit(20).withColumn("doc_id", F.col("doc_id") + 100_000)
+    with_dups = documents.unionByName(planted)
+    groups = dedup.exact_duplicates(with_dups)
+    assert groups.count() >= 20
+    kept = dedup.dedup_exact(with_dups)
+    # every planted dup group collapsed to one survivor
+    assert kept.count() <= with_dups.count() - 20
+
+
+def test_minhash_lsh_finds_near_dups(spark, documents):
+    # plant near-dups: append one word to 10 docs
+    near = (documents.limit(10)
+            .withColumn("doc_id", F.col("doc_id") + 200_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" appended"))))
+    with_dups = documents.unionByName(near)
+    pairs = dedup.minhash_lsh_pairs(with_dups, k=16, bands=8,
+                                    verify_threshold=0.5)
+    found = pairs.filter((F.col("id_b") - F.col("id_a")) == 200_000).count()
+    assert found >= 8  # LSH is probabilistic; 16 hashes catch ≥80% here
+    deduped = dedup.dedup_minhash(with_dups, threshold=0.5)
+    assert deduped.count() < with_dups.count()
+
+
+def test_simhash_near_dups(spark, documents):
+    near = (documents.limit(10)
+            .withColumn("doc_id", F.col("doc_id") + 300_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" x"))))
+    with_dups = documents.unionByName(near)
+    pairs = dedup.simhash_pairs(with_dups, max_hamming=6)
+    found = pairs.filter((F.col("id_b") - F.col("id_a")) == 300_000).count()
+    assert found >= 7
+    # identical docs have hamming 0
+    ident = documents.limit(5).withColumn("doc_id", F.col("doc_id") + 400_000)
+    p2 = dedup.simhash_pairs(documents.unionByName(ident), max_hamming=0)
+    assert p2.filter((F.col("id_b") - F.col("id_a")) == 400_000).count() == 5
+
+
+def test_ngram_jaccard_exact(spark, documents):
+    near = (documents.limit(5)
+            .withColumn("doc_id", F.col("doc_id") + 500_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" tail"))))
+    with_dups = documents.limit(100).unionByName(near)
+    pairs = dedup.ngram_jaccard_pairs(with_dups, block_col="lang",
+                                      n=3, threshold=0.5)
+    assert pairs.filter((F.col("id_b") - F.col("id_a")) == 500_000).count() == 5
+    # jaccard of identical docs = 1.0
+    ident = documents.limit(3).withColumn("doc_id", F.col("doc_id") + 600_000)
+    p2 = dedup.ngram_jaccard_pairs(documents.limit(50).unionByName(ident),
+                                   block_col="lang", threshold=0.99)
+    assert p2.filter((F.col("id_b") - F.col("id_a")) == 600_000)\
+             .filter(F.abs(F.col("jaccard") - 1.0) > 1e-9).count() == 0
+
+
+# ----------------------------------------------------------- similarity ----
+
+def test_brute_force_topk_self_is_top1(spark, embeddings):
+    queries = embeddings.limit(5).select(F.col("vec_id").alias("query_id"),
+                                         "embedding")
+    topk = similarity.brute_force_topk(embeddings, queries, k=5)
+    top1 = topk.filter("rank = 1")
+    assert top1.count() == 5
+    # a vector's nearest neighbour is itself (cos = 1)
+    assert top1.filter(F.col("query_id") != F.col("vec_id")).count() == 0
+    assert top1.filter(F.abs(F.col("cosine_sim") - 1.0) > 1e-5).count() == 0
+
+
+def test_lsh_topk_recall_of_top1(spark, embeddings):
+    queries = embeddings.limit(10).select(F.col("vec_id").alias("query_id"),
+                                          "embedding")
+    approx = similarity.lsh_topk(embeddings, queries, k=3, planes=6)
+    # self is in the same bucket as itself always → rank-1 self recall = 100%
+    top1 = approx.filter("rank = 1")
+    assert top1.filter(F.col("query_id") != F.col("vec_id")).count() == 0
+
+
+def test_embedding_neardup(spark, embeddings):
+    jittered = (embeddings.limit(8)
+                .withColumn("vec_id", F.col("vec_id") + 10_000)
+                .withColumn("embedding",
+                            F.transform("embedding",
+                                        lambda x: x * F.lit(1.000001))))
+    pairs = similarity.embedding_neardup_pairs(
+        embeddings.unionByName(jittered), threshold=0.999)
+    assert pairs.filter((F.col("id_b") - F.col("id_a")) == 10_000).count() == 8
+
+
+# ----------------------------------------------------------------- text ----
+
+def test_text_analysis(spark, documents):
+    out = text.analyze(documents)
+    for c in ["n_chars", "n_tokens", "avg_word_len", "punct_ratio",
+              "quality_score", "detected_lang", "n_tokens_bpe", "fingerprint"]:
+        assert c in out.columns
+    row = out.first()
+    assert row["n_tokens"] > 0 and row["n_chars"] >= row["n_tokens"]
+    # fingerprints deterministic: same doc → same fingerprint
+    f1 = out.select("doc_id", "fingerprint")
+    f2 = text.analyze(documents).select("doc_id", "fingerprint")
+    assert f1.exceptAll(f2).count() == 0
+
+
+def test_detect_language_on_labeled_docs(spark, documents):
+    # documents.lang holds the generator's language label; our heuristic
+    # should agree on a solid majority of en docs
+    out = documents.withColumn("pred", text.detect_language(F.col("text")))
+    langs = [r[0] for r in documents.select("lang").distinct().collect()]
+    if "en" in langs:
+        en = out.filter("lang = 'en'")
+        agree = en.filter("pred = 'en'").count() / max(1, en.count())
+        assert agree > 0.6
+
+
+# ----------------------------------------------------------- multimodal ----
+
+def test_multimodal_pipeline(spark, documents):
+    media = multimodal.synthesize_media_from_documents(documents.limit(60))
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = multimodal.extract_features(media, decoder=multimodal.fake_decoder)
+    got = feats.collect()
+    assert len(got) == 60
+    assert all(r["width"] >= 1 and r["n_frames"] >= 1 for r in got)
+    # real decoder is an explicit stub
+    with pytest.raises(Exception):
+        multimodal.extract_features(media).collect()
+    # frame sampling plumbing
+    frames = multimodal.sample_frames(
+        feats.filter("modality = 'video'"), every_n=4)
+    one = feats.filter("modality = 'video'").first()
+    exp = len(range(0, one["n_frames"], 4)) if one else 0
+    if one:
+        assert frames.filter(F.col("media_id") == one["media_id"]).count() == exp
+    rs = multimodal.resize_stub(feats, 64, 64)
+    assert rs.filter("resized_w > 64 or resized_h > 64").count() == 0
