@@ -1,38 +1,850 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exercises every operator family from SURVEY.md §2 end-to-end:
+each callable ingests driver testdata into a throwaway engine table under
+/tmp, applies the operator sequence, and returns the resulting DataFrame.
+``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL over the raw parquet
+views computing the same final state.
+
+Determinism rules shared by both sides:
+  - record identity is (recordKey, month/year partition); preCombine keeps the
+    max-precombine row, ties broken by every data column alphabetically desc
+    (see writer.precombine_dedup) — the oracle mirrors that ORDER BY;
+  - aggregates over doubles go through DECIMAL casts (order-independent);
+  - timestamps are emitted as formatted strings.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# lineitem preCombine mirror (engine semantics → SQL)
+# ---------------------------------------------------------------------------
+
+_LI_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate"]
+_LI_TIE = sorted(c for c in _LI_COLS if c != "l_shipdate")
+_LI_ORDER = "l_shipdate DESC, " + ", ".join(f"{c} DESC" for c in _LI_TIE)
+
+#: DuckDB CTE: lineitem deduped exactly like engine upsert ingest
+_LI_DEDUP = f"""
+  li_d AS (
+    SELECT {', '.join(_LI_COLS)} FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m')
+        ORDER BY {_LI_ORDER}) AS _rn
+      FROM lineitem) WHERE _rn = 1)
+"""
+
+
+def _workspace() -> str:
+    d = os.environ.get("SPARK_GRAFT_WORKDIR")
+    if not d:
+        d = tempfile.mkdtemp(prefix="hudi_entry_")
+        os.environ["SPARK_GRAFT_WORKDIR"] = d
+    return d
+
+
+_RECIPES: dict = {}
+
+
+def _recipe(name: str, sf_dir: str, builder):
+    """Build-once cache for ingested table states shared between queries."""
+    key = (name, sf_dir)
+    if key not in _RECIPES:
+        _RECIPES[key] = builder()
+    return _RECIPES[key]
+
+
+def _load(spark, sf_dir, name):
+    from incubator_hudi_spark.functions.io import load_table
+    return load_table(spark, sf_dir, name)
+
+
+def _new_path(name: str, sf_dir: str) -> str:
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return os.path.join(_workspace(), f"{sf_tag}_{name}")
+
+
+# ---------------------------------------------------------------------------
+# recipes (each returns the HudiTable + any instants needed by queries)
+# ---------------------------------------------------------------------------
+
+def _lineitem_table(spark, sf_dir, path, table_type="COPY_ON_WRITE", **cfg):
+    from incubator_hudi_spark import HudiTable, WriteConfig
+    return HudiTable.create(
+        spark, path, name="lineitem",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate", table_type=table_type,
+        write_config=WriteConfig(**cfg) if cfg else None)
+
+
+def _orders_table(spark, sf_dir, path):
+    from incubator_hudi_spark import HudiTable
+    return HudiTable.create(
+        spark, path, name="orders", recordkey_fields=["o_orderkey"],
+        partition_expr="date_format(o_orderdate,'yyyy')",
+        precombine_field="o_orderdate")
+
+
+def _r_cow_upserted(spark, sf_dir):
+    """upsert(lineitem) → c1; upsert(l_linenumber=1 rows with qty+1000) → c2."""
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("cow_upserted", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        c1 = t.upsert(li)
+        c2 = t.upsert(li.filter("l_linenumber = 1")
+                        .withColumn("l_quantity", F.col("l_quantity") + 1000.0))
+        return {"t": t, "c1": c1, "c2": c2}
+    return _recipe("cow_upserted", sf_dir, build)
+
+
+def _r_cow_deleted(spark, sf_dir):
+    """upsert(lineitem) → delete rows with l_returnflag='R'."""
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("cow_deleted", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)
+        t.delete(li.filter("l_returnflag = 'R'"))
+        return {"t": t}
+    return _recipe("cow_deleted", sf_dir, build)
+
+
+def _r_bulk(spark, sf_dir):
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("bulk", sf_dir))
+        t.bulk_insert(_load(spark, sf_dir, "lineitem"))
+        return {"t": t}
+    return _recipe("bulk", sf_dir, build)
+
+
+def _r_mor(spark, sf_dir):
+    """MOR: upsert(lineitem); update batch lands in delta logs (no compaction)."""
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("mor", sf_dir),
+                            table_type="MERGE_ON_READ")
+        li = _load(spark, sf_dir, "lineitem")
+        c1 = t.upsert(li)
+        c2 = t.upsert(li.filter("l_linenumber = 1")
+                        .withColumn("l_quantity", F.col("l_quantity") + 1000.0))
+        return {"t": t, "c1": c1, "c2": c2}
+    return _recipe("mor", sf_dir, build)
+
+
+def _r_mor_compacted(spark, sf_dir):
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("mor_compacted", sf_dir),
+                            table_type="MERGE_ON_READ")
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)
+        t.upsert(li.filter("l_linenumber = 1")
+                   .withColumn("l_quantity", F.col("l_quantity") + 1000.0))
+        t.run_compaction()
+        return {"t": t}
+    return _recipe("mor_compacted", sf_dir, build)
+
+
+def _r_orders_merge(spark, sf_dir):
+    """MERGE INTO orders: matched & status 'F' → delete; matched else →
+    totalprice*2; not matched (shifted keys +10M, price>150k) → insert."""
+    def build():
+        t = _orders_table(spark, sf_dir, _new_path("orders_merge", sf_dir))
+        o = _load(spark, sf_dir, "orders")
+        t.upsert(o)
+        src = (o.filter("o_orderkey % 2 = 0")
+               .unionByName(o.filter("o_orderkey % 2 = 1")
+                            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)))
+        t.merge(src, on="t.o_orderkey = s.o_orderkey",
+                when_matched=[
+                    ("t.o_orderstatus = 'F'", "__DELETE__"),
+                    (None, {"o_totalprice": "t.o_totalprice * 2"}),
+                ],
+                when_not_matched=[("s.o_totalprice > 150000", None)])
+        return {"t": t}
+    return _recipe("orders_merge", sf_dir, build)
+
+
+def _r_orders_dml(spark, sf_dir):
+    """UPDATE ... WHERE + DELETE ... WHERE on orders."""
+    def build():
+        t = _orders_table(spark, sf_dir, _new_path("orders_dml", sf_dir))
+        t.upsert(_load(spark, sf_dir, "orders"))
+        t.update({"o_orderpriority": "'0-RUSH'"}, where="o_totalprice > 250000")
+        t.delete_where("o_orderstatus = 'O' and o_totalprice < 50000")
+        return {"t": t}
+    return _recipe("orders_dml", sf_dir, build)
+
+
+def _r_orders_overwrite(spark, sf_dir):
+    """insert_overwrite of the earliest year partition with capped prices;
+    then delete_partitions of the latest year."""
+    def build():
+        t = _orders_table(spark, sf_dir, _new_path("orders_ow", sf_dir))
+        o = _load(spark, sf_dir, "orders")
+        t.upsert(o)
+        years = [r[0] for r in o.select(
+            F.date_format("o_orderdate", "yyyy").alias("y")).distinct()
+            .orderBy("y").collect()]
+        first, last = years[0], years[-1]
+        repl = (o.filter(F.date_format("o_orderdate", "yyyy") == first)
+                .withColumn("o_totalprice", F.lit(1.0)))
+        t.insert_overwrite(repl)
+        t.delete_partitions([last])
+        return {"t": t, "first": first, "last": last}
+    return _recipe("orders_ow", sf_dir, build)
+
+
+def _r_events_sink(spark, sf_dir):
+    """Streaming sink: 4 micro-batches of events keyed by event_id."""
+    def build():
+        from incubator_hudi_spark import HudiTable
+        from incubator_hudi_spark.streaming.sink import HudiStreamingSink
+        t = HudiTable.create(
+            spark, _new_path("events_sink", sf_dir), name="events",
+            recordkey_fields=["event_id"],
+            partition_expr="date_format(ts,'yyyy-MM-dd')",
+            precombine_field="ts")
+        ev = _load(spark, sf_dir, "events")
+        sink = HudiStreamingSink(t, query_id="entry")
+        instants = [sink(ev.filter(f"event_id % 4 = {i}"), i) for i in range(4)]
+        return {"t": t, "instants": instants}
+    return _recipe("events_sink", sf_dir, build)
+
+
+def _r_rollback(spark, sf_dir):
+    """upsert(lineitem); poison batch; rollback → original state."""
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("rollback", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)
+        bad = t.upsert(li.limit(500).withColumn("l_quantity", F.lit(-1e9)))
+        t.rollback(bad)
+        return {"t": t}
+    return _recipe("rollback", sf_dir, build)
+
+
+def _r_restore(spark, sf_dir):
+    """savepoint after ingest; two destructive commits; restore."""
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("restore", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)
+        sp = t.savepoint()
+        t.delete(li.filter("l_returnflag = 'R'"))
+        t.upsert(li.limit(100).withColumn("l_extendedprice", F.lit(0.0)))
+        t.restore(sp)
+        return {"t": t}
+    return _recipe("restore", sf_dir, build)
+
+
+def _r_maintenance(spark, sf_dir):
+    """clustering + cleaning + archival leave the snapshot untouched."""
+    def build():
+        from incubator_hudi_spark import WriteConfig
+        t = _lineitem_table(spark, sf_dir, _new_path("maint", sf_dir),
+                            clean_retain_commits=1)
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li.filter("l_orderkey % 3 = 0"))
+        t.upsert(li.filter("l_orderkey % 3 = 1"))
+        t.upsert(li.filter("l_orderkey % 3 = 2"))
+        t.cluster(sort_columns=["l_orderkey"])
+        t.clean()
+        t.archive()
+        return {"t": t}
+    return _recipe("maint", sf_dir, build)
+
+
+def _r_evolution(spark, sf_dir):
+    """schema evolution: second batch adds l_flag column."""
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("evolution", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li.filter("l_linenumber <= 3"))
+        t.upsert(li.filter("l_linenumber > 3").withColumn("l_flag", F.lit("new")))
+        return {"t": t}
+    return _recipe("evolution", sf_dir, build)
+
+
+def _r_bootstrap(spark, sf_dir):
+    def build():
+        from incubator_hudi_spark import HudiTable
+        t = HudiTable.create(spark, _new_path("bootstrap", sf_dir), name="part",
+                             recordkey_fields=["p_partkey"],
+                             partition_expr=None, precombine_field="p_partkey")
+        t.bootstrap(os.path.join(sf_dir, "part.parquet"))
+        return {"t": t}
+    return _recipe("bootstrap", sf_dir, build)
+
+
+# ---------------------------------------------------------------------------
+# the flagship entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ingest sf0.001 lineitem (upsert), apply an update batch, and
+    run a TPC-H-Q1-style aggregation on the snapshot."""
+    sf_dir = "/root/testdata/sf0.001"
+    r = _r_cow_upserted(spark, sf_dir)
+    snap = r["t"].read()
+    return (snap.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---- write path + snapshot reads -----------------------------------------
+
+@q("bulk_insert_roundtrip", f"""
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '{_TS_FMT_DUCK}') AS ship_ts,
+       l_quantity, l_extendedprice, l_returnflag, l_linestatus
+FROM lineitem
+""")
+def bulk_insert_roundtrip(spark, sf_dir):
+    """bulk_insert preserves every input row (no dedup, reference semantics)."""
+    t = _r_bulk(spark, sf_dir)["t"]
+    return t.read().select(
+        "l_orderkey", "l_linenumber",
+        F.date_format("l_shipdate", _TS_FMT_SPARK).alias("ship_ts"),
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+
+
+@q("cow_upsert_snapshot", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '{_TS_FMT_DUCK}') AS ship_ts,
+       CASE WHEN l_linenumber = 1 THEN l_quantity + 1000.0 ELSE l_quantity END AS l_quantity,
+       l_extendedprice, l_returnflag
+FROM li_d
+""")
+def cow_upsert_snapshot(spark, sf_dir):
+    """upsert ingest + update batch → merged snapshot (full rows)."""
+    t = _r_cow_upserted(spark, sf_dir)["t"]
+    return t.read().select(
+        "l_orderkey", "l_linenumber",
+        F.date_format("l_shipdate", _TS_FMT_SPARK).alias("ship_ts"),
+        "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+@q("cow_snapshot_agg_q1", f"""
+WITH {_LI_DEDUP},
+state AS (
+  SELECT l_returnflag, l_linestatus,
+         CASE WHEN l_linenumber = 1 THEN l_quantity + 1000.0 ELSE l_quantity END AS qty,
+         l_extendedprice, l_discount
+  FROM li_d)
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(qty AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+       count(*) AS count_order
+FROM state GROUP BY l_returnflag, l_linestatus
+""")
+def cow_snapshot_agg_q1(spark, sf_dir):
+    """TPC-H-Q1-style aggregation over the merged snapshot."""
+    t = _r_cow_upserted(spark, sf_dir)["t"]
+    return (t.read().groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                       * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")).alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@q("cow_incremental_pull", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '{_TS_FMT_DUCK}') AS ship_ts,
+       l_quantity + 1000.0 AS l_quantity
+FROM li_d WHERE l_linenumber = 1
+""")
+def cow_incremental_pull(spark, sf_dir):
+    """incremental (c1, c2] returns exactly the updated records."""
+    from incubator_hudi_spark import QUERY_INCREMENTAL
+    r = _r_cow_upserted(spark, sf_dir)
+    inc = r["t"].read(QUERY_INCREMENTAL, begin=r["c1"], end=r["c2"])
+    return inc.select("l_orderkey", "l_linenumber",
+                      F.date_format("l_shipdate", _TS_FMT_SPARK).alias("ship_ts"),
+                      "l_quantity")
+
+
+@q("cow_point_in_time", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '{_TS_FMT_DUCK}') AS ship_ts, l_quantity
+FROM li_d
+""")
+def cow_point_in_time(spark, sf_dir):
+    """time travel to c1 reproduces the pre-update state."""
+    r = _r_cow_upserted(spark, sf_dir)
+    return r["t"].read(as_of=r["c1"]).select(
+        "l_orderkey", "l_linenumber",
+        F.date_format("l_shipdate", _TS_FMT_SPARK).alias("ship_ts"), "l_quantity")
+
+
+@q("cow_delete", f"""
+WITH {_LI_DEDUP},
+victims AS (
+  SELECT DISTINCT l_orderkey, l_linenumber, strftime(l_shipdate,'%Y-%m') AS m
+  FROM lineitem WHERE l_returnflag = 'R')
+SELECT d.l_returnflag, d.l_linestatus, count(*) AS n,
+       sum(CAST(d.l_quantity AS DECIMAL(18,2))) AS sum_qty
+FROM li_d d
+LEFT JOIN victims v
+  ON d.l_orderkey = v.l_orderkey AND d.l_linenumber = v.l_linenumber
+ AND strftime(d.l_shipdate,'%Y-%m') = v.m
+WHERE v.l_orderkey IS NULL
+GROUP BY d.l_returnflag, d.l_linestatus
+""")
+def cow_delete(spark, sf_dir):
+    """hard delete by key: records with an 'R' twin are gone."""
+    t = _r_cow_deleted(spark, sf_dir)["t"]
+    return (t.read().groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty")))
+
+
+@q("filter_exists", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey % 2 = 1
+""")
+def filter_exists(spark, sf_dir):
+    """anti-join: rows whose key is not yet in the table."""
+    from incubator_hudi_spark import HudiTable
+
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("fexists", sf_dir))
+        t.upsert(_load(spark, sf_dir, "lineitem").filter("l_orderkey % 2 = 0"))
+        return {"t": t}
+    t = _recipe("fexists", sf_dir, build)["t"]
+    fresh = t.filter_exists(_load(spark, sf_dir, "lineitem"))
+    return fresh.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@q("keygen_complex", """
+SELECT 'l_orderkey:' || CAST(l_orderkey AS VARCHAR) || ',l_linenumber:' ||
+       CAST(l_linenumber AS VARCHAR) AS record_key,
+       strftime(l_shipdate, '%Y-%m') AS partition_path,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2
+""")
+def keygen_complex(spark, sf_dir):
+    """ComplexKeyGenerator + timestamp partition-path expressions."""
+    t = _r_bulk(spark, sf_dir)["t"]
+    return (t.read().groupBy(
+        F.col("_hoodie_record_key").alias("record_key"),
+        F.col("_hoodie_partition_path").alias("partition_path"))
+        .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---- MOR -------------------------------------------------------------------
+
+@q("mor_snapshot", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber = 1 THEN l_quantity + 1000.0 ELSE l_quantity END AS l_quantity,
+       l_returnflag
+FROM li_d
+""")
+def mor_snapshot(spark, sf_dir):
+    """MOR snapshot merges base + delta logs on the fly."""
+    t = _r_mor(spark, sf_dir)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@q("mor_read_optimized", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM li_d
+""")
+def mor_read_optimized(spark, sf_dir):
+    """read-optimized sees only base files → the pre-update state."""
+    from incubator_hudi_spark import QUERY_READ_OPTIMIZED
+    t = _r_mor(spark, sf_dir)["t"]
+    return t.read(QUERY_READ_OPTIMIZED).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@q("mor_incremental", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber, l_quantity + 1000.0 AS l_quantity
+FROM li_d WHERE l_linenumber = 1
+""")
+def mor_incremental(spark, sf_dir):
+    from incubator_hudi_spark import QUERY_INCREMENTAL
+    r = _r_mor(spark, sf_dir)
+    return r["t"].read(QUERY_INCREMENTAL, begin=r["c1"], end=r["c2"]) \
+                 .select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@q("mor_compaction", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber = 1 THEN l_quantity + 1000.0 ELSE l_quantity END AS l_quantity,
+       l_returnflag
+FROM li_d
+""")
+def mor_compaction(spark, sf_dir):
+    """after compaction the snapshot is unchanged and logs are gone."""
+    t = _r_mor_compacted(spark, sf_dir)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# ---- replacecommit family ---------------------------------------------------
+
+@q("insert_overwrite_and_drop_partition", """
+WITH years AS (
+  SELECT min(strftime(o_orderdate,'%Y')) AS first, max(strftime(o_orderdate,'%Y')) AS last
+  FROM orders),
+state AS (
+  SELECT o_orderkey, strftime(o_orderdate,'%Y') AS y,
+         CASE WHEN strftime(o_orderdate,'%Y') = (SELECT first FROM years)
+              THEN 1.0 ELSE o_totalprice END AS price
+  FROM orders
+  WHERE strftime(o_orderdate,'%Y') != (SELECT last FROM years))
+SELECT y, count(*) AS n, sum(CAST(price AS DECIMAL(18,2))) AS sum_price
+FROM state GROUP BY y
+""")
+def insert_overwrite_and_drop_partition(spark, sf_dir):
+    t = _r_orders_overwrite(spark, sf_dir)["t"]
+    return (t.read().groupBy(F.col("_hoodie_partition_path").alias("y"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price")))
+
+
+# ---- DML ---------------------------------------------------------------------
+
+@q("merge_into", """
+WITH matched AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS price
+  FROM orders
+  WHERE NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'F')),
+inserted AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice > 150000)
+SELECT o_orderkey, o_orderstatus, price FROM matched
+UNION ALL
+SELECT o_orderkey, o_orderstatus, price FROM inserted
+""")
+def merge_into(spark, sf_dir):
+    """MERGE with conditional delete, update, and filtered insert."""
+    t = _r_orders_merge(spark, sf_dir)["t"]
+    return t.read().select("o_orderkey", "o_orderstatus",
+                           F.col("o_totalprice").alias("price"))
+
+
+@q("update_delete_where", """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 250000 THEN '0-RUSH' ELSE o_orderpriority END AS o_orderpriority,
+       o_totalprice
+FROM orders
+WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 50000)
+""")
+def update_delete_where(spark, sf_dir):
+    t = _r_orders_dml(spark, sf_dir)["t"]
+    return t.read().select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+# ---- streaming / ingest -------------------------------------------------------
+
+@q("streaming_sink_events", f"""
+SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS ts_s,
+       user_id, event_type, value
+FROM events
+""")
+def streaming_sink_events(spark, sf_dir):
+    """4 exactly-once micro-batches reassemble the full events table."""
+    t = _r_events_sink(spark, sf_dir)["t"]
+    return t.read().select(
+        "event_id", F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "user_id", "event_type", "value")
+
+
+@q("streaming_incremental_batch", """
+SELECT event_id, user_id, value FROM events WHERE event_id % 4 = 3
+""")
+def streaming_incremental_batch(spark, sf_dir):
+    """incremental pull between the 3rd and 4th micro-batch commits."""
+    from incubator_hudi_spark import QUERY_INCREMENTAL
+    r = _r_events_sink(spark, sf_dir)
+    inc = r["t"].read(QUERY_INCREMENTAL, begin=r["instants"][2],
+                      end=r["instants"][3])
+    return inc.select("event_id", "user_id", "value")
+
+
+# ---- services -----------------------------------------------------------------
+
+@q("rollback", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM li_d
+""")
+def rollback(spark, sf_dir):
+    """rollback of the poison commit restores the prior snapshot."""
+    t = _r_rollback(spark, sf_dir)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity",
+                           "l_extendedprice")
+
+
+@q("savepoint_restore", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag FROM li_d
+""")
+def savepoint_restore(spark, sf_dir):
+    t = _r_restore(spark, sf_dir)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity",
+                           "l_extendedprice", "l_returnflag")
+
+
+@q("clustering_cleaning_archival", f"""
+WITH {_LI_DEDUP}
+SELECT l_returnflag, count(*) AS n,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+FROM li_d GROUP BY l_returnflag
+""")
+def clustering_cleaning_archival(spark, sf_dir):
+    """layout + retention services leave the logical table untouched.  The
+    three upserts cover disjoint orderkey thirds, so per-batch (key, month)
+    dedup equals the global li_d dedup."""
+    t = _r_maintenance(spark, sf_dir)["t"]
+    return (t.read().groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty")))
+
+
+@q("schema_evolution", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CASE WHEN l_linenumber > 3 THEN 'new' ELSE NULL END AS l_flag
+FROM li_d
+""")
+def schema_evolution(spark, sf_dir):
+    """second commit adds a column; old rows read as NULL."""
+    t = _r_evolution(spark, sf_dir)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity", "l_flag")
+
+
+@q("bootstrap_full_record", """
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part
+""")
+def bootstrap_full_record(spark, sf_dir):
+    """FULL_RECORD bootstrap adopts an existing parquet dataset."""
+    t = _r_bootstrap(spark, sf_dir)["t"]
+    return t.read().select("p_partkey", "p_name", "p_brand", "p_type",
+                           "p_size", "p_retailprice")
+
+
+# ---------------------------------------------------------------------------
+# data-pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+@q("dedup_exact", """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+hashed AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM docs)
+SELECT content_hash, count(*) AS group_size, min(doc_id) AS keep_id
+FROM hashed GROUP BY content_hash HAVING count(*) > 1
+""")
+def dedup_exact(spark, sf_dir):
+    """exact dedup groups over documents with 20 planted dups."""
+    from incubator_hudi_spark.operators import dedup as D
+    docs = _load(spark, sf_dir, "documents")
+    with_dups = docs.unionByName(
+        docs.filter("doc_id < 20").withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return (D.exact_duplicates(with_dups)
+            .select("content_hash", "group_size", "keep_id"))
+
+
+@q("ngram_jaccard", """
+WITH base AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 150),
+docs AS (
+  SELECT doc_id, lang, lower(trim(text)) AS t FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, lang, lower(trim(text || ' zq xw vk')) FROM base
+  WHERE doc_id < 30),
+sh AS (
+  SELECT doc_id, lang, list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(t,'\\s+')) - 2, 1) + 1),
+    i -> array_to_string(string_split_regex(t,'\\s+')[i:i+2], ' '))) AS grams
+  FROM docs)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5
+""")
+def ngram_jaccard(spark, sf_dir):
+    """exact 3-gram Jaccard pairs blocked by language, with 30 planted
+    near-dups so the check is non-vacuous at every scale factor."""
+    from incubator_hudi_spark.operators import dedup as D
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 150")
+    near = (docs.filter("doc_id < 30")
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zq xw vk"))))
+    return D.ngram_jaccard_pairs(docs.unionByName(near),
+                                 block_col="lang", n=3, threshold=0.5)
+
+
+@q("text_token_counts", """
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       length(text) AS n_chars
+FROM documents
+""")
+def text_token_counts(spark, sf_dir):
+    from incubator_hudi_spark.operators import text as T
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count_whitespace(F.col("text")).alias("n_tokens_ws"),
+        T.token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars"))
+
+
+@q("text_quality", """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9_\\s]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS digit_ratio
+FROM documents
+""")
+def text_quality(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    return docs.select(
+        "doc_id", n_chars.alias("n_chars"),
+        F.size(F.split(F.lower(F.trim(t)), r"\s+")).alias("n_tokens"),
+        (F.regexp_count(t, F.lit(r"[^A-Za-z0-9_\s]")).cast("double")
+         / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (F.regexp_count(t, F.lit(r"[0-9]")).cast("double")
+         / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"))
+
+
+@q("lang_id_counts")
+def lang_id_counts(spark, sf_dir):
+    """language-ID heuristic vs the generator's label (rows-only check; the
+    argmax CASE chain is mirrorable but brittle across regex dialects)."""
+    from incubator_hudi_spark.operators import text as T
+    docs = _load(spark, sf_dir, "documents")
+    return (docs.withColumn("pred", T.detect_language(F.col("text")))
+            .groupBy("lang", "pred").count().orderBy("lang", "pred"))
+
+
+@q("ann_brute_force_topk", """
+WITH queries AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.q, e.embedding) AS cosine_sim
+  FROM embeddings e CROSS JOIN queries q),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine_sim, 6) DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+""")
+def ann_brute_force_topk(spark, sf_dir):
+    """exact cosine top-5 for 8 query vectors (similarity rounded before
+    ranking so float-order differences can't flip near-ties)."""
+    from incubator_hudi_spark.operators import similarity as S
+    from pyspark.sql.window import Window
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    scored = S.brute_force_topk(emb, queries, k=1_000_000_000)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine_sim", 6)), F.col("vec_id"))
+    return (scored.withColumn("rank2", F.row_number().over(w))
+            .filter("rank2 <= 5")
+            .select("query_id", "vec_id", F.col("rank2").alias("rank")))
+
+
+@q("minhash_lsh_pairs")
+def minhash_lsh_pairs_q(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (xxhash64-based — not SQL-expressible;
+    rows-only check; exactness is covered by ngram_jaccard)."""
+    from incubator_hudi_spark.operators import dedup as D
+    docs = _load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, k=16, bands=8, verify_threshold=0.7) \
+            .select("id_a", "id_b", "sig_similarity")
+
+
+@q("simhash_pairs")
+def simhash_pairs_q(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only check)."""
+    from incubator_hudi_spark.operators import dedup as D
+    docs = _load(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=3)
+
+
+@q("embedding_neardup_pairs")
+def embedding_neardup_pairs_q(spark, sf_dir):
+    """embedding-cosine near-dup pairs via LSH buckets (rows-only check)."""
+    from incubator_hudi_spark.operators import similarity as S
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(emb, threshold=0.98)
+
+
+@q("doc_fingerprint")
+def doc_fingerprint_q(spark, sf_dir):
+    """winnowing fingerprints (xxhash64 — rows-only check)."""
+    from incubator_hudi_spark.operators import text as T
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       T.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@q("multimodal_features")
+def multimodal_features_q(spark, sf_dir):
+    """binary media plumbing: synthesize → Arrow-batched feature extraction
+    (decode stubbed; rows-only check)."""
+    from incubator_hudi_spark.operators import multimodal as M
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 100")
+    media = M.synthesize_media_from_documents(docs)
+    return M.extract_features(media, decoder=M.fake_decoder) \
+            .select("media_id", "modality", "n_bytes", "width", "height", "n_frames")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -78,8 +78,19 @@ def precombine_dedup(df: DataFrame, tc: TableConfig,
     dedup by record key alone (a key is table-unique there)."""
     keys = [META_RECORD_KEY] if global_index else MERGE_KEY
     if tc.precombine_field and tc.precombine_field in df.columns:
+        # deterministic tie-break: equal precombine values fall back to every
+        # data column (alphabetical, desc, nulls last) so the survivor is a
+        # pure function of the data — reproducible across engines/runs
+        # (the reference's reduceByKey keeps an arbitrary twin instead)
+        unorderable = {f.name for f in df.schema.fields
+                       if f.dataType.typeName() in ("map",)}
+        tie_cols = sorted(c for c in df.columns
+                          if not c.startswith("_hoodie")
+                          and c != tc.precombine_field
+                          and c not in unorderable)
         w = Window.partitionBy(*keys).orderBy(
-            F.desc_nulls_last(tc.precombine_field))
+            F.desc_nulls_last(tc.precombine_field),
+            *[F.desc_nulls_last(c) for c in tie_cols])
         return (df.withColumn("_hoodie_rn", F.row_number().over(w))
                   .filter(F.col("_hoodie_rn") == 1).drop("_hoodie_rn"))
     return df.dropDuplicates(keys)
