@@ -1,0 +1,134 @@
+"""Headline benchmark: engine write/read/services + data-pipeline operators
+at $SPARK_GRAFT_SF_DIR (default sf0.1, ~600k lineitem rows) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder
+             .master(f"local[{CPUS}]")
+             .appName("incubator-hudi-spark-bench")
+             .config("spark.sql.shuffle.partitions", str(CPUS))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "16g")
+             .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from incubator_hudi_spark import (HudiTable, MERGE_ON_READ,
+                                      QUERY_INCREMENTAL, QUERY_READ_OPTIMIZED,
+                                      WriteConfig)
+    from incubator_hudi_spark.functions.io import load_table
+    from incubator_hudi_spark.operators import dedup, similarity, text
+
+    work = tempfile.mkdtemp(prefix="hudi_bench_")
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+        return _T()
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    li.persist().count()
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def make_table(name, table_type="COPY_ON_WRITE"):
+        return HudiTable.create(
+            spark, os.path.join(work, name), name=name,
+            recordkey_fields=["l_orderkey", "l_linenumber"],
+            partition_expr="date_format(l_shipdate,'yyyy-MM')",
+            precombine_field="l_shipdate", table_type=table_type)
+
+    # ---- COW write path -------------------------------------------------
+    t = make_table("cow")
+    with timed("bulk_insert"):
+        c0 = t.bulk_insert(li)
+
+    upd = (li.filter("l_orderkey % 100 = 7")
+           .withColumn("l_quantity", F.col("l_quantity") + 1.0))
+    upd.persist().count()
+    with timed("upsert_10x_1pct"):
+        for i in range(10):
+            last = t.upsert(upd.withColumn("l_extendedprice",
+                                           F.col("l_extendedprice") + i))
+    with timed("delete_batch"):
+        t.delete(li.filter("l_orderkey % 100 = 13"))
+
+    with timed("snapshot_agg"):
+        (t.read().groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+              F.count(F.lit(1))).collect())
+
+    with timed("incremental_pull"):
+        t.read(QUERY_INCREMENTAL, begin=c0, end=last).count()
+
+    # ---- MOR ------------------------------------------------------------
+    tm = make_table("mor", MERGE_ON_READ)
+    tm.cfg = tm.cfg.with_(inline_compaction=False)
+    with timed("mor_ingest_plus_3_deltas"):
+        tm.upsert(li)
+        for i in range(3):
+            tm.upsert(upd.withColumn("l_quantity", F.col("l_quantity") + i))
+    with timed("mor_snapshot_merge_read"):
+        tm.read().count()
+    with timed("mor_compaction"):
+        tm.run_compaction()
+    with timed("mor_read_after_compaction"):
+        tm.read().count()
+
+    # ---- data-pipeline operators -----------------------------------------
+    with timed("minhash_lsh_pairs"):
+        dedup.minhash_lsh_pairs(docs, k=16, bands=8, verify_threshold=0.7).count()
+    with timed("ann_brute_force_top10"):
+        q = emb.limit(16).select(F.col("vec_id").alias("query_id"), "embedding")
+        similarity.brute_force_topk(emb, q, k=10).count()
+    with timed("text_analyze"):
+        text.analyze(docs).select(
+            F.sum("n_tokens"),
+            F.sum(F.pmod(F.col("fingerprint"), F.lit(1000003)))).collect()
+
+    total = round(sum(timings.values()), 3)
+    li.unpersist()
+    upd.unpersist()
+    shutil.rmtree(work, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "engine_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,17 +64,39 @@ def word_shingles(text: Column, w: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """k-permutation MinHash as an array<long>: hash each shingle once per
-    salt and take the array minimum — pure JVM higher-order functions, no
-    overflow (xxhash64 is closed over longs), no UDF.
+    """k-permutation MinHash as an array<long>.
+
+    Two-phase for speed: hash every shingle ONCE (string → long), then derive
+    the k permutations by re-hashing the longs — so the expensive string pass
+    happens once, and the k transforms fold cheap fixed-width longs.  Pure JVM
+    higher-order functions, no overflow, no UDF.
 
     NB: pyspark HOF lambdas must be unary here — a captured default arg would
     change the inspected arity and bind the array *index* instead."""
-    def hasher(salt: str):
-        return lambda s: F.xxhash64(s, F.lit(salt))
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def rehash(salt: str):
+        return lambda h: F.xxhash64(h, F.lit(salt))
     return F.array(*[
-        F.array_min(F.transform(shingles, hasher(f"mh{i}")))
+        F.array_min(F.transform(base, rehash(f"mh{i}")))
         for i in range(k)])
+
+
+def minhash_signatures_df(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 16,
+                          shingle_w: int = 3) -> DataFrame:
+    """(id, mh0..mh{k-1}) via explode + groupBy with k ``min`` aggregates —
+    the 100 TB shape: whole-stage-codegen aggregates with map-side partial
+    combine (nested higher-order-function trees are interpreted and get
+    re-evaluated per permutation; this form hashes each shingle string once,
+    CSE'd across the k aggregates)."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(
+            word_shingles(F.col(text_col), shingle_w))).alias("_s"))
+    base = F.xxhash64(F.col("_s"))
+    return ex.groupBy("_id").agg(*[
+        F.min(F.xxhash64(base, F.lit(i))).alias(f"mh{i}") for i in range(k)])
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -83,37 +105,31 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       verify_threshold: float | None = 0.5) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    shingle → k minhashes → ``bands`` band-hashes → bucket self-join →
-    distinct candidate pairs → (optional) exact signature-similarity verify.
-    Scale: the self-join is per (band, band_hash) bucket; skewed buckets
-    (boilerplate shingles) are handled by AQE skew-join. Returns
-    (id_a, id_b, sig_similarity)."""
+    shingle → k minhashes → ``bands`` band-hashes → bucket self-join on slim
+    (id, band, hash) rows → distinct candidate pairs → signature-similarity
+    verify (sig join reuses the aggregate exchange).  Scale: the self-join is
+    per (band, band_hash) bucket; skewed buckets (boilerplate content) are
+    handled by AQE skew-join.  Returns (id_a, id_b, sig_similarity)."""
     r = k // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_w), k)
-    docs = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    banded = docs.select(
-        "_id", "_sig",
+    sigs = minhash_signatures_df(df, text_col, id_col, k, shingle_w)
+    banded = sigs.select(
+        "_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(",", *[
-                         F.element_at("_sig", b * r + j + 1).cast("string")
-                         for j in range(r)])).alias("bh"))
+                     F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)])
+                      .alias("bh"))
             for b in range(bands)])).alias("bk")
-    ).select("_id", "_sig", "bk.band", "bk.bh")
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"),
-                      "band", "bh")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"),
-                      "band", "bh")
-    pairs = (a.join(b, on=["band", "bh"])
-              .filter(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b", "sig_a", "sig_b")
-              .dropDuplicates(["id_a", "id_b"]))
-    pairs = pairs.withColumn(
-        "sig_similarity",
-        F.aggregate(F.zip_with("sig_a", "sig_b",
-                               lambda x, y: (x == y).cast("double")),
-                    F.lit(0.0), lambda acc, v: acc + v) / F.lit(float(k)))
-    out = pairs.select("id_a", "id_b", "sig_similarity")
+    ).select("_id", "bk.band", "bk.bh")
+    cand = (banded.alias("a")
+            .join(banded.alias("b"), on=["band", "bh"])
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    sim = sum(F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+              for i in range(k)) / F.lit(float(k))
+    out = (cand.join(sigs.alias("a"), cand["id_a"] == F.col("a._id"))
+               .join(sigs.alias("b"), cand["id_b"] == F.col("b._id"))
+               .select("id_a", "id_b", sim.alias("sig_similarity")))
     if verify_threshold is not None:
         out = out.filter(F.col("sig_similarity") >= verify_threshold)
     return out
@@ -136,9 +152,31 @@ def dedup_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # simhash
 # ---------------------------------------------------------------------------
 
+def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               bits: int = 64) -> DataFrame:
+    """(id, simhash) via explode + groupBy: per token one xxhash64, per bit a
+    signed-majority ``sum`` aggregate (codegen + map-side combine — the same
+    scale argument as minhash_signatures_df)."""
+    ex = df.select(F.col(id_col).alias("_id"),
+                   F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                     r"\s+")).alias("_t"))
+    h = F.xxhash64(F.col("_t"))
+    votes = []
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        votes.append(F.sum(
+            F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1))
+            .alias(f"v{b}"))
+    agg = ex.groupBy("_id").agg(*votes)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        bitval = (1 << b) if b < 63 else -(1 << 63)
+        out = out + F.when(F.col(f"v{b}") > 0, F.lit(bitval)).otherwise(F.lit(0))
+    return agg.select("_id", out.alias("_sh"))
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens, fully vectorized: per token one
-    xxhash64; per bit a signed majority vote folded with ``aggregate``."""
+    """Column-form SimHash (HOF fold) — use simhash_df for bulk scoring."""
     tokens = F.split(F.lower(F.trim(text)), r"\s+")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
 
@@ -160,8 +198,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Near-dup pairs by SimHash: candidates must share one of 4 16-bit chunks
     (pigeonhole: hamming ≤ 3 ⇒ some chunk is identical), verified by exact
     hamming distance (bit_count of xor)."""
-    docs = df.select(F.col(id_col).alias("_id"),
-                     simhash(F.col(text_col)).alias("_sh"))
+    docs = simhash_df(df, text_col, id_col)
     chunked = docs.select(
         "_id", "_sh",
         F.explode(F.array(*[

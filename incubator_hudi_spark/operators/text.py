@@ -90,14 +90,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                         * F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))))
 
 
-def doc_fingerprint(text: Column, w: int = 8) -> Column:
-    """Winnowing-style rolling-hash fingerprint: min xxhash64 over w-gram
-    character windows — a single long per doc, stable under small appends."""
-    chars = F.split(F.lower(F.regexp_replace(text, r"\s+", " ")), "")
-    n = F.greatest(F.size(chars) - F.lit(w - 1), F.lit(1))
-    grams = F.transform(F.sequence(F.lit(0), n - 1),
-                        lambda i: F.concat_ws("", F.slice(chars, i + 1, w)))
-    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+def doc_fingerprint(text: Column, w: int = 8, stride: int = 1) -> Column:
+    """Winnowing-style rolling-hash fingerprint: min xxhash64 over w-char
+    windows — a single long per doc, stable under small appends.  Uses
+    ``substr`` over the raw string (no char-array materialization)."""
+    n = F.greatest(F.length(text) - F.lit(w - 1), F.lit(1))
+    return F.array_min(F.transform(
+        F.sequence(F.lit(1), n, F.lit(stride)),
+        lambda i: F.xxhash64(F.lower(text.substr(i, F.lit(w))))))
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:

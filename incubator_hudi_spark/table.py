@@ -280,6 +280,7 @@ class HudiTable:
         # validate evolution on the raw batch BEFORE any union coerces types
         self._commit_schema(prepared)
         prepared = prepared.persist()
+        tagged = None
         try:
             view = self.view()
             # workload profile (BaseSparkCommitActionExecutor.java:122-127) +
@@ -318,6 +319,8 @@ class HudiTable:
             self._complete(instant, operation, stats, schema)
         finally:
             prepared.unpersist()
+            if tagged is not None:
+                tagged.unpersist()
         self._post_commit()
         return instant.time
 
