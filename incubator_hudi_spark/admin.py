@@ -1,0 +1,109 @@
+"""Admin surface: timeline / file-system-view / stats as DataFrames.
+
+Reference: hudi-cli (22 command classes under hudi-cli/.../commands/ —
+CommitsCommand, FileSystemViewCommand, StatsCommand write-amplification,
+CompactionCommand, SavepointsCommand, …) driven through SparkMain.java:74-77.
+Ours returns DataFrames so the "CLI" is any Spark shell or notebook.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from . import timeline as tl
+
+
+def commits_df(table) -> DataFrame:
+    """CommitsCommand: one row per completed data instant."""
+    rows = []
+    for ins in table.timeline.completed(tl.DATA_ACTIONS):
+        md = table.timeline.read_metadata(ins)
+        rows.append((ins.time, ins.action, md.get("operation"),
+                     md.get("num_records_written", 0),
+                     md.get("total_bytes_written", 0),
+                     len(md.get("write_stats", [])),
+                     len(md.get("replaced_file_groups", []))))
+    return table.spark.createDataFrame(
+        rows, "instant string, action string, operation string, "
+              "records_written long, bytes_written long, files_written int, "
+              "file_groups_replaced int")
+
+
+def timeline_df(table, include_archived: bool = False) -> DataFrame:
+    insts = table.timeline.instants()
+    if include_archived:
+        insts += table.timeline.archived_instants()
+    return table.spark.createDataFrame(
+        [(i.time, i.action, i.state) for i in insts],
+        "instant string, action string, state string")
+
+
+def files_df(table, as_of: str | None = None) -> DataFrame:
+    """FileSystemViewCommand: latest live file slices."""
+    rows = []
+    for sl in table.view(as_of).latest_slices():
+        for f in sl.base_files:
+            rows.append((sl.partition, sl.file_group, sl.base_instant,
+                         "base", f.path, f.size, f.num_records,
+                         f.min_key, f.max_key))
+        for l in sl.log_files:
+            rows.append((sl.partition, sl.file_group, sl.base_instant,
+                         "log", l.path, l.size, l.num_records, None, None))
+    return table.spark.createDataFrame(
+        rows, "partition string, file_group string, base_instant string, "
+              "kind string, path string, size long, num_records long, "
+              "min_key string, max_key string")
+
+
+def partitions_df(table) -> DataFrame:
+    return table.spark.createDataFrame(
+        [(p,) for p in table.view().partitions()], "partition string")
+
+
+def stats_df(table) -> DataFrame:
+    """StatsCommand: per-commit write amplification = bytes written per
+    upsert relative to the logical record volume."""
+    rows = []
+    total_records = 0
+    for ins in table.timeline.completed(tl.DATA_ACTIONS):
+        md = table.timeline.read_metadata(ins)
+        written = md.get("num_records_written", 0)
+        bytes_w = md.get("total_bytes_written", 0)
+        total_records = max(total_records, written)
+        amp = (written / md["extra"]["input_records"]
+               if md.get("extra", {}).get("input_records") else None)
+        rows.append((ins.time, md.get("operation"), written, bytes_w, amp))
+    return table.spark.createDataFrame(
+        rows, "instant string, operation string, records_written long, "
+              "bytes_written long, write_amplification double")
+
+
+def pending_compactions_df(table) -> DataFrame:
+    rows = []
+    for p in table.timeline.pending():
+        if p.action == tl.COMPACTION:
+            md = table.timeline.read_metadata(p)
+            for op in md.get("operations", []):
+                rows.append((p.time, op["partition"], op["file_group"],
+                             op.get("base_instant")))
+    return table.spark.createDataFrame(
+        rows, "instant string, partition string, file_group string, "
+              "base_instant string")
+
+
+def savepoints_df(table) -> DataFrame:
+    rows = []
+    for ins in table.timeline.completed([tl.SAVEPOINT]):
+        md = table.timeline.read_metadata(ins)
+        rows.append((ins.time, md.get("savepoint_at", ins.time)))
+    return table.spark.createDataFrame(rows, "instant string, savepoint_at string")
+
+
+def upgrade_table(table, to_version: int = 1) -> int:
+    """Upgrade/downgrade hook (hudi-client/.../table/upgrade/): our layout has
+    a single version so far; bumps the persisted version field."""
+    tc = table.tc
+    if tc.version != to_version:
+        from dataclasses import replace
+        table.meta.update_config(replace(tc, version=to_version))
+    return to_version

@@ -51,6 +51,9 @@ class HudiTable:
         self.spark = spark
         self.meta = TableMetaClient(base_path)
         self.cfg = write_config or WriteConfig()
+        # OCC pre-commit guard (concurrency.OccWriter installs a context
+        # manager factory: _pre_commit_hook(instant_time, touched_fgs))
+        self._pre_commit_hook = None
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -168,7 +171,18 @@ class HudiTable:
             "total_bytes_written": sum(s.size for s in stats),
             "extra": extra or {},
         }
-        return self.timeline.transition_to_completed(instant, md, completed_action)
+        if self._pre_commit_hook is not None:
+            touched = {(s.partition, s.file_group) for s in stats}
+            touched |= {tuple(x) for x in (replaced or [])}
+            with self._pre_commit_hook(instant.time, touched):
+                done = self.timeline.transition_to_completed(instant, md,
+                                                             completed_action)
+        else:
+            done = self.timeline.transition_to_completed(instant, md,
+                                                         completed_action)
+        for cb in getattr(self, "_commit_callbacks", []):
+            cb(done.time, md)  # HoodieWriteCommitCallback equivalent
+        return done
 
     # ------------------------------------------------------------------
     # write preparation

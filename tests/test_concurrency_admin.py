@@ -1,0 +1,124 @@
+"""OCC, commit callbacks, admin DataFrames, DEFAULT-payload ordering guard,
+and global-index semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_hudi_spark import (HudiTable, PAYLOAD_DEFAULT, WriteConfig)
+from incubator_hudi_spark.concurrency import ConcurrentWriteConflict, OccWriter
+from incubator_hudi_spark import admin
+
+
+def make_orders(spark, path, **kw):
+    return HudiTable.create(
+        spark, path, name="orders", recordkey_fields=["o_orderkey"],
+        partition_expr="date_format(o_orderdate,'yyyy')",
+        precombine_field="o_orderdate", **kw)
+
+
+def test_occ_conflict_detection(spark, tmp_table_path, orders):
+    t = make_orders(spark, tmp_table_path)
+    t.upsert(orders)
+    # writer B lands a commit touching the same file groups mid-scope
+    writer_b = HudiTable.load(spark, tmp_table_path)
+    with OccWriter(t):
+        writer_b.upsert(orders.limit(200).withColumn("o_totalprice", F.lit(2.0)))
+        with pytest.raises(ConcurrentWriteConflict):
+            t.upsert(orders.limit(100).withColumn("o_totalprice", F.lit(3.0)))
+    # loser's instant stayed pending and is reclaimed on open
+    assert len(t.timeline.pending()) == 1
+    HudiTable.load(spark, tmp_table_path)._recover_dangling()
+    assert t.timeline.pending() == []
+    # winner's data survived, loser's never became visible
+    snap = t.read()
+    assert snap.filter("o_totalprice = 2.0").count() == 200
+    assert snap.filter("o_totalprice = 3.0").count() == 0
+
+
+def test_occ_disjoint_writes_both_commit(spark, tmp_table_path, orders):
+    t = make_orders(spark, tmp_table_path)
+    t.upsert(orders)
+    parts = sorted(t.view().partitions())
+    a = orders.filter(F.date_format("o_orderdate", "yyyy") == parts[0]) \
+              .withColumn("o_totalprice", F.lit(5.0))
+    writer_b = HudiTable.load(spark, tmp_table_path)
+    with OccWriter(t):
+        writer_b.delete_partitions([parts[-1]])
+        t.upsert(a)  # different file groups → no conflict
+    snap = t.read()
+    assert snap.filter("o_totalprice = 5.0").count() > 0
+    assert snap.filter(F.col("_hoodie_partition_path") == parts[-1]).count() == 0
+
+
+def test_commit_callback(spark, tmp_table_path, orders):
+    t = make_orders(spark, tmp_table_path)
+    seen = []
+    t._commit_callbacks = [lambda instant, md: seen.append((instant, md["operation"]))]
+    t.upsert(orders.limit(10))
+    assert len(seen) == 1 and seen[0][1] == "upsert"
+
+
+def test_default_payload_ordering_guard(spark, tmp_table_path, orders):
+    """DefaultHoodieRecordPayload: a late-arriving update with a LOWER
+    precombine value must not overwrite the stored row."""
+    t = make_orders(spark, tmp_table_path, payload=PAYLOAD_DEFAULT)
+    t.upsert(orders)
+    late = (orders.limit(50)
+            .withColumn("o_orderdate", F.col("o_orderdate") - F.expr("interval 30 days"))
+            .withColumn("o_totalprice", F.lit(-1.0)))
+    t.upsert(late)
+    snap = t.read()
+    # same-partition late rows lost; month shift may cross year → new record
+    stale = snap.filter("o_totalprice = -1.0")
+    late_keys = [r[0] for r in late.select("o_orderkey").collect()]
+    crossed = (late.select("o_orderkey",
+                           F.date_format("o_orderdate", "yyyy").alias("y"))
+               .join(orders.select("o_orderkey",
+                                   F.date_format("o_orderdate", "yyyy").alias("y0")),
+                     on="o_orderkey")
+               .filter("y != y0").count())
+    assert stale.count() == crossed
+    # and a NEWER precombine still wins
+    fresh = (orders.limit(50)
+             .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("interval 1 hour"))
+             .withColumn("o_totalprice", F.lit(77.0)))
+    t.upsert(fresh)
+    assert t.read().filter("o_totalprice = 77.0").count() >= 50 - crossed
+
+
+def test_global_index_update_routes_to_existing_partition(spark, tmp_table_path, orders):
+    t = make_orders(spark, tmp_table_path,
+                    write_config=WriteConfig(index_type="GLOBAL_SIMPLE"))
+    t.upsert(orders)
+    n = t.read().count()
+    # update with a shifted orderdate (different year partition): global index
+    # must route it to the record's existing partition, not create a twin
+    upd = (orders.limit(100)
+           .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("interval 400 days"))
+           .withColumn("o_totalprice", F.lit(9.0)))
+    t.upsert(upd)
+    snap = t.read()
+    assert snap.count() == n  # no duplicates across partitions
+    moved = snap.filter("o_totalprice = 9.0")
+    assert moved.count() == 100
+    # partition path unchanged (update_partition_path=false semantics)
+    orig = orders.limit(100).select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy").alias("y"))
+    got = moved.select("o_orderkey", F.col("_hoodie_partition_path").alias("y2"))
+    assert got.join(orig, on="o_orderkey").filter("y != y2").count() == 0
+
+
+def test_admin_dataframes(spark, tmp_table_path, orders):
+    t = make_orders(spark, tmp_table_path)
+    t.upsert(orders)
+    t.upsert(orders.limit(100).withColumn("o_totalprice", F.lit(1.0)))
+    t.savepoint()
+    assert admin.commits_df(t).count() == 2
+    assert admin.timeline_df(t).filter("state = 'completed'").count() >= 3
+    files = admin.files_df(t)
+    assert files.filter("kind = 'base'").count() > 0
+    assert admin.partitions_df(t).count() == len(t.view().partitions())
+    assert admin.savepoints_df(t).count() == 1
+    assert admin.pending_compactions_df(t).count() == 0
+    assert admin.upgrade_table(t, 2) == 2
+    assert t.tc.version == 2
