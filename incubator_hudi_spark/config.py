@@ -136,6 +136,9 @@ class WriteConfig:
     # None → one task per planned bucket (file-group), the natural Spark choice.
     write_parallelism: Optional[int] = None
     parquet_compression: str = "snappy"                 # ref default gzip; snappy/zstd is the Spark norm
+    # batches up to this many rows broadcast their key set to prune the index
+    # scan (indexing.tag_locations) instead of shuffling/building it
+    index_broadcast_max_rows: int = 1_000_000
 
     def with_(self, **kw) -> "WriteConfig":
         return replace(self, **kw)

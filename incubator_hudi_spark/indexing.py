@@ -96,19 +96,33 @@ def load_key_index(spark: SparkSession, meta: TableMetaClient, view: FileSystemV
 
 def tag_locations(incoming: DataFrame, index_df: DataFrame, index_type: str,
                   key_col: str = META_RECORD_KEY,
-                  partition_col: str = META_PARTITION_PATH) -> DataFrame:
+                  partition_col: str = META_PARTITION_PATH,
+                  broadcast_incoming: bool = False) -> DataFrame:
     """Attach (fg, current partition) to incoming rows; null fg → insert.
 
     Non-global: key unique within partition → join on (key, partition).
     Global: key unique table-wide → join on key only; an update whose
     incoming partition differs is routed to its *existing* partition
     (update-partition-path=false default, SparkHoodieGlobalBloomIndex.java:143).
+
+    ``broadcast_incoming`` (batch ≪ table, the common upsert shape): never
+    build a hash table from the big index side — broadcast the batch's key set
+    to semi-join-prune the streamed index scan down to the matched locations
+    (≤ batch size), then broadcast those back onto the batch.  At cluster
+    scale this is the only plan that works: the key scan is table-sized and
+    must stream; the reference gets the same effect from its bucketized bloom
+    check (BucketizedBloomCheckPartitioner.java).
     """
+    on = [key_col] if is_global(index_type) else [key_col, partition_col]
+    idx = (index_df if is_global(index_type)
+           else index_df.withColumnRenamed(CUR_PART_COL, partition_col))
+    if broadcast_incoming:
+        probe = incoming.select(*on).dropDuplicates(on)
+        idx = F.broadcast(idx.join(F.broadcast(probe), on=on, how="left_semi"))
+    tagged = incoming.join(idx, on=on, how="left")
     if is_global(index_type):
-        tagged = incoming.join(index_df, on=[key_col], how="left")
         tagged = tagged.withColumn(
             partition_col,
             F.coalesce(F.col(CUR_PART_COL), F.col(partition_col)))
-        return tagged.drop(CUR_PART_COL)
-    idx = index_df.withColumnRenamed(CUR_PART_COL, partition_col)
-    return incoming.join(idx, on=[key_col, partition_col], how="left")
+        tagged = tagged.drop(CUR_PART_COL)
+    return tagged

@@ -308,7 +308,11 @@ class HudiTable:
 
             index_df = load_key_index(self.spark, self.meta, view,
                                       self.cfg.index_type, partitions, key_range)
-            tagged = tag_locations(prepared, index_df, self.cfg.index_type).persist()
+            n_rows = sum(r[1] for r in prof)
+            tagged = tag_locations(
+                prepared, index_df, self.cfg.index_type,
+                broadcast_incoming=(n_rows <= self.cfg.index_broadcast_max_rows),
+            ).persist()
 
             # per-file-group update counts + per-partition insert counts
             fg_prof = tagged.groupBy(META_PARTITION_PATH, FG_COL).count().collect()
@@ -361,12 +365,20 @@ class HudiTable:
             merged = old.unionByName(new_rows, allowMissingColumns=True)
         else:
             merged = new_rows
-        merged = merge_latest(merged, self.tc)
+        # single shuffle: cluster by file group once; the per-file-group merge
+        # window (the reference merges per MergeHandle = per file group too)
+        # and the one-file-per-group write both reuse that partitioning
+        n_buckets = max(1, len(fg_map))
+        if self.cfg.write_parallelism:
+            n_buckets = min(n_buckets, self.cfg.write_parallelism)
+        merged = merged.repartition(n_buckets, F.col(FG))
+        merged = merge_latest(merged, self.tc, bucket_col=FG)
         merged = drop_deleted(merged).drop(API_DELETE)
         merged = merged.withColumn(META_FILE_NAME, F.col(FG))
         schema = self._commit_schema(merged)
         stats = write_instant_files(merged, self.meta, instant_time, fg_map,
-                                    self.cfg, sort_cols=[META_RECORD_KEY])
+                                    self.cfg, sort_cols=[META_RECORD_KEY],
+                                    pre_partitioned=True)
         return stats, fg_map, schema
 
     def _upsert_mor(self, view: FileSystemView, instant_time: str,

@@ -127,7 +127,8 @@ def latest_wins(df: DataFrame, tc: TableConfig) -> DataFrame:
 NEW_FLAG = "_hoodie_is_new_version"
 
 
-def merge_latest(df: DataFrame, tc: TableConfig, flag_col: str = NEW_FLAG) -> DataFrame:
+def merge_latest(df: DataFrame, tc: TableConfig, flag_col: str = NEW_FLAG,
+                 bucket_col: Optional[str] = None) -> DataFrame:
     """The read/write merge kernel — replaces HoodieMergeHandle.java:280-325
     and HoodieMergedLogRecordScanner.processNextRecord.
 
@@ -139,9 +140,17 @@ def merge_latest(df: DataFrame, tc: TableConfig, flag_col: str = NEW_FLAG) -> Da
 
     One window shuffle keyed by HoodieKey (key, partition); both the
     pass-through flag and the winner rank come from the same shuffle, and only
-    the slices being merged ever enter it — never the whole table."""
-    order_w = Window.partitionBy(*MERGE_KEY).orderBy(*merge_order_columns(tc, df))
-    part_w = Window.partitionBy(*MERGE_KEY)
+    the slices being merged ever enter it — never the whole table.
+
+    ``bucket_col`` (the file-group column, write path) scopes the merge to one
+    file group — the reference merges per MergeHandle, i.e. per file group
+    too.  Crucially it makes the window's required distribution
+    ClusteredDistribution(bucket, key, partition), which an upstream
+    ``repartition(n, bucket)`` already satisfies — so the merge and the
+    one-file-per-group write share a single shuffle."""
+    keys = ([bucket_col] if bucket_col else []) + MERGE_KEY
+    order_w = Window.partitionBy(*keys).orderBy(*merge_order_columns(tc, df))
+    part_w = Window.partitionBy(*keys)
     out = (df
            .withColumn("_hoodie_has_new", F.max(F.col(flag_col).cast("int")).over(part_w))
            .withColumn("_hoodie_rn", F.row_number().over(order_w))
@@ -173,15 +182,21 @@ def write_instant_files(
     log: bool = False,
     fg_base_instant: Optional[dict[str, str]] = None,
     subdir: Optional[str] = None,
+    pre_partitioned: bool = False,
 ) -> list[WriteStat]:
     """Shuffle to one task per file group and write the instant directory.
 
     ``df`` must carry the transient ``_fg`` column.  Returns the manifest.
+    ``pre_partitioned``: caller already clustered the frame by ``_fg`` (e.g.
+    the upsert merge window) — skip the extra exchange.
     """
-    n_buckets = max(1, len(fg_to_partition))
-    if cfg.write_parallelism:
-        n_buckets = min(n_buckets, cfg.write_parallelism)
-    out = df.repartition(n_buckets, F.col(FG))
+    if pre_partitioned:
+        out = df
+    else:
+        n_buckets = max(1, len(fg_to_partition))
+        if cfg.write_parallelism:
+            n_buckets = min(n_buckets, cfg.write_parallelism)
+        out = df.repartition(n_buckets, F.col(FG))
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out_dir = meta.instant_data_dir(instant_time)
