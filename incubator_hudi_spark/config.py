@@ -139,6 +139,9 @@ class WriteConfig:
     # batches up to this many rows broadcast their key set to prune the index
     # scan (indexing.tag_locations) instead of shuffling/building it
     index_broadcast_max_rows: int = 1_000_000
+    # write a metadata-table view checkpoint every N data commits
+    # (HoodieBackedTableMetadataWriter sync cadence; 0 disables)
+    metadata_checkpoint_commits: int = 10
 
     def with_(self, **kw) -> "WriteConfig":
         return replace(self, **kw)

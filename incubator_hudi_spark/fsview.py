@@ -92,10 +92,31 @@ class FileSystemView:
 
     # ------------------------------------------------------------------
     def _build(self) -> None:
+        from . import metadata_table as mt
+
+        # start from the newest metadata-table checkpoint ≤ as_of, then fold
+        # only the timeline tail; without one, fold the exact history
+        # (archived + active instants)
+        lo = mt.latest_checkpoint_time(self.meta, as_of=self.as_of)
+        if lo is not None:
+            try:
+                self._groups, self._replaced = mt.load_state(self.meta, lo)
+            except Exception:
+                self._groups, self._replaced = {}, {}
+                lo = None
         instants = [
             i for i in self.meta.timeline.completed(list(tl.DATA_ACTIONS) + [tl.CLEAN])
-            if self.as_of is None or i.time <= self.as_of
+            if (self.as_of is None or i.time <= self.as_of)
+            and (lo is None or i.time > lo)
         ]
+        if lo is None:
+            acts = set(tl.DATA_ACTIONS) | {tl.CLEAN}
+            archived = [
+                i for i in self.meta.timeline.archived_instants()
+                if i.action in acts and (self.as_of is None or i.time <= self.as_of)
+            ]
+            instants = sorted(set(archived + instants),
+                              key=lambda i: (i.time, i.action))
         for ins in instants:
             md = self.meta.timeline.read_metadata(ins)
             if ins.action == tl.CLEAN:

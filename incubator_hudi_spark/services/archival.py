@@ -25,6 +25,10 @@ def run_archival(table) -> int:
     if len(data_instants) <= table.cfg.archive_max_commits:
         return 0
     budget = len(data_instants) - table.cfg.archive_min_commits
+    # a metadata-table checkpoint carries the manifest contribution of every
+    # instant it covers, so those archive freely (live files or not)
+    from ..metadata_table import latest_checkpoint_time
+    ckpt = latest_checkpoint_time(table.meta)
 
     savepoint_ats = {
         timeline.read_metadata(i).get("savepoint_at", i.time)
@@ -37,11 +41,12 @@ def run_archival(table) -> int:
     to_move: list[tl.Instant] = []
     newly_archived: set[str] = set()
     for ins in timeline.completed(list(tl.DATA_ACTIONS) + [tl.CLEAN]):
+        covered = ckpt is not None and ins.time <= ckpt
         if ins.action == tl.CLEAN:
             md = timeline.read_metadata(ins)
             owners = {p.split("/")[1] for p in md.get("deleted_paths", [])
                       if p.startswith("data/")}
-            if owners <= (already_archived | newly_archived):
+            if covered or owners <= (already_archived | newly_archived):
                 to_move.append(ins)
             else:
                 break
@@ -50,7 +55,7 @@ def run_archival(table) -> int:
                 break
             md = timeline.read_metadata(ins)
             paths = [st["path"] for st in md.get("write_stats", [])]
-            if all(p in cleaned for p in paths):
+            if covered or all(p in cleaned for p in paths):
                 to_move.append(ins)
                 newly_archived.add(ins.time)
                 budget -= 1

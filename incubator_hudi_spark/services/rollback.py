@@ -39,6 +39,9 @@ def rollback_instant(table, instant_time: str) -> str:
             f"({completed[-1].time}), not {instant_time}")
 
     rb = table._start(tl.ROLLBACK)
+    # any metadata-table checkpoint covering the target is now wrong
+    from ..metadata_table import invalidate_from
+    invalidate_from(table.meta, instant_time)
     deleted = _delete_instant_dir(table, instant_time)
     if target is not None:
         timeline.delete_instant(target)

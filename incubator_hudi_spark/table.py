@@ -587,6 +587,13 @@ class HudiTable:
         if self.cfg.inline_compaction and self.tc.table_type == MERGE_ON_READ:
             from .services.compaction import maybe_inline_compact
             maybe_inline_compact(self)
+        if self.cfg.metadata_checkpoint_commits:
+            from . import metadata_table as mt
+            last = mt.latest_checkpoint_time(self.meta)
+            fresh = [i for i in self.timeline.completed_data_instants()
+                     if last is None or i.time > last]
+            if len(fresh) >= self.cfg.metadata_checkpoint_commits:
+                mt.write_checkpoint(self)
 
     def schedule_compaction(self, **kw) -> Optional[str]:
         from .services.compaction import schedule_compaction
@@ -620,6 +627,16 @@ class HudiTable:
     def archive(self) -> int:
         from .services.archival import run_archival
         return run_archival(self)
+
+    def write_metadata_checkpoint(self) -> Optional[str]:
+        """Force a metadata-table sync (HoodieBackedTableMetadataWriter)."""
+        from . import metadata_table as mt
+        return mt.write_checkpoint(self)
+
+    def metadata_files(self) -> DataFrame:
+        """The metadata table's ``files`` view as a DataFrame."""
+        from . import metadata_table as mt
+        return mt.files_df(self)
 
     # ==================================================================
     # SQL-DML style API (MergeIntoHoodieTableCommand.scala re-expressed as
