@@ -816,10 +816,31 @@ def simhash_pairs_q(spark, sf_dir):
 
 @q("embedding_neardup_pairs")
 def embedding_neardup_pairs_q(spark, sf_dir):
-    """embedding-cosine near-dup pairs via LSH buckets (rows-only check)."""
+    """embedding-cosine near-dup pairs via LSH buckets (rows-only check; the
+    synthetic embeddings top out around cosine 0.46, so the demo threshold
+    sits below that to exercise real matches)."""
     from incubator_hudi_spark.operators import similarity as S
     emb = _load(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(emb, threshold=0.98)
+    return S.embedding_neardup_pairs(emb, threshold=0.30, planes=4)
+
+
+@q("embedding_cosine_pairs", """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.30
+""")
+def embedding_cosine_pairs_q(spark, sf_dir):
+    """exact cosine near-dup pairs (the brute-force baseline the LSH variant
+    approximates) — oracle-matched against DuckDB double-precision cosine."""
+    from incubator_hudi_spark.operators import similarity as S
+    emb = _load(spark, sf_dir, "embeddings").filter("vec_id < 300")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .filter(F.round(S.cosine(F.col("va"), F.col("vb")), 6) >= 0.30)
+             .select("id_a", "id_b"))
 
 
 @q("doc_fingerprint")

@@ -125,6 +125,10 @@ class WriteConfig:
     # MOR compaction (HoodieCompactionConfig.java:79-83)
     compact_max_delta_commits: int = 5
     inline_compaction: bool = False
+    # CompactionTriggerStrategy.java:21-29 — num_commits | time_elapsed |
+    # num_and_time | num_or_time
+    compact_trigger: str = "num_commits"
+    compact_max_delta_seconds: int = 3600
     # cleaning (HoodieCompactionConfig.java:46-69)
     clean_policy: str = CLEAN_KEEP_LATEST_COMMITS
     clean_retain_commits: int = 10

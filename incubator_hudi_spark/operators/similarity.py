@@ -18,13 +18,16 @@ from pyspark.sql.window import Window
 
 
 def dot(a, b) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
-                       F.lit(0.0), lambda acc, v: acc + v)
+    # cast elements (not products) to double: full f64 accumulation, matching
+    # an oracle that computes over DOUBLE[] exactly
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
 
 
 def l2_norm(a) -> Column:
     return F.sqrt(F.aggregate(
-        F.transform(a, lambda x: (x * x).cast("double")),
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
 
 

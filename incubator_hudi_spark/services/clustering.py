@@ -22,9 +22,12 @@ from ..plans.buckets import new_fg_id
 from ..writer import API_DELETE, FG, drop_deleted, write_instant_files
 
 
-def run_clustering(table, sort_columns: Optional[Sequence[str]] = None,
-                   partitions: Optional[Sequence[str]] = None,
-                   small_file_limit: Optional[int] = None) -> Optional[str]:
+def plan_clustering(table, partitions: Optional[Sequence[str]] = None,
+                    small_file_limit: Optional[int] = None,
+                    recent_partitions: Optional[int] = None) -> dict[str, list]:
+    """Small slices grouped per partition (PartitionAwareClusteringPlanStrategy);
+    ``recent_partitions`` keeps only the N newest partitions
+    (SparkRecentDaysClusteringPlanStrategy.java:54-123)."""
     limit = small_file_limit or table.cfg.small_file_limit_bytes
     view = table.view()
     groups: dict[str, list] = {}
@@ -32,6 +35,18 @@ def run_clustering(table, sort_columns: Optional[Sequence[str]] = None,
         if sl.base_size + sl.log_size < limit:
             groups.setdefault(sl.partition, []).append(sl)
     groups = {p: sls for p, sls in groups.items() if len(sls) >= 2}
+    if recent_partitions is not None:
+        keep = sorted(groups, reverse=True)[:recent_partitions]
+        groups = {p: groups[p] for p in keep}
+    return groups
+
+
+def run_clustering(table, sort_columns: Optional[Sequence[str]] = None,
+                   partitions: Optional[Sequence[str]] = None,
+                   small_file_limit: Optional[int] = None,
+                   recent_partitions: Optional[int] = None) -> Optional[str]:
+    groups = plan_clustering(table, partitions, small_file_limit,
+                             recent_partitions)
     if not groups:
         return None
 
@@ -41,15 +56,35 @@ def run_clustering(table, sort_columns: Optional[Sequence[str]] = None,
     df = table._read_slices(slices, read_optimized=False, raw=True)
     df = drop_deleted(df).drop(API_DELETE)
 
-    # one new file group per partition group (sized in plan_insert_buckets
-    # terms the groups are already < target by construction)
-    fg_map = {new_fg_id(): p for p in groups}
-    part_to_fg = {p: fg for fg, p in fg_map.items()}
-    mapping = F.create_map(*[x for p, fg in part_to_fg.items()
-                             for x in (F.lit(p), F.lit(fg))])
-    df = df.withColumn(FG, mapping[F.col(META_PARTITION_PATH)]) \
-           .withColumn(META_FILE_NAME, F.col(FG))
+    # SparkSortAndSizeExecutionStrategy.java:68-87: rewrite each partition
+    # group sorted by the user columns into ceil(total/target) file groups.
+    # The ntile window funnels one partition group through one task — at
+    # cluster scale that group is itself <= a handful of target-size files
+    # (recent_partitions bounds the batch), so the funnel is the planned unit
+    # of work, exactly like the reference's one-Spark-task-per-group rewrite.
     sort_cols = list(sort_columns) if sort_columns else [META_RECORD_KEY]
+    fg_map: dict[str, str] = {}
+    tiles = []
+    for p, sls in sorted(groups.items()):
+        total = sum(sl.base_size + sl.log_size for sl in sls)
+        n_out = max(1, -(-total // table.cfg.target_file_size_bytes))
+        fgs = [new_fg_id() for _ in range(n_out)]
+        for fg in fgs:
+            fg_map[fg] = p
+        tiles.append((p, fgs))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(META_PARTITION_PATH).orderBy(*sort_cols)
+    fg_arrays = F.create_map(*[x for p, fgs in tiles
+                               for x in (F.lit(p), F.array(*[F.lit(g) for g in fgs]))])
+    n_map = F.create_map(*[x for p, fgs in tiles
+                           for x in (F.lit(p), F.lit(len(fgs)))])
+    # ntile percentile of the sort order → file-group index 0..n-1 per partition
+    df = (df.withColumn("_nt", F.ntile(100).over(w))
+            .withColumn(FG, fg_arrays[F.col(META_PARTITION_PATH)][
+                F.floor(((F.col("_nt") - 1) * n_map[F.col(META_PARTITION_PATH)])
+                        / 100).cast("int")])
+            .drop("_nt"))
+    df = df.withColumn(META_FILE_NAME, F.col(FG))
     schema = table._read_schema()
     stats = write_instant_files(
         df.select(*[c for c in df.columns if c in schema.names or c == FG]),

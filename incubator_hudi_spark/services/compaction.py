@@ -26,22 +26,58 @@ from ..config import COMPACT, META_FILE_NAME, MERGE_ON_READ
 from ..writer import API_DELETE, FG, drop_deleted, latest_wins, write_instant_files
 
 
+#: plan strategies — hudi-client/hudi-client-common/.../compact/strategy/
+STRATEGY_LOG_FILE_SIZE = "log_file_size"   # LogFileSizeBasedCompactionStrategy (default)
+STRATEGY_BOUNDED_IO = "bounded_io"         # BoundedIOCompactionStrategy
+STRATEGY_DAY_BASED = "day_based"           # DayBasedCompactionStrategy
+STRATEGY_UNBOUNDED = "unbounded"           # UnBoundedCompactionStrategy
+
+
 def schedule_compaction(table, max_logs_per_slice: int = 1,
-                        partitions=None) -> Optional[str]:
-    """LogFileSizeBased-style: pick latest slices carrying >= N log files
-    (size-weighted at scale; count is the deterministic small-data proxy)."""
+                        partitions=None,
+                        strategy: str = STRATEGY_LOG_FILE_SIZE,
+                        io_budget_bytes: Optional[int] = None,
+                        day_partitions: int = 1) -> Optional[str]:
+    """Pick the file slices whose logs should merge into new base files.
+
+    - ``log_file_size``: slices with >= N log files, biggest log volume first
+      (size-weighted, like LogFileSizeBasedCompactionStrategy's IO ordering).
+    - ``bounded_io``: same ordering, cut off once estimated IO (base read +
+      log read + base rewrite) exceeds ``io_budget_bytes``
+      (BoundedIOCompactionStrategy).
+    - ``day_based``: restrict to the ``day_partitions`` most recent partitions
+      (DayBasedCompactionStrategy — partitions sort newest-first).
+    - ``unbounded``: every slice with any log file.
+    """
     if table.tc.table_type != MERGE_ON_READ:
         return None
     view = table.view()
-    ops = []
-    for sl in view.latest_slices(partitions):
-        if len(sl.log_files) >= max_logs_per_slice and sl.log_files:
-            ops.append({"partition": sl.partition, "file_group": sl.file_group,
-                        "base_instant": sl.base_instant})
+    cand = [sl for sl in view.latest_slices(partitions) if sl.log_files]
+    if strategy == STRATEGY_UNBOUNDED:
+        chosen = cand
+    elif strategy == STRATEGY_DAY_BASED:
+        recent = sorted({sl.partition for sl in cand}, reverse=True)[:day_partitions]
+        chosen = [sl for sl in cand if sl.partition in recent]
+    else:
+        chosen = sorted(
+            (sl for sl in cand if len(sl.log_files) >= max_logs_per_slice),
+            key=lambda sl: sl.log_size, reverse=True)
+        if strategy == STRATEGY_BOUNDED_IO and io_budget_bytes is not None:
+            spent, cut = 0, []
+            for sl in chosen:
+                io = 2 * sl.base_size + sl.log_size
+                if spent + io > io_budget_bytes and cut:
+                    break
+                spent += io
+                cut.append(sl)
+            chosen = cut
+    ops = [{"partition": sl.partition, "file_group": sl.file_group,
+            "base_instant": sl.base_instant} for sl in chosen]
     if not ops:
         return None
     t = tl.new_instant_time()
-    table.timeline.create_requested(t, tl.COMPACTION, {"operations": ops})
+    table.timeline.create_requested(
+        t, tl.COMPACTION, {"operations": ops, "strategy": strategy})
     return t
 
 
@@ -77,12 +113,32 @@ def run_compaction(table, instant_time: Optional[str] = None) -> Optional[str]:
 
 
 def maybe_inline_compact(table) -> Optional[str]:
-    """NUM_COMMITS trigger: compact when >= N delta commits landed since the
-    last compaction (CompactionTriggerStrategy.NUM_COMMITS)."""
+    """Trigger strategies (CompactionTriggerStrategy.java:21-29):
+    NUM_COMMITS (default, >= N delta commits since last compaction),
+    TIME_ELAPSED (>= S seconds since), NUM_AND_TIME, NUM_OR_TIME."""
     comp = table.timeline.completed([tl.COMMIT])
     last_compact = comp[-1].time if comp else ""
     deltas_since = [i for i in table.timeline.completed([tl.DELTA_COMMIT])
                     if i.time > last_compact]
-    if len(deltas_since) >= table.cfg.compact_max_delta_commits:
+    if not deltas_since:
+        return None
+    num_hit = len(deltas_since) >= table.cfg.compact_max_delta_commits
+    elapsed = _instant_seconds(deltas_since[-1].time) - _instant_seconds(
+        last_compact or deltas_since[0].time)
+    time_hit = elapsed >= table.cfg.compact_max_delta_seconds
+    trig = table.cfg.compact_trigger
+    fire = {"num_commits": num_hit,
+            "time_elapsed": time_hit,
+            "num_and_time": num_hit and time_hit,
+            "num_or_time": num_hit or time_hit}.get(trig, num_hit)
+    if fire:
         return run_compaction(table)
     return None
+
+
+def _instant_seconds(instant_time: str) -> float:
+    """Epoch seconds from a yyyyMMddHHmmssSSS instant."""
+    import calendar
+    import time as _time
+    base = calendar.timegm(_time.strptime(instant_time[:14], "%Y%m%d%H%M%S"))
+    return base + int(instant_time[14:17] or 0) / 1000.0
