@@ -284,6 +284,24 @@ def _r_bootstrap(spark, sf_dir):
     return _recipe("bootstrap", sf_dir, build)
 
 
+def _r_bootstrap_meta(spark, sf_dir):
+    def build():
+        from incubator_hudi_spark import HudiTable
+        t = HudiTable.create(spark, _new_path("bootstrap_meta", sf_dir),
+                             name="part_meta",
+                             recordkey_fields=["p_partkey"],
+                             partition_expr=None, precombine_field="p_partkey")
+        t.bootstrap(os.path.join(sf_dir, "part.parquet"),
+                    mode="metadata_only")
+        # an upsert after adoption proves the virtual-skeleton groups merge
+        src = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        t.upsert(src.filter("p_partkey % 10 = 3")
+                 .withColumn("p_retailprice",
+                             F.col("p_retailprice") + 1000.0))
+        return {"t": t}
+    return _recipe("bootstrap_meta", sf_dir, build)
+
+
 # ---------------------------------------------------------------------------
 # the flagship entry
 # ---------------------------------------------------------------------------
@@ -659,6 +677,20 @@ def bootstrap_full_record(spark, sf_dir):
     t = _r_bootstrap(spark, sf_dir)["t"]
     return t.read().select("p_partkey", "p_name", "p_brand", "p_type",
                            "p_size", "p_retailprice")
+
+
+@q("bootstrap_metadata_only", """
+SELECT p_partkey, p_name,
+       CASE WHEN p_partkey % 10 = 3 THEN p_retailprice + 1000.0
+            ELSE p_retailprice END AS p_retailprice
+FROM part
+""")
+def bootstrap_metadata_only(spark, sf_dir):
+    """METADATA_ONLY bootstrap: zero-rewrite adoption (virtual skeleton —
+    meta columns derived by keygen expressions at scan time), then an upsert
+    that rewrites only the touched file groups."""
+    t = _r_bootstrap_meta(spark, sf_dir)["t"]
+    return t.read().select("p_partkey", "p_name", "p_retailprice")
 
 
 # ---------------------------------------------------------------------------

@@ -13,12 +13,14 @@ from .config import (COPY_ON_WRITE, MERGE_ON_READ, PAYLOAD_DEFAULT,
                      QUERY_READ_OPTIMIZED, QUERY_SNAPSHOT, TableConfig,
                      WriteConfig)
 from .table import HudiTable
+from .datasource import read_hudi, write_hudi
 
 __all__ = [
     "HudiTable", "TableConfig", "WriteConfig",
     "COPY_ON_WRITE", "MERGE_ON_READ",
     "PAYLOAD_DEFAULT", "PAYLOAD_OVERWRITE_LATEST",
     "QUERY_SNAPSHOT", "QUERY_READ_OPTIMIZED", "QUERY_INCREMENTAL",
+    "read_hudi", "write_hudi",
 ]
 
 __version__ = "0.1.0"

@@ -34,22 +34,27 @@ class WriteStat:
 
     partition: str
     file_group: str
-    path: str              # relative to table base path
+    path: str              # relative to table base path (absolute if external)
     size: int = 0
     num_records: int = 0
     min_key: Optional[str] = None
     max_key: Optional[str] = None
     log: bool = False      # True → MOR delta file
     base_instant: Optional[str] = None  # slice this log file attaches to
+    # METADATA_ONLY-bootstrapped source file: owned by the user (never
+    # cleaned), lacks meta columns (derived at read time via keygen exprs)
+    external: bool = False
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
 
     @staticmethod
     def from_json(d: dict) -> "WriteStat":
-        return WriteStat(**{k: d.get(k) for k in (
+        kw = {k: d.get(k) for k in (
             "partition", "file_group", "path", "size", "num_records",
-            "min_key", "max_key", "log", "base_instant")})
+            "min_key", "max_key", "log", "base_instant")}
+        kw["external"] = bool(d.get("external", False))
+        return WriteStat(**kw)
 
 
 @dataclass

@@ -67,7 +67,8 @@ def _candidate_slices(view: FileSystemView, index_type: str,
 def load_key_index(spark: SparkSession, meta: TableMetaClient, view: FileSystemView,
                    index_type: str = INDEX_SIMPLE,
                    partitions: Optional[list[str]] = None,
-                   key_range: Optional[tuple[str, str]] = None) -> DataFrame:
+                   key_range: Optional[tuple[str, str]] = None,
+                   tc=None) -> DataFrame:
     """DataFrame(key, partition, fg) of all live records in candidate slices.
 
     MOR: records first inserted into log files don't exist in base files; we
@@ -75,18 +76,47 @@ def load_key_index(spark: SparkSession, meta: TableMetaClient, view: FileSystemV
     them (the reference achieves this via HoodieMergedLogRecordScanner).
     Deleted keys resolve via latest-wins on the delete marker downstream —
     for tagging purposes a delete row still maps the key to its file group.
+
+    METADATA_ONLY-bootstrapped (external) base files carry no meta columns;
+    their keys are derived with the keygen expressions (``tc`` required when
+    such files exist) — still a column-pruned scan of just the key fields.
     """
     slices = _candidate_slices(view, index_type, partitions, key_range)
     paths = []
+    ext: list[tuple[str, str]] = []   # (abs path, fg)
     for sl in slices:
-        paths.extend(meta.abs_path(f.path) for f in sl.base_files)
+        for f in sl.base_files:
+            if f.external:
+                ext.append((meta.abs_path(f.path), sl.file_group))
+            else:
+                paths.append(meta.abs_path(f.path))
         paths.extend(meta.abs_path(l.path) for l in sl.log_files)
-    if not paths:
+    dfs = []
+    if paths:
+        dfs.append(spark.read.schema(_KEY_SCAN_SCHEMA).parquet(*paths)
+                   .select(META_RECORD_KEY, META_PARTITION_PATH,
+                           META_FILE_NAME))
+    if ext:
+        if tc is None:
+            raise ValueError("external base files need the table config for "
+                             "key derivation")
+        from .keygen import partition_path_col, record_key_col
+        src = spark.read.parquet(*[p for p, _ in ext])
+        norm = F.regexp_replace(F.input_file_name(), "^file:/*", "/")
+        fg_map = F.create_map(*[x for p, fg in ext
+                                for x in (F.lit(p), F.lit(fg))])
+        dfs.append(src.select(
+            record_key_col(tc.recordkey_fields).alias(META_RECORD_KEY),
+            partition_path_col(tc.partition_expr).alias(META_PARTITION_PATH),
+            fg_map[norm].alias(META_FILE_NAME)))
+    if not dfs:
         return spark.createDataFrame([], _KEY_SCAN_SCHEMA) \
             .select(F.col(META_RECORD_KEY),
                     F.col(META_PARTITION_PATH).alias(CUR_PART_COL),
                     F.col(META_FILE_NAME).alias(FG_COL))
-    df = spark.read.schema(_KEY_SCAN_SCHEMA).parquet(*paths)
+    df = dfs[0]
+    for x in dfs[1:]:
+        df = df.unionByName(x)
     # a key may appear in several files of one group (MOR base+log) → dedup
     return (df.select(F.col(META_RECORD_KEY),
                       F.col(META_PARTITION_PATH).alias(CUR_PART_COL),

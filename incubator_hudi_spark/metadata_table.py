@@ -55,6 +55,7 @@ _SCHEMA = pa.schema([
     ("num_records", pa.int64()),
     ("min_key", pa.string()),
     ("max_key", pa.string()),
+    ("external", pa.bool_()),
 ])
 
 
@@ -113,7 +114,8 @@ def write_checkpoint(table) -> Optional[str]:
                                  base_instant=sl.base_instant, instant=None,
                                  path=f.path, size=f.size,
                                  num_records=f.num_records,
-                                 min_key=f.min_key, max_key=f.max_key))
+                                 min_key=f.min_key, max_key=f.max_key,
+                                 external=f.external))
             for l in sl.log_files:
                 if l.path in cleaned:
                     continue
@@ -121,12 +123,12 @@ def write_checkpoint(table) -> Optional[str]:
                                  base_instant=sl.base_instant, instant=l.instant,
                                  path=l.path, size=l.size,
                                  num_records=l.num_records,
-                                 min_key=None, max_key=None))
+                                 min_key=None, max_key=None, external=False))
     for (part, fg), at in view.replaced_groups().items():
         rows.append(dict(kind="replaced", partition=part, file_group=fg,
                          base_instant=None, instant=at, path=None,
                          size=None, num_records=None,
-                         min_key=None, max_key=None))
+                         min_key=None, max_key=None, external=False))
 
     os.makedirs(metadata_dir(table.meta), exist_ok=True)
     tmp = path + ".tmp"
@@ -158,7 +160,8 @@ def load_state(meta, ckpt_time: str):
                 path=r["path"], size=r["size"] or 0,
                 num_records=r["num_records"] or 0,
                 min_key=r["min_key"], max_key=r["max_key"],
-                log=False, base_instant=r["base_instant"]))
+                log=False, base_instant=r["base_instant"],
+                external=bool(r.get("external", False))))
         else:
             sl.log_files.append(LogFile(r["instant"], r["path"],
                                         r["size"] or 0, r["num_records"] or 0))

@@ -53,7 +53,7 @@ def run_clean(table) -> dict:
         if replaced_at is not None and replaced_at < earliest_retained \
                 and not any(sp >= replaced_at for sp in savepoints):
             for sl in slices:
-                to_delete += [f.path for f in sl.base_files]
+                to_delete += [f.path for f in sl.base_files if not f.external]
                 to_delete += [l.path for l in sl.log_files]
             continue
         if table.cfg.clean_policy == CLEAN_KEEP_LATEST_COMMITS:
@@ -70,12 +70,12 @@ def run_clean(table) -> dict:
                     needed.add(cand)
             for sl in slices:
                 if sl.base_instant not in needed:
-                    to_delete += [f.path for f in sl.base_files]
+                    to_delete += [f.path for f in sl.base_files if not f.external]
                     to_delete += [l.path for l in sl.log_files]
         else:  # KEEP_LATEST_FILE_VERSIONS
             keep = table.cfg.clean_retain_file_versions
             for sl in slices[keep:]:
-                to_delete += [f.path for f in sl.base_files]
+                to_delete += [f.path for f in sl.base_files if not f.external]
                 to_delete += [l.path for l in sl.log_files]
 
     already = view.cleaned_paths()

@@ -24,18 +24,21 @@ from typing import Iterable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, StructField, StructType
+from pyspark.sql.types import (BooleanType, StringType, StructField,
+                               StructType)
 
 from . import timeline as tl
 from .config import (BULK_INSERT, COPY_ON_WRITE, DELETE, DELETE_MARKER,
                      DELETE_PARTITION, INSERT, INSERT_OVERWRITE,
                      INSERT_OVERWRITE_TABLE, MERGE_ON_READ, META_COLUMNS,
-                     META_COMMIT_TIME, META_FILE_NAME, META_PARTITION_PATH,
+                     META_COMMIT_SEQNO, META_COMMIT_TIME, META_FILE_NAME,
+                     META_PARTITION_PATH,
                      META_RECORD_KEY, QUERY_INCREMENTAL, QUERY_READ_OPTIMIZED,
                      QUERY_SNAPSHOT, SORT_GLOBAL, SORT_PARTITION, UPSERT,
                      TableConfig, WriteConfig)
 from .fsview import FileSlice, FileSystemView, WriteStat
 from .indexing import FG_COL, load_key_index, tag_locations
+from .keygen import partition_path_col, record_key_col
 from .metaclient import TableMetaClient
 from .plans.buckets import (assign_insert_buckets, avg_record_size,
                             new_fg_id, plan_insert_buckets)
@@ -307,7 +310,8 @@ class HudiTable:
             key_range = (min(r[2] for r in prof), max(r[3] for r in prof)) if prof else None
 
             index_df = load_key_index(self.spark, self.meta, view,
-                                      self.cfg.index_type, partitions, key_range)
+                                      self.cfg.index_type, partitions,
+                                      key_range, tc=self.tc)
             n_rows = sum(r[1] for r in prof)
             tagged = tag_locations(
                 prepared, index_df, self.cfg.index_type,
@@ -393,6 +397,23 @@ class HudiTable:
         fg_map: dict[str, str] = {}
         schema = None
 
+        # updates hitting METADATA_ONLY-bootstrapped groups rewrite them into
+        # engine-owned base files (the reference likewise falls back to a
+        # merge handle for bootstrap file groups) — logs can't attach to a
+        # file the engine doesn't own the layout of
+        ext_fgs = {sl.file_group for sl in view.latest_slices()
+                   if any(f.external for f in sl.base_files)}
+        ext_updates = {fg: p for fg, p in update_fgs.items() if fg in ext_fgs}
+        if ext_updates:
+            upd_ext = updates.filter(F.col(FG).isin(*ext_updates))
+            updates = updates.filter(~F.col(FG).isin(*ext_updates))
+            update_fgs = {fg: p for fg, p in update_fgs.items()
+                          if fg not in ext_updates}
+            s, m, schema = self._upsert_cow(view, instant_time, upd_ext,
+                                            inserts.limit(0), ext_updates, {})
+            stats += s
+            fg_map.update(m)
+
         if update_fgs:
             base_of = {sl.file_group: sl.base_instant
                        for sl in view.latest_slices()}
@@ -471,10 +492,63 @@ class HudiTable:
         self._post_commit()
         return instant.time
 
-    def bootstrap(self, source_path: str) -> str:
-        """FULL_RECORD bootstrap (SparkBootstrapCommitActionExecutor.java:
-        104-146): adopt an existing parquet dataset by bulk-inserting it."""
-        return self.bulk_insert(self.spark.read.parquet(source_path))
+    def bootstrap(self, source_path: str, mode: str = "full_record") -> str:
+        """Adopt an existing parquet dataset
+        (SparkBootstrapCommitActionExecutor.java:104-146,161,277).
+
+        - ``full_record``: rewrite everything via bulk_insert.
+        - ``metadata_only``: zero data rewrite.  The reference writes skeleton
+          files (meta columns only) and stitches them to the originals at
+          read time; our skeleton is *virtual* — each source file becomes a
+          file group whose base file is marked ``external``, and the meta
+          columns are derived by the keygen expressions during the scan
+          (pure Catalyst projection, no extra I/O).  External files are never
+          cleaned; the first upsert touching a group rewrites it into a
+          normal engine-owned file.
+        """
+        if mode == "full_record":
+            return self.bulk_insert(self.spark.read.parquet(source_path))
+        if mode != "metadata_only":
+            raise ValueError(f"unknown bootstrap mode {mode!r}")
+
+        import glob as _glob
+        files = sorted(
+            p for p in _glob.glob(os.path.join(source_path, "**", "*.parquet"),
+                                  recursive=True))
+        if os.path.isfile(source_path):
+            files = [source_path]
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {source_path}")
+
+        # one small Spark job maps file → partition value (scans only the
+        # partition-expression inputs); a file spanning two partitions cannot
+        # be adopted as a single file group
+        src = self.spark.read.parquet(*files)
+        pcol = partition_path_col(self.tc.partition_expr)
+        fp = (src.withColumn("_hoodie_src_file",
+                             F.regexp_replace(F.input_file_name(), "^file:", ""))
+                 .withColumn(META_PARTITION_PATH, pcol)
+                 .groupBy("_hoodie_src_file")
+                 .agg(F.collect_set(META_PARTITION_PATH).alias("parts"),
+                      F.count(F.lit(1)).alias("n")).collect())
+        instant = self._start(tl.COMMIT)
+        stats = []
+        for r in fp:
+            if len(r["parts"]) != 1:
+                raise ValueError(
+                    f"{r['_hoodie_src_file']} spans partitions {r['parts']}; "
+                    "use mode='full_record'")
+            path = r["_hoodie_src_file"]
+            stats.append(WriteStat(
+                partition=r["parts"][0], file_group=new_fg_id(),
+                path=os.path.abspath(path), size=os.path.getsize(path),
+                num_records=r["n"], base_instant=instant.time, external=True))
+        meta_fields = [StructField(c, StringType()) for c in META_COLUMNS]
+        schema = self._evolve(self.stored_schema(),
+                              StructType(meta_fields + list(src.schema.fields)))
+        self._complete(instant, "bootstrap", stats, schema)
+        self._post_commit()
+        return instant.time
 
     def filter_exists(self, df: DataFrame) -> DataFrame:
         """Keep only records NOT already in the table
@@ -482,7 +556,8 @@ class HudiTable:
         from .indexing import CUR_PART_COL, is_global
         keyed = with_key_columns(df, self.tc)
         view = self.view()
-        index_df = load_key_index(self.spark, self.meta, view, self.cfg.index_type)
+        index_df = load_key_index(self.spark, self.meta, view,
+                                  self.cfg.index_type, tc=self.tc)
         if is_global(self.cfg.index_type):
             idx = index_df.select(META_RECORD_KEY).distinct()
             on = [META_RECORD_KEY]
@@ -521,18 +596,37 @@ class HudiTable:
         shuffle — at scale that's the set compaction hasn't reached yet."""
         schema = self._read_schema()
         out_cols = [f.name for f in schema.fields]
+
+        def is_ext(sl):
+            return any(f.external for f in sl.base_files)
+
         clean = [sl for sl in slices if not sl.log_files or read_optimized]
         dirty = [] if read_optimized else [sl for sl in slices if sl.log_files]
         parts = []
-        if clean:
-            paths = [self.meta.abs_path(f.path) for sl in clean for f in sl.base_files]
+        int_clean = [sl for sl in clean if not is_ext(sl)]
+        ext_clean = [sl for sl in clean if is_ext(sl)]
+        if int_clean:
+            paths = [self.meta.abs_path(f.path) for sl in int_clean
+                     for f in sl.base_files]
             parts.append(self.spark.read.schema(schema).parquet(*paths))
+        if ext_clean:
+            parts.append(self._scan_external(ext_clean, schema))
         if dirty:
             dschema = self._read_schema(extra_bool_cols=[API_DELETE, DELETE_MARKER])
-            base_paths = [self.meta.abs_path(f.path) for sl in dirty for f in sl.base_files]
+            int_dirty = [sl for sl in dirty if not is_ext(sl)]
+            ext_dirty = [sl for sl in dirty if is_ext(sl)]
+            bases = []
+            if int_dirty:
+                base_paths = [self.meta.abs_path(f.path) for sl in int_dirty
+                              for f in sl.base_files]
+                bases.append(self.spark.read.schema(dschema).parquet(*base_paths))
+            if ext_dirty:
+                bases.append(self._scan_external(ext_dirty, dschema))
+            b = bases[0]
+            for x in bases[1:]:
+                b = b.unionByName(x)
+            b = b.withColumn(NEW_FLAG, F.lit(False))
             log_paths = [self.meta.abs_path(l.path) for sl in dirty for l in sl.log_files]
-            b = self.spark.read.schema(dschema).parquet(*base_paths) \
-                    .withColumn(NEW_FLAG, F.lit(False))
             l = self.spark.read.schema(dschema).parquet(*log_paths) \
                     .withColumn(NEW_FLAG, F.lit(True))
             d = merge_latest(b.unionByName(l), self.tc)
@@ -550,6 +644,38 @@ class HudiTable:
         elif not read_optimized:
             df = drop_deleted(df)
         return df
+
+    def _scan_external(self, slices: list[FileSlice],
+                       schema: StructType) -> DataFrame:
+        """Scan METADATA_ONLY-bootstrapped source files, deriving the virtual
+        skeleton — the meta columns the reference stitches from skeleton
+        files (HoodieBootstrapRelation.scala / HoodieBootstrapRDD.scala) are
+        pure expressions here: key/partition via the keygen, commit time from
+        the bootstrap instant, file name from a path→file-group map."""
+        files = [(f.path, sl.file_group, sl.base_instant)
+                 for sl in slices for f in sl.base_files]
+        src = self.spark.read.parquet(*[p for p, _, _ in files])
+        norm = F.regexp_replace(F.input_file_name(), "^file:/*", "/")
+        fg_map = F.create_map(*[x for p, fg, _ in files
+                                for x in (F.lit(p), F.lit(fg))])
+        it_map = F.create_map(*[x for p, _, it in files
+                                for x in (F.lit(p), F.lit(it))])
+        out = (src
+               .withColumn(META_RECORD_KEY,
+                           record_key_col(self.tc.recordkey_fields))
+               .withColumn(META_PARTITION_PATH,
+                           partition_path_col(self.tc.partition_expr))
+               .withColumn(META_COMMIT_TIME, it_map[norm])
+               .withColumn(META_COMMIT_SEQNO,
+                           F.concat_ws("_", it_map[norm],
+                                       F.monotonically_increasing_id()
+                                       .cast("string")))
+               .withColumn(META_FILE_NAME, fg_map[norm]))
+        cols = [F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in out.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields]
+        return out.select(*cols)
 
     def _read_incremental(self, begin: Optional[str], end: Optional[str],
                           partitions: Optional[Sequence[str]]) -> DataFrame:
