@@ -579,6 +579,61 @@ def merge_into(spark, sf_dir):
                            F.col("o_totalprice").alias("price"))
 
 
+def _r_sql_dml(spark, sf_dir):
+    def build():
+        from incubator_hudi_spark.sql import HudiSqlSession
+        orders = _load(spark, sf_dir, "orders")
+        hs = HudiSqlSession(spark)
+        hs.sql(f"""CREATE TABLE sqlorders USING hudi OPTIONS (
+                     primaryKey = 'o_orderkey',
+                     preCombineField = 'o_totalprice'
+                   ) LOCATION '{_new_path("sql_dml", sf_dir)}'""")
+        hs.tables["sqlorders"].bulk_insert(orders)
+        hs.sql("UPDATE sqlorders SET o_totalprice = o_totalprice * 2 "
+               "WHERE o_orderkey % 5 = 0")
+        hs.sql("DELETE FROM sqlorders WHERE o_orderkey % 9 = 0")
+        (orders.filter("o_orderkey % 10 = 1")
+               .selectExpr("o_orderkey", "'X' AS o_orderstatus",
+                           "CAST(1.0 AS double) AS o_totalprice")
+               .unionByName(
+                   orders.filter("o_orderkey % 10 = 2")
+                         .selectExpr("o_orderkey + 20000000 AS o_orderkey",
+                                     "'N' AS o_orderstatus",
+                                     "CAST(2.0 AS double) AS o_totalprice"))
+         ).createOrReplaceTempView("sql_dml_src")
+        hs.sql("""MERGE INTO sqlorders t USING sql_dml_src u
+                  ON t.o_orderkey = u.o_orderkey
+                  WHEN MATCHED THEN UPDATE SET o_totalprice = u.o_totalprice
+                  WHEN NOT MATCHED THEN INSERT *""")
+        return {"t": hs.tables["sqlorders"]}
+    return _recipe("sql_dml", sf_dir, build)
+
+
+@q("sql_dml", """
+WITH s1 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 9 <> 0),
+src AS (
+  SELECT o_orderkey AS k, 'X' AS st, 1.0 AS p FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey + 20000000, 'N', 2.0 FROM orders WHERE o_orderkey % 10 = 2),
+merged AS (
+  SELECT s1.k, s1.st, CASE WHEN src.k IS NOT NULL THEN src.p ELSE s1.p END AS p
+  FROM s1 LEFT JOIN src ON s1.k = src.k
+  UNION ALL
+  SELECT src.k, src.st, src.p FROM src LEFT JOIN s1 ON s1.k = src.k
+  WHERE s1.k IS NULL)
+SELECT k AS o_orderkey, st AS o_orderstatus, p AS o_totalprice FROM merged
+""")
+def sql_dml(spark, sf_dir):
+    """the SQL-string statement surface (sql.py): CREATE TABLE ... USING hudi,
+    UPDATE, DELETE, MERGE INTO with update + insert branches."""
+    t = _r_sql_dml(spark, sf_dir)["t"]
+    return t.read().select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 @q("update_delete_where", """
 SELECT o_orderkey,
        CASE WHEN o_totalprice > 250000 THEN '0-RUSH' ELSE o_orderpriority END AS o_orderpriority,

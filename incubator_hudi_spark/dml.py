@@ -84,6 +84,7 @@ def merge_into(table, source: DataFrame, on: str,
                    .filter(F.col("_action").isNotNull())
 
     # ---- project each output column per action ------------------------
+    tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
     out_cols = []
     for col in data_cols:
         expr = F.col(f"t.{col}") if col in tgt.columns else F.lit(None)
@@ -99,7 +100,9 @@ def merge_into(table, source: DataFrame, on: str,
             else:
                 ins = F.lit(None)
             expr = F.when(F.col("_action") == f"i{idx}", ins).otherwise(expr)
-        out_cols.append(expr.alias(col))
+        # ANSI assignment semantics: the expression is cast to the target
+        # column's type (an int literal into a double column stays double)
+        out_cols.append(expr.cast(tgt_types[col]).alias(col))
 
     delete_idxs = [str(i) for i, (_c, a) in enumerate(clauses) if a == DELETE_ACTION]
     is_delete = F.col("_action").isin(delete_idxs) if delete_idxs else F.lit(False)
@@ -115,9 +118,13 @@ def update_table(table, set_exprs: dict[str, str],
     if where:
         snap = snap.filter(F.expr(where))
     data_cols = [c for c in snap.columns if not c.startswith("_hoodie_")]
+    types = {f.name: f.dataType for f in snap.schema.fields}
     out = snap.select(*data_cols)
     for col, expr in set_exprs.items():
-        out = out.withColumn(col, F.expr(expr))
+        e = F.expr(expr)
+        if col in types:  # ANSI assignment cast to the column's type
+            e = e.cast(types[col])
+        out = out.withColumn(col, e)
     return table._upsert_impl(out, UPSERT)
 
 

@@ -479,6 +479,18 @@ class HudiTable:
         self._post_commit()
         return instant.time
 
+    def truncate(self) -> str:
+        """TRUNCATE TABLE (TruncateHoodieTableCommand.scala): drop every file
+        group via one replacecommit — metadata survives, the cleaner reclaims
+        the files once out of retention."""
+        instant = self._start(tl.REPLACE_COMMIT)
+        replaced = [(sl.partition, sl.file_group)
+                    for sl in self.view().latest_slices()]
+        self._complete(instant, "truncate", [], self.stored_schema(),
+                       replaced=replaced)
+        self._post_commit()
+        return instant.time
+
     def delete_partitions(self, partitions: Sequence[str]) -> str:
         """Logical partition drop via replacecommit
         (SparkDeletePartitionCommitActionExecutor) — readers skip the replaced

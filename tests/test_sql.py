@@ -1,0 +1,94 @@
+"""SQL-string DML surface (sql.py — §2.6 statement router over dml.py).
+
+Each DuckDB-style semantic is asserted via DataFrame state after the
+statement, mirroring TestMergeIntoTable.scala / TestInsertTable.scala /
+TestDeleteTable.scala at small scale.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_hudi_spark.sql import HudiSqlSession
+
+
+@pytest.fixture()
+def hs(spark, tmp_path):
+    hs = HudiSqlSession(spark)
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    hs.sql(f"""CREATE TABLE trips USING hudi OPTIONS (
+                 primaryKey = 'l_orderkey,l_linenumber',
+                 preCombineField = 'l_shipdate',
+                 partitionExpr = "date_format(l_shipdate, 'yyyy-MM')"
+               ) LOCATION '{tmp_path}/trips'""")
+    hs.tables["trips"].bulk_insert(li)
+    return hs
+
+
+def test_create_as_select_and_select(spark, tmp_path, hs):
+    hs.sql(f"""CREATE TABLE big USING hudi OPTIONS (
+                 primaryKey = 'l_orderkey,l_linenumber'
+               ) LOCATION '{tmp_path}/big'
+               AS SELECT * FROM trips WHERE l_quantity > 30""")
+    n = hs.sql("SELECT count(*) AS n FROM big").collect()[0]["n"]
+    exp = hs.sql("SELECT count(*) AS n FROM trips WHERE l_quantity > 30") \
+            .collect()[0]["n"]
+    assert n == exp > 0
+
+
+def test_update_delete_where(spark, hs):
+    hs.sql("UPDATE trips SET l_quantity = l_quantity + 100 WHERE l_orderkey % 7 = 0")
+    assert hs.sql("SELECT count(*) AS n FROM trips WHERE l_quantity > 100") \
+             .collect()[0]["n"] > 0
+    before = hs.sql("SELECT count(*) AS n FROM trips").collect()[0]["n"]
+    hs.sql("DELETE FROM trips WHERE l_orderkey % 7 = 0")
+    after = hs.sql("SELECT count(*) AS n FROM trips").collect()[0]["n"]
+    assert after < before
+    assert hs.sql("SELECT count(*) AS n FROM trips WHERE l_orderkey % 7 = 0") \
+             .collect()[0]["n"] == 0
+
+
+def test_merge_into_full(spark, hs):
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+         .filter("l_orderkey % 10 = 1") \
+         .withColumn("l_quantity", F.lit(0.5)) \
+         .createOrReplaceTempView("updates")
+    hs.sql("""MERGE INTO trips t USING updates u
+              ON t.l_orderkey = u.l_orderkey AND t.l_linenumber = u.l_linenumber
+                 AND t._hoodie_partition_path = date_format(u.l_shipdate, 'yyyy-MM')
+              WHEN MATCHED AND t.l_quantity > 25 THEN DELETE
+              WHEN MATCHED THEN UPDATE SET l_quantity = u.l_quantity * 2
+              WHEN NOT MATCHED THEN INSERT *""")
+    got = hs.sql("SELECT count(*) AS n FROM trips WHERE l_quantity = 1.0") \
+            .collect()[0]["n"]
+    assert got > 0  # updated branch: 0.5 * 2
+    # deleted branch removed the high-quantity matches
+    assert hs.sql("""SELECT count(*) AS n FROM trips
+                     WHERE l_orderkey % 10 = 1 AND l_quantity > 25""") \
+             .collect()[0]["n"] == 0
+
+
+def test_merge_insert_values_clause(spark, hs):
+    hs.sql("""MERGE INTO trips t
+              USING (SELECT 999999 AS k, 1 AS ln, DATE'1995-06-01' AS d) s
+              ON t.l_orderkey = s.k AND t.l_linenumber = s.ln
+              WHEN NOT MATCHED THEN
+                INSERT (l_orderkey, l_linenumber, l_shipdate, l_quantity)
+                VALUES (s.k, s.ln, s.d, 42.0)""")
+    row = hs.sql("SELECT l_quantity FROM trips WHERE l_orderkey = 999999") \
+            .collect()
+    assert len(row) == 1 and row[0][0] == 42.0
+
+
+def test_insert_values_and_overwrite(spark, tmp_path, hs):
+    cols = [c for c in hs.tables["trips"].read().columns
+            if not c.startswith("_hoodie_")]
+    assert {"l_orderkey", "l_linenumber"} <= set(cols)
+    n0 = hs.sql("SELECT count(*) AS n FROM trips").collect()[0]["n"]
+    hs.sql("INSERT INTO trips SELECT * FROM trips WHERE l_orderkey = 1")
+    n1 = hs.sql("SELECT count(*) AS n FROM trips").collect()[0]["n"]
+    assert n1 > n0  # insert does NOT merge duplicate keys (reference semantics)
+
+
+def test_truncate(spark, hs):
+    hs.sql("TRUNCATE TABLE trips")
+    assert hs.sql("SELECT count(*) AS n FROM trips").collect()[0]["n"] == 0
