@@ -117,11 +117,15 @@ def load_key_index(spark: SparkSession, meta: TableMetaClient, view: FileSystemV
     df = dfs[0]
     for x in dfs[1:]:
         df = df.unionByName(x)
-    # a key may appear in several files of one group (MOR base+log) → dedup
-    return (df.select(F.col(META_RECORD_KEY),
-                      F.col(META_PARTITION_PATH).alias(CUR_PART_COL),
-                      F.col(META_FILE_NAME).alias(FG_COL))
-              .dropDuplicates([META_RECORD_KEY, FG_COL]))
+    # NOTE: a key may map to the same file group several times (MOR base+log,
+    # or duplicate keys within one file).  We deliberately do NOT dedup here —
+    # that would shuffle the table-sized key scan on every upsert.  Duplicate
+    # tagged rows are benign: the per-file-group latest-wins merge collapses
+    # them deterministically (the reference's SIMPLE index likewise emits one
+    # row per stored location, SparkHoodieSimpleIndex.java:112).
+    return df.select(F.col(META_RECORD_KEY),
+                     F.col(META_PARTITION_PATH).alias(CUR_PART_COL),
+                     F.col(META_FILE_NAME).alias(FG_COL))
 
 
 def tag_locations(incoming: DataFrame, index_df: DataFrame, index_type: str,

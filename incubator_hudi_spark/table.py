@@ -313,10 +313,17 @@ class HudiTable:
                                       self.cfg.index_type, partitions,
                                       key_range, tc=self.tc)
             n_rows = sum(r[1] for r in prof)
+            # the index may map one key to the same file group several times
+            # (MOR base+log, duplicate keys in a file); collapse the
+            # join-induced row multiplication per (input row, file group) —
+            # a batch-sized dedup, keyed by uid so genuine duplicate input
+            # rows survive when preCombine is off
+            uid = "_hoodie_row_uid"
             tagged = tag_locations(
-                prepared, index_df, self.cfg.index_type,
+                prepared.withColumn(uid, F.monotonically_increasing_id()),
+                index_df, self.cfg.index_type,
                 broadcast_incoming=(n_rows <= self.cfg.index_broadcast_max_rows),
-            ).persist()
+            ).dropDuplicates([uid, FG_COL]).drop(uid).persist()
 
             # per-file-group update counts + per-partition insert counts
             fg_prof = tagged.groupBy(META_PARTITION_PATH, FG_COL).count().collect()

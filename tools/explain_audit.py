@@ -1,0 +1,193 @@
+"""Explain-plan audit: capture the physical plans of the engine's hot paths
+and assert the properties the 100 TB design depends on.  Writes PLANS.md.
+
+Checked invariants:
+  1. snapshot read: user filters reach the parquet scan (PushedFilters) and
+     the scan schema is pruned to referenced columns (ReadSchema);
+  2. incremental read: the `_hoodie_commit_time` range filter is pushed into
+     the scan (parquet row-group min/max pruning applies);
+  3. COW upsert merge: exactly ONE shuffle (the repartition by file group) —
+     the per-file-group merge window reuses that clustering, and the write
+     adds none;
+  4. MOR snapshot merge: exactly ONE shuffle for the latest-wins window;
+  5. index tagging: the batch's key set is broadcast (never the table-sized
+     key scan);
+  6. ANN brute force: the query set is broadcast (scan stays pipelined).
+
+Run: python tools/explain_audit.py [sf_dir]   (default sf0.001)
+"""
+
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def explain(df, mode="formatted"):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+def n_exchanges(df) -> int:
+    """Count shuffle exchanges the query executes, by walking the physical
+    plan tree (AQE is disabled in this session so the tree is concrete).
+    InMemoryTableScan is a leaf — a cache's materialization plan does not
+    rerun and is not counted.  Broadcast/Reused exchanges excluded."""
+    def walk(node):
+        name = node.nodeName()
+        cnt = int("Exchange" in name and "Broadcast" not in name
+                  and "Reused" not in name)
+        ch = node.children()
+        for i in range(ch.size()):
+            cnt += walk(ch.apply(i))
+        return cnt
+    return walk(df._jdf.queryExecution().executedPlan())
+
+
+def main():
+    from pyspark.sql import SparkSession, functions as F
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+             .config("spark.sql.adaptive.enabled", "false")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from incubator_hudi_spark import HudiTable, MERGE_ON_READ
+    from incubator_hudi_spark.config import (META_PARTITION_PATH,
+                                             META_RECORD_KEY, QUERY_INCREMENTAL)
+    from incubator_hudi_spark.indexing import load_key_index, tag_locations
+    from incubator_hudi_spark.operators import similarity as S
+
+    tmp = tempfile.mkdtemp(prefix="audit_")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    sections, failures = [], []
+
+    def check(name, plan, preds):
+        ok_all = True
+        lines = []
+        for desc, ok in preds:
+            ok_all &= ok
+            lines.append(f"  - {'PASS' if ok else 'FAIL'}: {desc}")
+            if not ok:
+                failures.append(f"{name}: {desc}")
+        key = "\n".join(l for l in plan.splitlines()
+                        if re.search(r"PushedFilters|ReadSchema|Exchange|"
+                                     r"Window|Scan parquet|Broadcast", l))
+        sections.append(f"## {name}\n\n" + "\n".join(lines) +
+                        f"\n\n```\n{key.strip()}\n```\n")
+        print(f"{name}: {'OK' if ok_all else 'FAILED'}")
+
+    t = HudiTable.create(spark, tmp + "/cow", "cow",
+                         recordkey_fields=["l_orderkey", "l_linenumber"],
+                         partition_expr="date_format(l_shipdate,'yyyy-MM')",
+                         precombine_field="l_shipdate")
+    c0 = t.bulk_insert(li)
+    c1 = t.upsert(li.limit(300).withColumn("l_quantity", F.lit(1.0)))
+
+    # 1 — snapshot read pushdown + pruning
+    q = (t.read().filter("l_shipdate >= DATE'1995-01-01'")
+         .groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    p = explain(q)
+    check("snapshot read: filter pushdown + column pruning", p, [
+        ("filter pushed to parquet scan",
+         "GreaterThanOrEqual(l_shipdate" in p),
+        ("scan schema pruned to 3 columns",
+         bool(re.search(r"ReadSchema: struct<l_quantity:[^,]+,l_returnflag:"
+                        r"[^,]+,l_shipdate:[^>]+>", p))),
+    ])
+
+    # 2 — incremental commit-time pushdown
+    p = explain(t.read(QUERY_INCREMENTAL, begin=c0, end=c1))
+    check("incremental read: commit-time filter pushdown", p, [
+        ("begin/end range pushed to scan",
+         "GreaterThan(_hoodie_commit_time" in p
+         and "LessThanOrEqual(_hoodie_commit_time" in p),
+    ])
+
+    # 3 — COW upsert merge: single shuffle
+    from incubator_hudi_spark.writer import (FG, NEW_FLAG, drop_deleted,
+                                             merge_latest)
+    from incubator_hudi_spark.indexing import FG_COL
+    view = t.view()
+    # mirror _upsert_impl: the prepared batch is persisted, so its in-batch
+    # dedup shuffle happens once at materialization, not in downstream plans
+    prepared = t._prepare(li.limit(300), "99999999999999999", combine=True)
+    prepared = prepared.persist()
+    prepared.count()
+    idx = load_key_index(spark, t.meta, view, t.cfg.index_type, tc=t.tc)
+    tagged = tag_locations(prepared, idx, t.cfg.index_type,
+                           broadcast_incoming=True)
+    tagging_plan = explain(tagged)   # the join stage itself, pre-cache
+    tagged_df = tagged
+    tagged = tagged.persist()
+    tagged.count()
+    updates = tagged.filter(F.col(FG_COL).isNotNull()) \
+                    .withColumn(FG, F.col(FG_COL)).drop(FG_COL) \
+                    .withColumn(NEW_FLAG, F.lit(True))
+    old = t._read_fg_files(view, {r[0] for r in
+                                  updates.select(FG).distinct().collect()}) \
+           .withColumn(NEW_FLAG, F.lit(False))
+    merged = old.unionByName(updates, allowMissingColumns=True) \
+                .repartition(8, F.col(FG))
+    merged = drop_deleted(merge_latest(merged, t.tc, bucket_col=FG))
+    p = explain(merged)
+    check("COW upsert merge: one shuffle total", p, [
+        (f"exactly 1 Exchange (found {n_exchanges(merged)})", n_exchanges(merged) == 1),
+        ("per-file-group merge window present", "Window" in p),
+    ])
+
+    # 5 — index tagging broadcasts the batch, streams the key scan
+    check("index tagging: broadcast batch key set, streamed key scan",
+          tagging_plan, [
+        ("broadcast join used", "BroadcastHashJoin" in tagging_plan
+         or "BroadcastExchange" in tagging_plan),
+        ("no shuffle of the key scan", n_exchanges(tagged_df) == 0),
+    ])
+
+    # 4 — MOR snapshot merge: one shuffle window
+    m = HudiTable.create(spark, tmp + "/mor", "mor",
+                         recordkey_fields=["l_orderkey", "l_linenumber"],
+                         partition_expr="date_format(l_shipdate,'yyyy-MM')",
+                         precombine_field="l_shipdate",
+                         table_type=MERGE_ON_READ)
+    m.cfg = m.cfg.with_(inline_compaction=False)
+    m.upsert(li)
+    m.upsert(li.limit(300).withColumn("l_quantity", F.lit(2.0)))
+    mor_read = m.read()
+    p = explain(mor_read)
+    check("MOR snapshot merge: one latest-wins shuffle", p, [
+        (f"exactly 1 Exchange (found {n_exchanges(mor_read)})", n_exchanges(mor_read) == 1),
+        ("merge window present", "Window" in p),
+    ])
+
+    # 6 — ANN brute force broadcasts the query side
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    p = explain(S.brute_force_topk(emb, qs, k=5))
+    check("ANN brute force: broadcast query set", p, [
+        ("query side broadcast", "Broadcast" in p),
+    ])
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.md")
+    with open(out, "w") as f:
+        f.write("# Physical-plan audit (tools/explain_audit.py)\n\n"
+                "Hot-path plans with the scale-critical properties asserted; "
+                "re-run after planner-affecting changes.\n\n"
+                + "\n".join(sections))
+    print(f"\nwrote {out}")
+    if failures:
+        print("FAILURES:", *failures, sep="\n  ")
+        sys.exit(1)
+    print("all plan invariants hold")
+
+
+if __name__ == "__main__":
+    main()
