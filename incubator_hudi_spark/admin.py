@@ -107,3 +107,47 @@ def upgrade_table(table, to_version: int = 1) -> int:
         from dataclasses import replace
         table.meta.update_config(replace(tc, version=to_version))
     return to_version
+
+
+def log_files_df(table) -> DataFrame:
+    """HoodieLogFileCommand: MOR delta (log) files of the latest slices with
+    the slice they attach to."""
+    rows = []
+    for sl in table.view().latest_slices():
+        for lf in sl.log_files:
+            rows.append((sl.partition, sl.file_group, sl.base_instant,
+                         lf.instant, lf.path, lf.size, lf.num_records))
+    return table.spark.createDataFrame(
+        rows, "partition string, file_group string, base_instant string, "
+              "log_instant string, path string, size long, num_records long")
+
+
+def duplicate_keys_df(table) -> DataFrame:
+    """RepairsCommand(deduplicate) inspection half: HoodieKeys that resolve
+    to more than one live row in the current snapshot (legitimate after
+    insert/bulk_insert, which don't combine)."""
+    from pyspark.sql import functions as F
+    from .config import META_PARTITION_PATH, META_RECORD_KEY
+    return (table.read()
+            .groupBy(META_RECORD_KEY, META_PARTITION_PATH)
+            .agg(F.count(F.lit(1)).alias("copies"))
+            .filter("copies > 1"))
+
+
+def repair_deduplicate(table) -> str | None:
+    """RepairsCommand(deduplicate): collapse duplicate-key rows to their
+    payload winner by re-upserting one representative per key — the normal
+    merge path then rewrites exactly the affected file groups."""
+    from pyspark.sql import functions as F
+    from .config import META_PARTITION_PATH, META_RECORD_KEY
+    snap = table.read()
+    dups = (snap.groupBy(META_RECORD_KEY, META_PARTITION_PATH)
+                .agg(F.count(F.lit(1)).alias("_copies")).filter("_copies > 1")
+                .drop("_copies"))
+    victims = snap.join(
+        F.broadcast(dups), on=[META_RECORD_KEY, META_PARTITION_PATH],
+        how="left_semi")
+    if not victims.take(1):
+        return None
+    data_cols = [c for c in victims.columns if not c.startswith("_hoodie_")]
+    return table.upsert(victims.select(*data_cols))
