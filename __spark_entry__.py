@@ -883,6 +883,30 @@ def ann_brute_force_topk(spark, sf_dir):
             .select("query_id", "vec_id", F.col("rank2").alias("rank")))
 
 
+@q("ann_lsh_topk")
+def ann_lsh_topk_q(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the sub-linear scale path; candidate
+    set = the query's hyperplane bucket only — rows-only check, approximation
+    makes an exact SQL oracle inapplicable)."""
+    from incubator_hudi_spark.operators import similarity as S
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return S.lsh_topk(emb, queries, k=5, planes=4)
+
+
+@q("ann_ivf_topk")
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF coarse-quantizer approximate top-k with nprobe=2 (rows-only
+    check)."""
+    from incubator_hudi_spark.operators import similarity as S
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = S.sample_centroids(emb, n=8)
+    queries = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return S.ivf_topk(emb, queries, cents, k=5, nprobe=2)
+
+
 @q("minhash_lsh_pairs")
 def minhash_lsh_pairs_q(spark, sf_dir):
     """MinHash+LSH near-dup pairs (xxhash64-based — not SQL-expressible;

@@ -127,6 +127,52 @@ def ivf_assign(corpus: DataFrame, centroids: Sequence[Sequence[float]],
     return corpus.withColumn("_ivf_cell", best["cell"])
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             centroids: Sequence[Sequence[float]], k: int = 10,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    their nearest coarse centroid once (at 100 TB that's a write-time
+    cluster/partition column); each query probes only its ``nprobe`` nearest
+    cells.  Everything is JVM expressions — centroids are literals (from a
+    sampled k-means job at scale), probing is an explode + co-partitioned
+    join on the cell id, never a cross product."""
+    c = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"), "_ivf_cell")
+
+    # per query: rank all cells by centroid similarity, keep nprobe
+    sims = []
+    for ci, cent in enumerate(centroids):
+        carr = F.array(*[F.lit(x) for x in cent])
+        norm = math.sqrt(sum(x * x for x in cent)) or 1.0
+        sims.append(F.struct(
+            (dot(F.col(vec_col), carr) / (l2_norm(F.col(vec_col)) * F.lit(norm)))
+            .alias("sim"), F.lit(ci).alias("cell")))
+    probe_cells = F.slice(F.reverse(F.array_sort(F.array(*sims))), 1, nprobe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+        F.explode(F.transform(probe_cells, lambda s: s["cell"])).alias("_ivf_cell"))
+
+    scored = (c.join(F.broadcast(q), on="_ivf_cell")
+               .withColumn("cosine_sim",
+                           dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "vec_id", "cosine_sim", "rank"))
+
+
+def sample_centroids(corpus: DataFrame, n: int = 16, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic coarse centroids: the ``n`` lowest-id vectors (a stand-in
+    for a sampled k-means job; the IVF math is identical)."""
+    rows = corpus.orderBy(id_col).limit(n).select(vec_col).collect()
+    return [list(r[0]) for r in rows]
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95,

@@ -154,3 +154,20 @@ def test_multimodal_pipeline(spark, documents):
         assert frames.filter(F.col("media_id") == one["media_id"]).count() == exp
     rs = multimodal.resize_stub(feats, 64, 64)
     assert rs.filter("resized_w > 64 or resized_h > 64").count() == 0
+
+
+def test_lsh_and_ivf_topk(spark):
+    from incubator_hudi_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    # each query's own vector must rank first in both approximate searches
+    for df in (S.lsh_topk(emb, queries, k=3, planes=4),
+               S.ivf_topk(emb, queries, S.sample_centroids(emb, n=4),
+                          k=3, nprobe=2)):
+        top1 = {r["query_id"]: r["vec_id"]
+                for r in df.filter("rank = 1").collect()}
+        assert top1 == {i: i for i in top1}
+        assert df.filter("rank > 3").count() == 0
+        assert df.groupBy("query_id").count().filter("count > 3").count() == 0
