@@ -129,7 +129,10 @@ class WriteConfig:
     # num_and_time | num_or_time
     compact_trigger: str = "num_commits"
     compact_max_delta_seconds: int = 3600
-    # cleaning (HoodieCompactionConfig.java:46-69)
+    # cleaning (HoodieCompactionConfig.java:46-69); hoodie.clean.automatic
+    # defaults true in the reference
+    auto_clean: bool = True
+    auto_archive: bool = True
     clean_policy: str = CLEAN_KEEP_LATEST_COMMITS
     clean_retain_commits: int = 10
     clean_retain_file_versions: int = 3

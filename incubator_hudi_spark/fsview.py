@@ -63,6 +63,10 @@ class LogFile:
     path: str
     size: int = 0
     num_records: int = 0
+    # the base_instant the writer tagged (may be a then-pending compaction
+    # instant — resolved to an existing slice at fold time, but preserved so
+    # checkpoints can re-resolve after the compaction lands)
+    tag: Optional[str] = None
 
 
 @dataclass
@@ -133,11 +137,20 @@ class FileSystemView:
                 slices = self._groups.setdefault(key, {})
                 if st.log:
                     base = st.base_instant or (max(slices) if slices else None)
-                    if base is None or base not in slices:
-                        # orphan log (base compacted away before as_of) — skip
+                    if base is None:
                         continue
+                    if base not in slices:
+                        if slices and base > max(slices):
+                            # log tagged with a pending-compaction instant
+                            # whose base hasn't landed yet — serve it from the
+                            # newest existing slice until then
+                            base = max(slices)
+                        else:
+                            # true orphan (base compacted away before as_of)
+                            continue
                     slices[base].log_files.append(
-                        LogFile(ins.time, st.path, st.size, st.num_records))
+                        LogFile(ins.time, st.path, st.size, st.num_records,
+                                tag=st.base_instant or base))
                 else:
                     sl = slices.setdefault(
                         st.base_instant or ins.time,

@@ -120,7 +120,11 @@ def write_checkpoint(table) -> Optional[str]:
                 if l.path in cleaned:
                     continue
                 rows.append(dict(kind="log", partition=part, file_group=fg,
-                                 base_instant=sl.base_instant, instant=l.instant,
+                                 # persist the writer's ORIGINAL tag (may be a
+                                 # pending-compaction instant) so the load
+                                 # re-resolves it once that base lands
+                                 base_instant=l.tag or sl.base_instant,
+                                 instant=l.instant,
                                  path=l.path, size=l.size,
                                  num_records=l.num_records,
                                  min_key=None, max_key=None, external=False))
@@ -145,26 +149,41 @@ def load_state(meta, ckpt_time: str):
     t = pq.read_table(_ckpt_path(meta, ckpt_time))
     groups: dict[tuple[str, str], dict[str, FileSlice]] = {}
     replaced: dict[tuple[str, str], str] = {}
+    log_rows = []
     for r in t.to_pylist():
         key = (r["partition"], r["file_group"])
         if r["kind"] == "replaced":
             replaced[key] = r["instant"]
             continue
+        if r["kind"] == "log":
+            log_rows.append(r)
+            continue
         slices = groups.setdefault(key, {})
         sl = slices.setdefault(
             r["base_instant"],
             FileSlice(r["partition"], r["file_group"], r["base_instant"]))
-        if r["kind"] == "base":
-            sl.base_files.append(WriteStat(
-                partition=r["partition"], file_group=r["file_group"],
-                path=r["path"], size=r["size"] or 0,
-                num_records=r["num_records"] or 0,
-                min_key=r["min_key"], max_key=r["max_key"],
-                log=False, base_instant=r["base_instant"],
-                external=bool(r.get("external", False))))
-        else:
-            sl.log_files.append(LogFile(r["instant"], r["path"],
-                                        r["size"] or 0, r["num_records"] or 0))
+        sl.base_files.append(WriteStat(
+            partition=r["partition"], file_group=r["file_group"],
+            path=r["path"], size=r["size"] or 0,
+            num_records=r["num_records"] or 0,
+            min_key=r["min_key"], max_key=r["max_key"],
+            log=False, base_instant=r["base_instant"],
+            external=bool(r.get("external", False))))
+    # logs attach after all bases exist, re-applying the fold's rule for
+    # pending-compaction tags (tag newer than every base → newest slice)
+    for r in log_rows:
+        slices = groups.get((r["partition"], r["file_group"]))
+        if not slices:
+            continue
+        base = r["base_instant"]
+        if base not in slices:
+            if base is not None and base > max(slices):
+                base = max(slices)
+            else:
+                continue
+        slices[base].log_files.append(
+            LogFile(r["instant"], r["path"], r["size"] or 0,
+                    r["num_records"] or 0, tag=r["base_instant"]))
     for slices in groups.values():
         for sl in slices.values():
             sl.log_files.sort(key=lambda l: l.instant)

@@ -104,6 +104,8 @@ class HudiSqlSession:
             return self._insert(s)
         if head == "CREATE":
             return self._create(s)
+        if head == "ALTER":
+            return self._alter(s)
         # reads: expose snapshots as views, let Spark SQL do the rest
         return self._passthrough(s)
 
@@ -223,6 +225,20 @@ class HudiSqlSession:
         if kind.upper() == "OVERWRITE":
             return table.insert_overwrite(df)
         return table.insert(df)
+
+    def _alter(self, s: str) -> str:
+        m = re.match(r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMNS?\s*\((.*)\)$",
+                     s, re.I | re.S)
+        if m:
+            return self._table(m.group(1)).add_columns(m.group(2))
+        m = re.match(r"ALTER\s+TABLE\s+(\S+)\s+RENAME\s+TO\s+(\S+)$", s, re.I)
+        if m:
+            old, new = m.groups()
+            t = self._table(old)
+            t.rename_table(new)
+            self.tables[new] = self.tables.pop(old)
+            return new
+        raise ValueError(f"cannot parse ALTER TABLE: {s[:120]}")
 
     def _create(self, s: str) -> str:
         m = re.match(

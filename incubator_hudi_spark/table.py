@@ -273,6 +273,25 @@ class HudiTable:
             return [META_RECORD_KEY]
         return None
 
+    def upsert_prepped(self, df: DataFrame) -> str:
+        """upsertPreppedRecords (SparkRDDWriteClient.java:162-167): caller
+        already deduplicated — skip the preCombine window."""
+        saved = self.cfg
+        self.cfg = self.cfg.with_(combine_before_upsert=False)
+        try:
+            return self._upsert_impl(df, UPSERT)
+        finally:
+            self.cfg = saved
+
+    def bulk_insert_prepped(self, df: DataFrame) -> str:
+        """bulkInsertPreppedRecords (SparkRDDWriteClient.java:238-244)."""
+        saved = self.cfg
+        self.cfg = self.cfg.with_(combine_before_insert=False)
+        try:
+            return self.bulk_insert(df)
+        finally:
+            self.cfg = saved
+
     def upsert(self, df: DataFrame) -> str:
         """The heart (SparkRDDWriteClient.java:149-159 →
         BaseSparkCommitActionExecutor.java:112-145): preCombine → index tag →
@@ -299,6 +318,22 @@ class HudiTable:
         prepared = prepared.persist()
         tagged = None
         try:
+            # pending-compaction targets MUST be read BEFORE the view is
+            # built: an async compactor may complete between the two reads,
+            # and reading in this order guarantees every compaction that can
+            # land mid-write is either (a) pending here → logs get bumped to
+            # its instant, or (b) already completed → the view's latest slice
+            # IS its new base.  (Reverse order loses writes: stale view base
+            # + empty pending → orphaned log.)
+            pending_compaction: dict[str, str] = {}
+            if self.tc.table_type == MERGE_ON_READ:
+                for p in self.timeline.pending():
+                    if p.action == tl.COMPACTION:
+                        plan = self.timeline.read_metadata(p)
+                        for op in plan.get("operations", []):
+                            fg = op["file_group"]
+                            pending_compaction[fg] = max(
+                                pending_compaction.get(fg, ""), p.time)
             view = self.view()
             # workload profile (BaseSparkCommitActionExecutor.java:122-127) +
             # key range for BLOOM-style pruning — one Spark action
@@ -340,7 +375,7 @@ class HudiTable:
             if self.tc.table_type == MERGE_ON_READ:
                 stats, fg_map, schema = self._upsert_mor(
                     view, instant.time, updates, inserts,
-                    update_fgs, insert_profile)
+                    update_fgs, insert_profile, pending_compaction)
             else:
                 stats, fg_map, schema = self._upsert_cow(
                     view, instant.time, updates, inserts,
@@ -394,7 +429,8 @@ class HudiTable:
 
     def _upsert_mor(self, view: FileSystemView, instant_time: str,
                     updates: DataFrame, inserts: DataFrame,
-                    update_fgs: dict[str, str], insert_profile: dict[str, int]):
+                    update_fgs: dict[str, str], insert_profile: dict[str, int],
+                    pending_compaction: Optional[dict[str, str]] = None):
         """MOR: updates/deletes append parquet *delta* files to their file
         group's latest slice (HoodieAppendHandle.java:71,336-390 — Spark has
         no appendable row format, so one small columnar delta file per
@@ -424,6 +460,15 @@ class HudiTable:
         if update_fgs:
             base_of = {sl.file_group: sl.base_instant
                        for sl in view.latest_slices()}
+            # a file group with a PENDING compaction gets its new logs tagged
+            # with the compaction instant (the future base) — the compactor's
+            # plan won't cover them, so they survive as logs of the new slice
+            # instead of being orphaned (HoodieAppendHandle's pending-
+            # compaction routing).  the pending map was snapshotted BEFORE
+            # the view in _upsert_impl — see the ordering comment there.
+            for fg, ctime in (pending_compaction or {}).items():
+                if fg in update_fgs:
+                    base_of[fg] = max(base_of.get(fg) or "", ctime)
             upd = updates.withColumn(META_FILE_NAME, F.col(FG))
             schema = self._commit_schema(upd)
             stats += write_instant_files(
@@ -485,6 +530,35 @@ class HudiTable:
                        replaced=replaced)
         self._post_commit()
         return instant.time
+
+    # ------------------------------------------------------------------
+    # schema commands (§2.6 AlterHoodieTable*Command equivalents)
+    # ------------------------------------------------------------------
+    def add_columns(self, ddl: str) -> str:
+        """ALTER TABLE ADD COLUMNS (AlterHoodieTableAddColumnsCommand): a
+        metadata-only commit carrying the evolved schema; existing files are
+        untouched (readers project the new columns as typed nulls)."""
+        new_fields = StructType.fromDDL(ddl).fields
+        cur = self.stored_schema()
+        if cur is None:
+            raise ValueError("table has no schema yet — write data first")
+        clash = {f.name for f in new_fields} & {f.name for f in cur.fields}
+        if clash:
+            raise ValueError(f"columns already exist: {sorted(clash)}")
+        instant = self._start(tl.COMMIT)
+        self._complete(instant, "alter_add_columns", [],
+                       StructType(list(cur.fields) + list(new_fields)))
+        return instant.time
+
+    def change_column_comment_only(self) -> None:
+        """AlterHoodieTableChangeColumnCommand restricts to compatible
+        changes; type changes are rejected by ``_evolve`` on write — nothing
+        further to do here (comments are not persisted in parquet)."""
+
+    def rename_table(self, new_name: str) -> None:
+        """AlterHoodieTableRenameCommand: table name lives in table config."""
+        from dataclasses import replace
+        self.meta.update_config(replace(self.tc, name=new_name))
 
     def truncate(self) -> str:
         """TRUNCATE TABLE (TruncateHoodieTableCommand.scala): drop every file
@@ -739,6 +813,15 @@ class HudiTable:
                      if last is None or i.time > last]
             if len(fresh) >= self.cfg.metadata_checkpoint_commits:
                 mt.write_checkpoint(self)
+        # hoodie.clean.automatic / archival after write (postWrite,
+        # SparkRDDWriteClient.java:263-281) — both no-ops until the table
+        # exceeds retention, so the steady-state driver cost is one listing
+        if self.cfg.auto_clean and len(
+                self.timeline.completed_data_instants()) > \
+                self.cfg.clean_retain_commits:
+            self.clean()
+        if self.cfg.auto_archive:
+            self.archive()
 
     def schedule_compaction(self, **kw) -> Optional[str]:
         from .services.compaction import schedule_compaction

@@ -1,0 +1,74 @@
+"""ALTER TABLE commands, prepped write variants, async compaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_hudi_spark import HudiTable, MERGE_ON_READ
+from incubator_hudi_spark.services.async_compaction import (
+    AsyncCompactionService)
+from incubator_hudi_spark.sql import HudiSqlSession
+
+
+@pytest.fixture()
+def li(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+
+def _mk(spark, path, **kw):
+    return HudiTable.create(
+        spark, str(path), "t",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate", **kw)
+
+
+def test_add_columns_and_rename(spark, tmp_path, li):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(li)
+    hs = HudiSqlSession(spark)
+    hs.register("trips", t)
+    hs.sql("ALTER TABLE trips ADD COLUMNS (score double, tag string)")
+    df = t.read()
+    assert {"score", "tag"} <= set(df.columns)
+    assert df.filter("score IS NOT NULL").count() == 0  # old files → nulls
+    # new writes can fill the new columns
+    t.upsert(li.limit(100).withColumn("score", F.lit(0.9))
+             .withColumn("tag", F.lit("good")))
+    assert t.read().filter("tag = 'good'").count() >= 100
+    with pytest.raises(ValueError, match="already exist"):
+        t.add_columns("score double")
+    hs.sql("ALTER TABLE trips RENAME TO journeys")
+    assert "journeys" in hs.tables and "trips" not in hs.tables
+    assert HudiTable.load(spark, str(tmp_path / "t")).tc.name == "journeys"
+
+
+def test_prepped_variants_skip_combine(spark, tmp_path, li):
+    t = _mk(spark, tmp_path / "t")
+    # two rows, same key+partition, different precombine: prepped keeps both
+    two = li.limit(1).unionByName(
+        li.limit(1).withColumn("l_shipdate",
+                               F.date_add(F.col("l_shipdate"), 400)))
+    # ensure same partition for a honest dup: use identical shipdate rows
+    two = li.limit(1).unionByName(li.limit(1))
+    t.bulk_insert_prepped(two)
+    assert t.read().count() == 2
+    assert t.cfg.combine_before_upsert is True  # config restored
+    # normal upsert of the same key collapses them
+    t.upsert(li.limit(1).withColumn("l_quantity", F.lit(77.0)))
+    assert t.read().count() == 1
+
+
+def test_async_compaction(spark, tmp_path, li):
+    t = _mk(spark, tmp_path / "mor", table_type=MERGE_ON_READ)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+    t.upsert(li)
+    svc = AsyncCompactionService(t)
+    for i in range(2):
+        t.upsert(li.limit(300).withColumn("l_quantity", F.lit(float(i))))
+        svc.schedule_and_enqueue()
+        # ingestion continues while the worker compacts
+        t.upsert(li.limit(100).withColumn("l_quantity", F.lit(50.0 + i)))
+    done = svc.stop()
+    assert done  # at least one compaction ran
+    assert t.read().filter("l_quantity = 51.0").count() >= 100
+    assert t.read().count() <= li.count()
