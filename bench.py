@@ -69,7 +69,11 @@ def main():
             precombine_field="l_shipdate", table_type=table_type)
 
     # ---- COW write path -------------------------------------------------
+    from incubator_hudi_spark.config import INDEX_INMEMORY
     t = make_table("cow")
+    # steady-state writer shape: keep the key index warm across batches
+    # (INMEMORY index — update-only commits retain the persisted index)
+    t.cfg = t.cfg.with_(index_type=INDEX_INMEMORY)
     with timed("bulk_insert"):
         c0 = t.bulk_insert(li)
 

@@ -51,6 +51,10 @@ INDEX_SIMPLE = "SIMPLE"
 INDEX_GLOBAL_SIMPLE = "GLOBAL_SIMPLE"
 INDEX_BLOOM = "BLOOM"          # min/max-key stats pruning from commit metadata
 INDEX_GLOBAL_BLOOM = "GLOBAL_BLOOM"
+# key→location cache held on the table object across batches
+# (SparkInMemoryHashIndex.java — ours is a persisted DataFrame, not a
+# driver hashmap, so it scales past driver memory)
+INDEX_INMEMORY = "INMEMORY"
 
 # Cleaning policies — HoodieCleaningPolicy.java:24-26
 CLEAN_KEEP_LATEST_COMMITS = "KEEP_LATEST_COMMITS"

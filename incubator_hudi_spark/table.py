@@ -29,7 +29,8 @@ from pyspark.sql.types import (BooleanType, StringType, StructField,
 
 from . import timeline as tl
 from .config import (BULK_INSERT, COPY_ON_WRITE, DELETE, DELETE_MARKER,
-                     DELETE_PARTITION, INSERT, INSERT_OVERWRITE,
+                     DELETE_PARTITION, INDEX_INMEMORY, INDEX_SIMPLE, INSERT,
+                     INSERT_OVERWRITE,
                      INSERT_OVERWRITE_TABLE, MERGE_ON_READ, META_COLUMNS,
                      META_COMMIT_SEQNO, META_COMMIT_TIME, META_FILE_NAME,
                      META_PARTITION_PATH,
@@ -57,6 +58,12 @@ class HudiTable:
         # OCC pre-commit guard (concurrency.OccWriter installs a context
         # manager factory: _pre_commit_hook(instant_time, touched_fgs))
         self._pre_commit_hook = None
+        # INMEMORY index state (SparkInMemoryHashIndex.java): a persisted
+        # (key, partition, fg) DataFrame cached across write batches,
+        # validated against the last completed data instant
+        self._key_index: Optional[DataFrame] = None
+        self._key_index_parts: set = set()
+        self._key_index_valid_at: Optional[str] = None
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -100,6 +107,58 @@ class HudiTable:
 
     def view(self, as_of: Optional[str] = None) -> FileSystemView:
         return FileSystemView(self.meta, as_of=as_of)
+
+    # ------------------------------------------------------------------
+    # INMEMORY index cache (SparkInMemoryHashIndex.java — generalised to a
+    # persisted DataFrame so it scales past driver memory; the reference's
+    # ConcurrentHashMap is test-only)
+    # ------------------------------------------------------------------
+    def _invalidate_key_index(self) -> None:
+        if self._key_index is not None:
+            try:
+                self._key_index.unpersist()
+            except Exception:
+                pass
+        self._key_index = None
+        self._key_index_parts = set()
+        self._key_index_valid_at = None
+
+    def _load_index(self, view: FileSystemView,
+                    partitions: Optional[list],
+                    key_range: Optional[tuple]) -> DataFrame:
+        """Key→location index for tagging.  INMEMORY keeps the scan result
+        persisted across batches (valid while no commit has changed any
+        key→file-group mapping; update-only upserts extend validity), loading
+        only partitions not yet covered — repeated upserts into hot
+        partitions skip the table-sized key-column scan entirely."""
+        it = self.cfg.index_type
+        if it != INDEX_INMEMORY:
+            return load_key_index(self.spark, self.meta, view, it,
+                                  partitions, key_range, tc=self.tc)
+        last = self.timeline.last_completed(tl.DATA_ACTIONS)
+        last_t = last.time if last else None
+        if self._key_index is not None and self._key_index_valid_at != last_t:
+            self._invalidate_key_index()  # out-of-band commit → stale
+        need = set(partitions or [])
+        if self._key_index is None:
+            df = load_key_index(self.spark, self.meta, view, INDEX_SIMPLE,
+                                sorted(need), None, tc=self.tc).persist()
+            df.count()  # materialize now so every later job hits the cache
+            self._key_index = df
+            self._key_index_parts = set(need)
+            self._key_index_valid_at = last_t
+        else:
+            missing = sorted(need - self._key_index_parts)
+            if missing:
+                add = load_key_index(self.spark, self.meta, view,
+                                     INDEX_SIMPLE, missing, None, tc=self.tc)
+                old, merged = self._key_index, None
+                merged = old.unionByName(add).persist()
+                merged.count()
+                old.unpersist()
+                self._key_index = merged
+                self._key_index_parts |= set(missing)
+        return self._key_index
 
     def _recover_dangling(self) -> None:
         """Crash recovery on open: roll back inflight/requested *data* writes
@@ -344,9 +403,7 @@ class HudiTable:
             partitions = [r[0] for r in prof]
             key_range = (min(r[2] for r in prof), max(r[3] for r in prof)) if prof else None
 
-            index_df = load_key_index(self.spark, self.meta, view,
-                                      self.cfg.index_type, partitions,
-                                      key_range, tc=self.tc)
+            index_df = self._load_index(view, partitions, key_range)
             n_rows = sum(r[1] for r in prof)
             # the index may map one key to the same file group several times
             # (MOR base+log, duplicate keys in a file); collapse the
@@ -381,6 +438,16 @@ class HudiTable:
                     view, instant.time, updates, inserts,
                     update_fgs, insert_profile)
             self._complete(instant, operation, stats, schema)
+            if self.cfg.index_type == INDEX_INMEMORY:
+                update_only = (not is_delete and
+                               not any(v > 0 for v in insert_profile.values()))
+                if update_only and self._key_index is not None:
+                    # an update-only commit rewrites/appends WITHIN existing
+                    # file groups — every cached location stays correct, so
+                    # the cache survives its own commit
+                    self._key_index_valid_at = instant.time
+                else:
+                    self._invalidate_key_index()
         finally:
             prepared.unpersist()
             if tagged is not None:

@@ -72,3 +72,31 @@ def test_async_compaction(spark, tmp_path, li):
     assert done  # at least one compaction ran
     assert t.read().filter("l_quantity = 51.0").count() >= 100
     assert t.read().count() <= li.count()
+
+
+def test_inmemory_index_cache(spark, tmp_path, li):
+    from incubator_hudi_spark.config import INDEX_INMEMORY
+    t = _mk(spark, tmp_path / "t")
+    t.cfg = t.cfg.with_(index_type=INDEX_INMEMORY)
+    t.upsert(li)  # initial load: inserts → cache does not survive the commit
+    assert t._key_index is None
+    n0 = t.read().count()  # duplicate (key,partition) rows already collapsed
+    # update-only upserts keep the cache warm across batches
+    t.upsert(li.limit(200).withColumn("l_quantity", F.lit(90.0)))
+    assert t._key_index is not None  # built and retained through its commit
+    cached = t._key_index
+    t.upsert(li.limit(200).withColumn("l_quantity", F.lit(91.0)))
+    assert t._key_index is cached  # reused, not rebuilt
+    assert t.read().count() == n0
+    assert t.read().filter("l_quantity = 91.0").count() == 200
+    # an insert batch changes key→fg membership → cache invalidated
+    fresh = li.limit(50).withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
+    t.upsert(fresh)
+    assert t._key_index is None
+    assert t.read().count() == n0 + 50
+    # rebuilt lazily; a delete invalidates again
+    t.upsert(li.limit(10).withColumn("l_quantity", F.lit(92.0)))
+    assert t._key_index is not None
+    t.delete(li.limit(10))
+    assert t._key_index is None
+    assert t.read().filter("l_quantity = 92.0").count() == 0
