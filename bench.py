@@ -97,7 +97,8 @@ def main():
 
     # ---- MOR ------------------------------------------------------------
     tm = make_table("mor", MERGE_ON_READ)
-    tm.cfg = tm.cfg.with_(inline_compaction=False)
+    tm.cfg = tm.cfg.with_(inline_compaction=False,
+                          index_type=INDEX_INMEMORY)
     with timed("mor_ingest_plus_3_deltas"):
         tm.upsert(li)
         for i in range(3):

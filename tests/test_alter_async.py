@@ -100,3 +100,22 @@ def test_inmemory_index_cache(spark, tmp_path, li):
     t.delete(li.limit(10))
     assert t._key_index is None
     assert t.read().filter("l_quantity = 92.0").count() == 0
+
+
+def test_catalog_sync(spark, tmp_path, li):
+    from incubator_hudi_spark.sync import sync_to_catalog, sync_partitions
+    t = _mk(spark, tmp_path / "cow")
+    t.upsert(li)
+    assert sync_to_catalog(t, "trips_cow") == ["trips_cow"]
+    assert spark.sql("select count(*) c from trips_cow").first().c == t.read().count()
+    m = _mk(spark, tmp_path / "mor", table_type=MERGE_ON_READ)
+    m.cfg = m.cfg.with_(inline_compaction=False)
+    m.upsert(li)
+    m.upsert(li.limit(100).withColumn("l_quantity", F.lit(77.0)))
+    names = sync_to_catalog(m, "trips_mor")
+    assert names == ["trips_mor_ro", "trips_mor_rt", "trips_mor"]
+    rt = spark.sql("select count(*) c from trips_mor_rt where l_quantity=77.0").first().c
+    ro = spark.sql("select count(*) c from trips_mor_ro where l_quantity=77.0").first().c
+    assert rt == 100 and ro < 100  # logs visible only through realtime view
+    parts = sync_partitions(m)
+    assert parts and all("-" in p for p in parts)
