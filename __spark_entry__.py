@@ -844,10 +844,33 @@ def text_quality(spark, sf_dir):
          / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"))
 
 
-@q("lang_id_counts")
+def _lang_id_oracle() -> str:
+    """CASE-chain mirror of text.detect_language: first language in sorted
+    order holding the max marker-hit count wins; zero hits → unknown."""
+    from incubator_hudi_spark.operators.text import LANG_MARKERS
+    langs = sorted(LANG_MARKERS)
+    toks = "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))"
+    hits = ",\n    ".join(
+        "len(list_intersect({}, [{}])) AS h_{}".format(
+            toks, ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang)
+        for lang in langs)
+    m = "greatest({})".format(", ".join(f"h_{lang}" for lang in langs))
+    case = "CASE WHEN {m} = 0 THEN 'unknown' {whens} END".format(
+        m=m, whens=" ".join(f"WHEN h_{lang} = {m} THEN '{lang}'"
+                            for lang in langs))
+    return f"""
+WITH h AS (SELECT lang,
+    {hits}
+  FROM documents)
+SELECT lang, {case} AS pred, count(*) AS count
+FROM h GROUP BY lang, pred ORDER BY lang, pred
+"""
+
+
+@q("lang_id_counts", _lang_id_oracle())
 def lang_id_counts(spark, sf_dir):
-    """language-ID heuristic vs the generator's label (rows-only check; the
-    argmax CASE chain is mirrorable but brittle across regex dialects)."""
+    """language-ID heuristic vs the generator's label, oracle-matched: the
+    argmax loop is mirrored as a CASE chain over list_intersect hit counts."""
     from incubator_hudi_spark.operators import text as T
     docs = _load(spark, sf_dir, "documents")
     return (docs.withColumn("pred", T.detect_language(F.col("text")))
@@ -883,16 +906,45 @@ def ann_brute_force_topk(spark, sf_dir):
             .select("query_id", "vec_id", F.col("rank2").alias("rank")))
 
 
-@q("ann_lsh_topk")
+def _lsh_topk_oracle() -> str:
+    from incubator_hudi_spark.operators.similarity import _hyperplanes
+    hp = _hyperplanes(64, 4, seed=42)
+    bkt = " + ".join(
+        "(CASE WHEN round(list_inner_product(e, [{}]), 9) >= 0 "
+        "THEN {} ELSE 0 END)".format(
+            ", ".join(repr(x) for x in plane), 1 << p)
+        for p, plane in enumerate(hp))
+    return f"""
+WITH b AS (SELECT vec_id, embedding AS e, {bkt} AS bkt FROM embeddings),
+queries AS (SELECT vec_id AS query_id, e AS q, bkt FROM b WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.q, e.e) AS cosine_sim
+  FROM b e JOIN queries q ON e.bkt = q.bkt),
+ranked AS (SELECT query_id, vec_id,
+  row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(cosine_sim, 6) DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@q("ann_lsh_topk", _lsh_topk_oracle())
 def ann_lsh_topk_q(spark, sf_dir):
     """LSH-bucketed approximate top-k (the sub-linear scale path; candidate
-    set = the query's hyperplane bucket only — rows-only check, approximation
-    makes an exact SQL oracle inapplicable)."""
+    set = the query's hyperplane bucket only).  Oracle-matched: DuckDB
+    recomputes the same seeded buckets and rounded-cosine ranking."""
     from incubator_hudi_spark.operators import similarity as S
+    from pyspark.sql.window import Window
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 8").select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return S.lsh_topk(emb, queries, k=5, planes=4)
+    scored = S.lsh_topk(emb, queries, k=1_000_000_000, planes=4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine_sim", 6)), F.col("vec_id"))
+    return (scored.withColumn("rank2", F.row_number().over(w))
+                  .filter(F.col("rank2") <= 5)
+                  .select("query_id", "vec_id",
+                          F.col("rank2").alias("rank")))
 
 
 @q("ann_ivf_topk")
@@ -907,32 +959,103 @@ def ann_ivf_topk_q(spark, sf_dir):
     return S.ivf_topk(emb, queries, cents, k=5, nprobe=2)
 
 
-@q("minhash_lsh_pairs")
+@q("minhash_lsh_pairs", r"""
+WITH docs AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(lower(trim(text)),'\s+')) - 2, 1) + 1),
+      i -> array_to_string(string_split_regex(lower(trim(text)),'\s+')[i:i+2], ' '))) AS sh
+  FROM documents),
+sigs AS (
+  SELECT doc_id,
+    list_transform(range(0, 16),
+      i -> list_min(list_transform(sh, s -> md5(i::varchar || md5(s))))) AS sig
+  FROM docs),
+banded AS (
+  SELECT doc_id, b AS band, md5(sig[b*2+1] || sig[b*2+2]) AS bh
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0
+         AS sig_similarity
+FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id
+          JOIN sigs sb ON cand.id_b = sb.doc_id
+WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.7
+""")
 def minhash_lsh_pairs_q(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (xxhash64-based — not SQL-expressible;
-    rows-only check; exactness is covered by ngram_jaccard)."""
+    """MinHash+LSH near-dup pairs, oracle-matched end-to-end: the md5 hash
+    family makes shingle→signature→band→bucket-join→verify reproducible in
+    DuckDB (the xxhash64 family in dedup_minhash shares the same plan)."""
     from incubator_hudi_spark.operators import dedup as D
     docs = _load(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, k=16, bands=8, verify_threshold=0.7) \
+    return D.minhash_lsh_pairs(docs, k=16, bands=8, verify_threshold=0.7,
+                               hash_family="md5") \
             .select("id_a", "id_b", "sig_similarity")
 
 
-@q("simhash_pairs")
+@q("simhash_pairs", r"""
+WITH toks AS (
+  SELECT doc_id, list_transform(
+    string_split_regex(lower(trim(text)), '\s+'),
+    t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+  FROM documents),
+sh AS (
+  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+    b -> CASE WHEN list_sum(list_transform(hs,
+           h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS s
+  FROM toks),
+chunked AS (
+  SELECT doc_id, s, c AS chunk, (s >> (c*16)) & 65535 AS ck
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.ck = b.ck
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa.s, sb.s)) AS INT) AS hamming
+FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+          JOIN sh sb ON cand.id_b = sb.doc_id
+WHERE bit_count(xor(sa.s, sb.s)) <= 3
+""")
 def simhash_pairs_q(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs, oracle-matched via the 60-bit md5 hash family
+    (the xxhash64 64-bit family shares the identical plan)."""
     from incubator_hudi_spark.operators import dedup as D
     docs = _load(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=3)
+    return D.simhash_pairs(docs, max_hamming=3, hash_family="md5")
 
 
-@q("embedding_neardup_pairs")
+def _neardup_oracle() -> str:
+    """LSH bucket + cosine verify with the Spark op's exact hyperplane
+    literals (seeded), rounded-sign buckets, rounded-cosine threshold."""
+    from incubator_hudi_spark.operators.similarity import _hyperplanes
+    hp = _hyperplanes(64, 4, seed=42)
+    bkt = " + ".join(
+        "(CASE WHEN round(list_inner_product(e, [{}]), 9) >= 0 "
+        "THEN {} ELSE 0 END)".format(
+            ", ".join(repr(x) for x in plane), 1 << p)
+        for p, plane in enumerate(hp))
+    return f"""
+WITH b AS (SELECT vec_id, embedding AS e, {bkt} AS bkt FROM embeddings)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+WHERE round(list_cosine_similarity(a.e, b2.e), 6) >= 0.30
+"""
+
+
+@q("embedding_neardup_pairs", _neardup_oracle())
 def embedding_neardup_pairs_q(spark, sf_dir):
-    """embedding-cosine near-dup pairs via LSH buckets (rows-only check; the
-    synthetic embeddings top out around cosine 0.46, so the demo threshold
-    sits below that to exercise real matches)."""
+    """embedding-cosine near-dup pairs via LSH buckets, oracle-matched: the
+    DuckDB oracle reuses the op's seeded hyperplanes, rounded-sign buckets,
+    and rounded cosine threshold.  (Synthetic embeddings top out around
+    cosine 0.46, so the demo threshold sits below that.)"""
     from incubator_hudi_spark.operators import similarity as S
     emb = _load(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(emb, threshold=0.30, planes=4)
+    return S.embedding_neardup_pairs(emb, threshold=0.30, planes=4,
+                                     round_to=6).select("id_a", "id_b")
 
 
 @q("embedding_cosine_pairs", """
@@ -954,19 +1077,35 @@ def embedding_cosine_pairs_q(spark, sf_dir):
              .select("id_a", "id_b"))
 
 
-@q("doc_fingerprint")
+@q("doc_fingerprint", """
+SELECT doc_id,
+       list_min([md5(lower(substring(text, i, 8)))
+                 FOR i IN range(1, greatest(length(text)-7, 1)+1)]) AS fingerprint
+FROM documents
+""")
 def doc_fingerprint_q(spark, sf_dir):
-    """winnowing fingerprints (xxhash64 — rows-only check)."""
+    """winnowing fingerprints — md5 window-hash variant so the DuckDB oracle
+    reproduces values exactly (the xxhash64 fast path in text.analyze shares
+    the same sequence→transform→array_min plan)."""
     from incubator_hudi_spark.operators import text as T
     docs = _load(spark, sf_dir, "documents")
     return docs.select("doc_id",
-                       T.doc_fingerprint(F.col("text")).alias("fingerprint"))
+                       T.doc_fingerprint_md5(F.col("text")).alias("fingerprint"))
 
 
-@q("multimodal_features")
+@q("multimodal_features", """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][(doc_id % 3)+1] AS modality,
+       12 + octet_length(encode(text)) AS n_bytes,
+       (('0x'||substring(md5(text),1,4))::int % 640) + 1 AS width,
+       (('0x'||substring(md5(text||'h'),1,4))::int % 480) + 1 AS height,
+       (('0x'||substring(md5(text||'f'),1,4))::int % 32) + 1 AS n_frames
+FROM documents WHERE doc_id < 100
+""")
 def multimodal_features_q(spark, sf_dir):
-    """binary media plumbing: synthesize → Arrow-batched feature extraction
-    (decode stubbed; rows-only check)."""
+    """binary media plumbing: synthesize → Arrow-batched feature extraction.
+    The decode is stubbed (fake 12-byte header), but header values are
+    md5-derived so the DuckDB oracle verifies the full mapInPandas path."""
     from incubator_hudi_spark.operators import multimodal as M
     docs = _load(spark, sf_dir, "documents").filter("doc_id < 100")
     media = M.synthesize_media_from_documents(docs)

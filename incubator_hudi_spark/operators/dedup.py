@@ -84,25 +84,37 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
 
 def minhash_signatures_df(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 16,
-                          shingle_w: int = 3) -> DataFrame:
+                          shingle_w: int = 3,
+                          hash_family: str = "xxhash64") -> DataFrame:
     """(id, mh0..mh{k-1}) via explode + groupBy with k ``min`` aggregates —
     the 100 TB shape: whole-stage-codegen aggregates with map-side partial
     combine (nested higher-order-function trees are interpreted and get
     re-evaluated per permutation; this form hashes each shingle string once,
-    CSE'd across the k aggregates)."""
+    CSE'd across the k aggregates).
+
+    ``hash_family``: "xxhash64" (fast path, long signatures) or "md5"
+    (portable path — hex-string signatures any ANSI-SQL engine reproduces;
+    identical plan shape, used by the oracle-checked query)."""
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(
             word_shingles(F.col(text_col), shingle_w))).alias("_s"))
-    base = F.xxhash64(F.col("_s"))
-    return ex.groupBy("_id").agg(*[
-        F.min(F.xxhash64(base, F.lit(i))).alias(f"mh{i}") for i in range(k)])
+    if hash_family == "md5":
+        base = F.md5(F.col("_s"))
+        perms = [F.min(F.md5(F.concat(F.lit(str(i)), base))).alias(f"mh{i}")
+                 for i in range(k)]
+    else:
+        base = F.xxhash64(F.col("_s"))
+        perms = [F.min(F.xxhash64(base, F.lit(i))).alias(f"mh{i}")
+                 for i in range(k)]
+    return ex.groupBy("_id").agg(*perms)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 16, bands: int = 8,
                       shingle_w: int = 3,
-                      verify_threshold: float | None = 0.5) -> DataFrame:
+                      verify_threshold: float | None = 0.5,
+                      hash_family: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     shingle → k minhashes → ``bands`` band-hashes → bucket self-join on slim
@@ -111,13 +123,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     per (band, band_hash) bucket; skewed buckets (boilerplate content) are
     handled by AQE skew-join.  Returns (id_a, id_b, sig_similarity)."""
     r = k // bands
-    sigs = minhash_signatures_df(df, text_col, id_col, k, shingle_w)
+    sigs = minhash_signatures_df(df, text_col, id_col, k, shingle_w,
+                                 hash_family)
+    if hash_family == "md5":
+        def band_hash(b):
+            return F.md5(F.concat(*[F.col(f"mh{b * r + j}")
+                                    for j in range(r)]))
+    else:
+        def band_hash(b):
+            return F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)])
     banded = sigs.select(
         "_id",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)])
-                      .alias("bh"))
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
             for b in range(bands)])).alias("bk")
     ).select("_id", "bk.band", "bk.bh")
     cand = (banded.alias("a")
@@ -153,14 +171,23 @@ def dedup_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-               bits: int = 64) -> DataFrame:
-    """(id, simhash) via explode + groupBy: per token one xxhash64, per bit a
+               bits: int = 64, hash_family: str = "xxhash64") -> DataFrame:
+    """(id, simhash) via explode + groupBy: per token one hash, per bit a
     signed-majority ``sum`` aggregate (codegen + map-side combine — the same
-    scale argument as minhash_signatures_df)."""
+    scale argument as minhash_signatures_df).
+
+    ``hash_family`` "md5": 60-bit token hashes from the md5 hex prefix —
+    reproducible in any ANSI-SQL engine (the oracle-checked path); caps
+    ``bits`` at 60 so every mask stays positive."""
     ex = df.select(F.col(id_col).alias("_id"),
                    F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                                      r"\s+")).alias("_t"))
-    h = F.xxhash64(F.col("_t"))
+    if hash_family == "md5":
+        bits = min(bits, 60)
+        h = F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10) \
+             .cast("long")
+    else:
+        h = F.xxhash64(F.col("_t"))
     votes = []
     for b in range(bits):
         mask = (1 << b) if b < 63 else -(1 << 63)
@@ -194,11 +221,13 @@ def simhash(text: Column, bits: int = 64) -> Column:
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  hash_family: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: candidates must share one of 4 16-bit chunks
-    (pigeonhole: hamming ≤ 3 ⇒ some chunk is identical), verified by exact
+    (pigeonhole: hamming ≤ 3 ⇒ some chunk is identical — also true for the
+    60-bit md5 family, whose last chunk holds 12 bits), verified by exact
     hamming distance (bit_count of xor)."""
-    docs = simhash_df(df, text_col, id_col)
+    docs = simhash_df(df, text_col, id_col, hash_family=hash_family)
     chunked = docs.select(
         "_id", "_sh",
         F.explode(F.array(*[

@@ -52,10 +52,16 @@ def synthesize_media_from_documents(docs: DataFrame,
     """Deterministic media fixture: encode each document's text as the blob
     with a tiny fake header carrying width/height/frames (JVM-side encode)."""
     t = F.col(text_col)
+
+    # md5-derived header fields (not xxhash64) so any ANSI-SQL engine can
+    # reproduce the fixture byte-for-byte (the DuckDB oracle does)
+    def _h(col, mod):
+        return F.pmod(F.conv(F.substring(F.md5(col), 1, 4), 16, 10)
+                      .cast("int"), F.lit(mod))
     header = F.concat(
-        F.lpad(F.pmod(F.xxhash64(t), F.lit(640)).cast("string"), 4, "0"),
-        F.lpad(F.pmod(F.xxhash64(t, F.lit("h")), F.lit(480)).cast("string"), 4, "0"),
-        F.lpad(F.pmod(F.xxhash64(t, F.lit("f")), F.lit(32)).cast("string"), 4, "0"))
+        F.lpad(_h(t, 640).cast("string"), 4, "0"),
+        F.lpad(_h(F.concat(t, F.lit("h")), 480).cast("string"), 4, "0"),
+        F.lpad(_h(F.concat(t, F.lit("f")), 32).cast("string"), 4, "0"))
     payload = F.encode(F.concat(header, t), "UTF-8")
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),

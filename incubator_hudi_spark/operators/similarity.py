@@ -67,14 +67,18 @@ def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, hyperplanes: Sequence[Sequence[float]]) -> Column:
-    """Sign-bit bucket id from fixed random hyperplanes (deterministic seed)."""
+    """Sign-bit bucket id from fixed random hyperplanes (deterministic seed).
+    The projection is rounded to 9 decimals before the sign test so bucket
+    ids are reproducible across engines regardless of float summation
+    order (the DuckDB oracle computes the same rounded sign)."""
     bits = []
     for p, plane in enumerate(hyperplanes):
         proj = F.aggregate(
             F.zip_with(vec, F.array(*[F.lit(x) for x in plane]),
                        lambda v, h: (v * h).cast("double")),
             F.lit(0.0), lambda acc, v: acc + v)
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        bits.append(F.when(F.round(proj, 9) >= 0, F.lit(1 << p))
+                     .otherwise(F.lit(0)))
     out = F.lit(0)
     for b in bits:
         out = out + b
@@ -177,10 +181,13 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95,
                             planes: int = 8, seed: int = 42,
-                            dim: Optional[int] = None) -> DataFrame:
+                            dim: Optional[int] = None,
+                            round_to: Optional[int] = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join + exact
     cosine verify (≥ threshold).  Near-identical vectors agree on all sign
-    bits with high probability, so the self-join is per-bucket."""
+    bits with high probability, so the self-join is per-bucket.
+    ``round_to``: round the cosine before the threshold test (cross-engine
+    float determinism for oracle checking)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     hp = _hyperplanes(dim, planes, seed)
@@ -191,8 +198,11 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                  F.col("_n").alias("na"), "_bkt")
     b = d.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
                  F.col("_n").alias("nb"), "_bkt")
-    return (a.join(b, on="_bkt")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cosine_sim", dot("va", "vb") / (F.col("na") * F.col("nb")))
-             .filter(F.col("cosine_sim") >= threshold)
-             .select("id_a", "id_b", "cosine_sim"))
+    out = (a.join(b, on="_bkt")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine_sim",
+                        dot("va", "vb") / (F.col("na") * F.col("nb"))))
+    cmp = (F.round(F.col("cosine_sim"), round_to) if round_to is not None
+           else F.col("cosine_sim"))
+    return (out.filter(cmp >= threshold)
+               .select("id_a", "id_b", "cosine_sim"))

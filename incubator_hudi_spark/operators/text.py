@@ -100,6 +100,17 @@ def doc_fingerprint(text: Column, w: int = 8, stride: int = 1) -> Column:
         lambda i: F.xxhash64(F.lower(text.substr(i, F.lit(w))))))
 
 
+def doc_fingerprint_md5(text: Column, w: int = 8, stride: int = 1) -> Column:
+    """Portable variant of ``doc_fingerprint``: min md5-hex over w-char
+    windows.  Identical plan shape (sequence→transform→array_min, all
+    codegen); md5 instead of xxhash64 so external engines (the DuckDB
+    oracle, any ANSI-SQL system) can reproduce the value bit-for-bit."""
+    n = F.greatest(F.length(text) - F.lit(w - 1), F.lit(1))
+    return F.array_min(F.transform(
+        F.sequence(F.lit(1), n, F.lit(stride)),
+        lambda i: F.md5(F.lower(text.substr(i, F.lit(w))))))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop text analysis: language, token counts, quality, fingerprint."""
     out = quality_features(df, text_col)
