@@ -947,16 +947,53 @@ def ann_lsh_topk_q(spark, sf_dir):
                           F.col("rank2").alias("rank")))
 
 
-@q("ann_ivf_topk")
+@q("ann_ivf_topk", """
+WITH cents AS (
+  SELECT embedding AS c, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+ac AS (
+  SELECT e.vec_id, e.embedding AS v, c.cell,
+         round(list_cosine_similarity(e.embedding, c.c), 9) AS sim
+  FROM embeddings e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell ASC) AS rn
+    FROM ac) WHERE rn = 1),
+probes AS (
+  SELECT query_id, q, cell FROM (
+    SELECT vec_id AS query_id, v AS q, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell DESC) AS rn
+    FROM ac WHERE vec_id < 8) WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, p.q) AS cs
+  FROM assigned a JOIN probes p ON a.cell = p.cell)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cs, 6) DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+""")
 def ann_ivf_topk_q(spark, sf_dir):
-    """IVF coarse-quantizer approximate top-k with nprobe=2 (rows-only
-    check)."""
+    """IVF coarse-quantizer approximate top-k with nprobe=2, oracle-matched:
+    centroids are the 8 lowest-id vectors, so DuckDB reproduces assignment
+    (rounded argmax, ties → lowest cell), probe selection (ties → highest
+    cell, mirroring the reversed array_sort), and the rounded-cosine rank."""
     from incubator_hudi_spark.operators import similarity as S
+    from pyspark.sql.window import Window
     emb = _load(spark, sf_dir, "embeddings")
     cents = S.sample_centroids(emb, n=8)
     queries = emb.filter("vec_id < 8").select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return S.ivf_topk(emb, queries, cents, k=5, nprobe=2)
+    scored = S.ivf_topk(emb, queries, cents, k=1_000_000_000, nprobe=2,
+                        round_to=9)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine_sim", 6)), F.col("vec_id"))
+    return (scored.withColumn("rank2", F.row_number().over(w))
+            .filter("rank2 <= 5")
+            .select("query_id", "vec_id", F.col("rank2").alias("rank")))
 
 
 @q("minhash_lsh_pairs", r"""

@@ -117,15 +117,21 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 # ---------------------------------------------------------------------------
 
 def ivf_assign(corpus: DataFrame, centroids: Sequence[Sequence[float]],
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               round_to: Optional[int] = None) -> DataFrame:
     """Assign each vector to its nearest centroid (one pass; centroids are a
     literal array — at scale they come from a sampled k-means job and are
-    broadcast).  Adds ``_ivf_cell``."""
+    broadcast).  Adds ``_ivf_cell``.  ``round_to``: round the centroid
+    similarity before the argmax compare (cross-engine float determinism —
+    the DuckDB oracle computes the same rounded argmax); ties keep the
+    lowest cell id."""
     best = None
     for ci, cent in enumerate(centroids):
         carr = F.array(*[F.lit(x) for x in cent])
         d = dot(F.col(vec_col), carr) / (l2_norm(F.col(vec_col)) * F.lit(
             math.sqrt(sum(x * x for x in cent)) or 1.0))
+        if round_to is not None:
+            d = F.round(d, round_to)
         cell = F.struct(d.alias("sim"), F.lit(ci).alias("cell"))
         best = cell if best is None else F.when(cell["sim"] > best["sim"], cell).otherwise(best)
     return corpus.withColumn("_ivf_cell", best["cell"])
@@ -135,14 +141,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
              centroids: Sequence[Sequence[float]], k: int = 10,
              nprobe: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             round_to: Optional[int] = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     their nearest coarse centroid once (at 100 TB that's a write-time
     cluster/partition column); each query probes only its ``nprobe`` nearest
     cells.  Everything is JVM expressions — centroids are literals (from a
     sampled k-means job at scale), probing is an explode + co-partitioned
     join on the cell id, never a cross product."""
-    c = ivf_assign(corpus, centroids, vec_col).select(
+    c = ivf_assign(corpus, centroids, vec_col, round_to=round_to).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"),
         l2_norm(F.col(vec_col)).alias("_cn"), "_ivf_cell")
 
@@ -151,9 +158,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     for ci, cent in enumerate(centroids):
         carr = F.array(*[F.lit(x) for x in cent])
         norm = math.sqrt(sum(x * x for x in cent)) or 1.0
-        sims.append(F.struct(
-            (dot(F.col(vec_col), carr) / (l2_norm(F.col(vec_col)) * F.lit(norm)))
-            .alias("sim"), F.lit(ci).alias("cell")))
+        sim = dot(F.col(vec_col), carr) / (l2_norm(F.col(vec_col)) * F.lit(norm))
+        if round_to is not None:
+            sim = F.round(sim, round_to)
+        sims.append(F.struct(sim.alias("sim"), F.lit(ci).alias("cell")))
     probe_cells = F.slice(F.reverse(F.array_sort(F.array(*sims))), 1, nprobe)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
