@@ -394,6 +394,20 @@ class HudiTable:
                             pending_compaction[fg] = max(
                                 pending_compaction.get(fg, ""), p.time)
             view = self.view()
+            if not is_delete and not view.latest_slices():
+                # first commit into an empty table: every record is an
+                # insert — skip index load, tagging, and the merge window
+                # (tagging against an empty index yields the same routing,
+                # one table scan and one shuffle more expensive)
+                stats, fg_map, schema = self._write_inserts(
+                    prepared, instant.time,
+                    pack_small_files=(self.tc.table_type == COPY_ON_WRITE),
+                    sort_mode=SORT_PARTITION, action_view=view)
+                self._complete(instant, operation, stats, schema)
+                if self.cfg.index_type == INDEX_INMEMORY:
+                    self._invalidate_key_index()
+                self._post_commit()
+                return instant.time
             # workload profile (BaseSparkCommitActionExecutor.java:122-127) +
             # key range for BLOOM-style pruning — one Spark action
             prof = prepared.groupBy(META_PARTITION_PATH).agg(
