@@ -152,7 +152,14 @@ def tag_locations(incoming: DataFrame, index_df: DataFrame, index_type: str,
            else index_df.withColumnRenamed(CUR_PART_COL, partition_col))
     if broadcast_incoming:
         probe = incoming.select(*on).dropDuplicates(on)
-        idx = F.broadcast(idx.join(F.broadcast(probe), on=on, how="left_semi"))
+        idx = idx.join(F.broadcast(probe), on=on, how="left_semi")
+        # collapse multi-row locations (MOR base+log, duplicate keys within
+        # one file) on the pruned ≤batch-sized side so the tagging join can
+        # only multiply per distinct file group — callers then need no
+        # batch-wide dedup shuffle
+        dedup_cols = on + ([CUR_PART_COL] if is_global(index_type) else []) \
+            + [FG_COL]
+        idx = F.broadcast(idx.dropDuplicates(dedup_cols))
     tagged = incoming.join(idx, on=on, how="left")
     if is_global(index_type):
         tagged = tagged.withColumn(

@@ -419,17 +419,26 @@ class HudiTable:
 
             index_df = self._load_index(view, partitions, key_range)
             n_rows = sum(r[1] for r in prof)
-            # the index may map one key to the same file group several times
-            # (MOR base+log, duplicate keys in a file); collapse the
-            # join-induced row multiplication per (input row, file group) —
-            # a batch-sized dedup, keyed by uid so genuine duplicate input
-            # rows survive when preCombine is off
-            uid = "_hoodie_row_uid"
-            tagged = tag_locations(
-                prepared.withColumn(uid, F.monotonically_increasing_id()),
-                index_df, self.cfg.index_type,
-                broadcast_incoming=(n_rows <= self.cfg.index_broadcast_max_rows),
-            ).dropDuplicates([uid, FG_COL]).drop(uid).persist()
+            bc = n_rows <= self.cfg.index_broadcast_max_rows
+            if bc:
+                # broadcast path pre-dedups the pruned index side per file
+                # group — the join can't multiply rows per (input row, fg)
+                tagged = tag_locations(prepared, index_df,
+                                       self.cfg.index_type,
+                                       broadcast_incoming=True)
+            else:
+                # shuffle path: the index may map one key to the same file
+                # group several times (MOR base+log, duplicate keys in a
+                # file); collapse the join-induced multiplication per
+                # (input row, file group) — keyed by uid so genuine
+                # duplicate input rows survive when preCombine is off
+                uid = "_hoodie_row_uid"
+                tagged = tag_locations(
+                    prepared.withColumn(uid, F.monotonically_increasing_id()),
+                    index_df, self.cfg.index_type,
+                    broadcast_incoming=False,
+                ).dropDuplicates([uid, FG_COL]).drop(uid)
+            tagged = tagged.persist()
 
             # per-file-group update counts + per-partition insert counts
             fg_prof = tagged.groupBy(META_PARTITION_PATH, FG_COL).count().collect()
