@@ -143,12 +143,36 @@ def main():
         ("per-file-group merge window present", "Window" in p),
     ])
 
-    # 5 — index tagging broadcasts the batch, streams the key scan
+    # 5 — index tagging broadcasts the batch, streams the key scan.  The
+    # pruned (≤ batch-sized) location set may be shuffled once for its
+    # per-file-group dedup — what must NEVER happen is an exchange between
+    # the table-sized key-column scan and the semi-join that prunes it.
+    def scan_pruned_before_any_exchange(df) -> bool:
+        def walk(node, saw_exchange_above):
+            name = node.nodeName()
+            if "FileScan" in name and "_hoodie_record_key" in node.simpleString(200) \
+                    and "InMemoryFileIndex(1 paths)" not in node.simpleString(500):
+                # the key scan: every exchange above it must sit above the
+                # pruning semi-join, i.e. we must have passed a semi join
+                # before reaching here from any exchange
+                return not saw_exchange_above
+            is_exchange = ("Exchange" in name and "Broadcast" not in name
+                           and "Reused" not in name)
+            if "Join" in name and "LeftSemi" in node.simpleString(200):
+                saw_exchange_above = False      # pruning happened below here
+            ch = node.children()
+            return all(walk(ch.apply(i), saw_exchange_above or is_exchange)
+                       for i in range(ch.size()))
+        return walk(df._jdf.queryExecution().executedPlan(), False)
+
     check("index tagging: broadcast batch key set, streamed key scan",
           tagging_plan, [
         ("broadcast join used", "BroadcastHashJoin" in tagging_plan
          or "BroadcastExchange" in tagging_plan),
-        ("no shuffle of the key scan", n_exchanges(tagged_df) == 0),
+        ("key scan semi-join-pruned before any exchange",
+         scan_pruned_before_any_exchange(tagged_df)),
+        (f"at most one batch-sized exchange (found {n_exchanges(tagged_df)})",
+         n_exchanges(tagged_df) <= 1),
     ])
 
     # 4 — MOR snapshot merge: one shuffle window
