@@ -106,7 +106,7 @@ def run_compaction(table, instant_time: Optional[str] = None) -> Optional[str]:
     stats = write_instant_files(
         merged.select(*[c for c in merged.columns if c in schema.names or c == FG]),
         table.meta, instant_time, fgs, table.cfg,
-        sort_cols=["_hoodie_record_key"])
+        sort_cols=["_hoodie_record_key"], ensure_fgs=set(fgs))
     table._complete(inflight, COMPACT, stats, schema,
                     completed_action=tl.COMMIT)
     return instant_time

@@ -514,7 +514,8 @@ class HudiTable:
         schema = self._commit_schema(merged)
         stats = write_instant_files(merged, self.meta, instant_time, fg_map,
                                     self.cfg, sort_cols=[META_RECORD_KEY],
-                                    pre_partitioned=True)
+                                    pre_partitioned=True,
+                                    ensure_fgs=rewrite_fgs)
         return stats, fg_map, schema
 
     def _upsert_mor(self, view: FileSystemView, instant_time: str,

@@ -183,12 +183,19 @@ def write_instant_files(
     fg_base_instant: Optional[dict[str, str]] = None,
     subdir: Optional[str] = None,
     pre_partitioned: bool = False,
+    ensure_fgs: Optional[set[str]] = None,
 ) -> list[WriteStat]:
     """Shuffle to one task per file group and write the instant directory.
 
     ``df`` must carry the transient ``_fg`` column.  Returns the manifest.
     ``pre_partitioned``: caller already clustered the frame by ``_fg`` (e.g.
     the upsert merge window) — skip the extra exchange.
+    ``ensure_fgs``: file groups that MUST get a new version this instant even
+    if their merge output is empty (a delete that empties a file group, a
+    compaction whose rows are all tombstoned).  partitionBy writes nothing
+    for an empty group, and a group with no new version would silently fall
+    back to its previous (undeleted) version at read time — so an explicit
+    empty base file is materialized for each missing group.
     """
     if pre_partitioned:
         out = df
@@ -207,6 +214,22 @@ def write_instant_files(
         .partitionBy(FG)
         .mode("append")          # dir is unique per instant; append avoids pre-listing
         .parquet(out_dir))
+    if ensure_fgs:
+        written = {d.split("=", 1)[1] for d in os.listdir(out_dir)
+                   if d.startswith(f"{FG}=")}
+        missing = set(ensure_fgs) - written
+        if missing:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+            data_schema = StructType(
+                [f for f in df.schema.fields if f.name != FG])
+            empty = pa.Table.from_pylist([], schema=to_arrow_schema(data_schema))
+            for fg in sorted(missing):
+                d = os.path.join(out_dir, f"{FG}={fg}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(empty, os.path.join(d, "part-empty-00000.parquet"))
     return collect_write_stats(meta, out_dir, fg_to_partition, log=log,
                                fg_base_instant=fg_base_instant,
                                default_base_instant=instant_time)

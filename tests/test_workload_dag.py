@@ -1,0 +1,148 @@
+"""Randomized workload-DAG test — the engine analogue of the reference's
+hudi-integ-test suite (hudi-integ-test/.../testsuite/dag/nodes/: InsertNode,
+UpsertNode, DeleteNode, CompactNode, ClusteringNode, RollbackNode,
+ValidateDatasetNode): apply a seeded random op sequence and validate the full
+table state against a driver-side model after EVERY op (stronger than the
+reference's ValidateDatasetNode, which compares against the input dataset).
+
+Model semantics mirror the engine's contracts:
+  - record identity (k, p); precombine `v` max-wins within a batch;
+    OverwriteWithLatest across batches (incoming always replaces stored);
+  - delete removes the key; delete of an absent key is a no-op;
+  - insert_overwrite replaces exactly the partitions present in the batch;
+  - delete_partitions drops whole partitions (replacecommit);
+  - rollback of the latest commit restores the previous state;
+  - compaction / clustering / cleaning never change query results.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, StringType, StructField,
+                               StructType)
+
+from incubator_hudi_spark import HudiTable
+
+PARTS = ["2024-01", "2024-02", "2024-03"]
+KEYS = [f"k{i:03d}" for i in range(40)]
+
+SCHEMA = StructType([
+    StructField("k", StringType(), False),
+    StructField("p", StringType(), False),
+    StructField("v", IntegerType(), False),
+    StructField("payload", StringType(), True),
+])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows], SCHEMA)
+
+
+def _snapshot(table):
+    return {(r["k"], r["p"]): (r["v"], r["payload"])
+            for r in table.read().select("k", "p", "v", "payload").collect()}
+
+
+def _batch(rng, seq):
+    """Random batch with unique (k, p) per batch → deterministic model."""
+    n = rng.randint(1, 15)
+    picked = rng.sample([(k, p) for k in KEYS for p in PARTS], n)
+    return [dict(k=k, p=p, v=seq, payload=f"s{seq}-{k}") for k, p in picked]
+
+
+@pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+@pytest.mark.parametrize("seed", [7, 46474747])
+def test_random_workload_dag(spark, tmp_table_path, table_type, seed):
+    rng = random.Random(seed)
+    t = HudiTable.create(spark, tmp_table_path, name="dag",
+                         recordkey_fields=["k"], partition_expr="p",
+                         precombine_field="v", table_type=table_type)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+
+    model: dict = {}
+    history: list[tuple[str, dict]] = []   # (instant, model AFTER the commit)
+    seq = 0
+
+    def commit_model(instant):
+        history.append((instant, dict(model)))
+
+    ops = ["upsert", "upsert", "upsert", "delete", "insert_overwrite",
+           "delete_partitions", "rollback", "compact_or_cluster", "clean"]
+    # first op must populate the table
+    seq += 1
+    rows = _batch(rng, seq)
+    commit_model_instant = t.upsert(_df(spark, rows))
+    for r in rows:
+        model[(r["k"], r["p"])] = (r["v"], r["payload"])
+    commit_model(commit_model_instant)
+    assert _snapshot(t) == model
+
+    for step in range(14):
+        op = rng.choice(ops)
+        seq += 1
+        if op == "upsert":
+            rows = _batch(rng, seq)
+            inst = t.upsert(_df(spark, rows))
+            for r in rows:
+                model[(r["k"], r["p"])] = (r["v"], r["payload"])
+            commit_model(inst)
+        elif op == "delete":
+            targets = rng.sample(sorted(model) or [("k000", PARTS[0])],
+                                 min(len(model), rng.randint(1, 6))) \
+                if model else []
+            if not targets:
+                continue
+            keys = [dict(k=k, p=p, v=seq, payload=None) for k, p in targets]
+            inst = t.delete(_df(spark, keys))
+            for k, p in targets:
+                model.pop((k, p), None)
+            commit_model(inst)
+        elif op == "insert_overwrite":
+            rows = _batch(rng, seq)
+            inst = t.insert_overwrite(_df(spark, rows))
+            hit = {r["p"] for r in rows}
+            for k, p in list(model):
+                if p in hit:
+                    del model[(k, p)]
+            for r in rows:
+                model[(r["k"], r["p"])] = (r["v"], r["payload"])
+            commit_model(inst)
+        elif op == "delete_partitions":
+            part = rng.choice(PARTS)
+            live = {p for _, p in model}
+            if part not in live:
+                continue
+            inst = t.delete_partitions([part])
+            for k, p in list(model):
+                if p == part:
+                    del model[(k, p)]
+            commit_model(inst)
+        elif op == "rollback":
+            if len(history) < 2:
+                continue
+            inst, _ = history[-1]
+            try:
+                t.rollback(inst)
+            except ValueError:
+                continue    # a service instant landed after it — not latest
+            history.pop()
+            model = dict(history[-1][1])
+        elif op == "compact_or_cluster":
+            if table_type == "MERGE_ON_READ" and rng.random() < 0.7:
+                t.run_compaction()
+            else:
+                t.cluster(sort_columns=["k"])
+            # table services must not change query results (no model change;
+            # they add non-data instants, so rollback history stays aligned)
+        elif op == "clean":
+            t.clean()
+        assert _snapshot(t) == model, f"step {step} op {op} diverged"
+
+    # final sanity: time travel to every recorded commit replays history
+    for inst, snap in history[-3:]:
+        got = {(r["k"], r["p"]): (r["v"], r["payload"])
+               for r in t.read(as_of=inst)
+               .select("k", "p", "v", "payload").collect()}
+        assert got == snap, f"time travel to {inst} diverged"
