@@ -22,6 +22,14 @@ def create_savepoint(table, at_instant: str | None = None) -> str:
     return sp.time
 
 
+def delete_savepoint(table, savepoint_time: str) -> None:
+    """Unpin a savepoint (SavepointActionExecutor's delete counterpart) so
+    the cleaner may reclaim its versions and rollback/restore may pass it."""
+    inst = tl.Instant(savepoint_time, tl.SAVEPOINT, tl.COMPLETED)
+    table.timeline.read_metadata(inst)          # raises if absent
+    table.timeline.delete_instant(inst)
+
+
 def restore_to_savepoint(table, savepoint_time: str) -> str:
     """Roll back every data instant after the savepointed snapshot, newest
     first, then record a ``restore`` instant."""
@@ -33,6 +41,13 @@ def restore_to_savepoint(table, savepoint_time: str) -> str:
         md = table.timeline.read_metadata(
             tl.Instant(savepoint_time, tl.SAVEPOINT, tl.COMPLETED))
         at = md.get("savepoint_at", savepoint_time)
+    later = [(s, a) for s, a in (
+        (i, table.timeline.read_metadata(i).get("savepoint_at", i.time))
+        for i in table.timeline.completed([tl.SAVEPOINT])) if a > at]
+    if later:
+        raise ValueError(
+            f"savepoints {[s.time for s, _ in later]} pin instants after "
+            f"{at}; delete them before restoring")
     targets = [i for i in table.timeline.completed_data_instants() if i.time > at]
     for ins in reversed(targets):
         rollback_instant(table, ins.time)

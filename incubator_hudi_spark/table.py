@@ -943,6 +943,10 @@ class HudiTable:
         from .services.savepoint import restore_to_savepoint
         return restore_to_savepoint(self, savepoint_time)
 
+    def delete_savepoint(self, savepoint_time: str) -> None:
+        from .services.savepoint import delete_savepoint
+        return delete_savepoint(self, savepoint_time)
+
     def archive(self) -> int:
         from .services.archival import run_archival
         return run_archival(self)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (IntegerType, StringType, StructField,
                                StructType)
 
-from incubator_hudi_spark import HudiTable
+from incubator_hudi_spark import QUERY_INCREMENTAL, HudiTable
 
 PARTS = ["2024-01", "2024-02", "2024-03"]
 KEYS = [f"k{i:03d}" for i in range(40)]
@@ -69,7 +69,9 @@ def test_random_workload_dag(spark, tmp_table_path, table_type, seed):
         history.append((instant, dict(model)))
 
     ops = ["upsert", "upsert", "upsert", "delete", "insert_overwrite",
-           "delete_partitions", "rollback", "compact_or_cluster", "clean"]
+           "delete_partitions", "rollback", "compact_or_cluster", "clean",
+           "savepoint", "restore"]
+    savepoints: list[tuple[str, str, dict]] = []  # (sp_time, at_inst, model)
     # first op must populate the table
     seq += 1
     rows = _batch(rng, seq)
@@ -136,8 +138,16 @@ def test_random_workload_dag(spark, tmp_table_path, table_type, seed):
                 t.cluster(sort_columns=["k"])
             # table services must not change query results (no model change;
             # they add non-data instants, so rollback history stays aligned)
-        elif op == "clean":
-            t.clean()
+        elif op == "savepoint":
+            savepoints.append((t.savepoint(), history[-1][0], dict(model)))
+        elif op == "restore":
+            if not savepoints:
+                continue
+            sp, at, saved = savepoints.pop()   # latest → engine accepts
+            t.restore(sp)
+            t.delete_savepoint(sp)             # consumed — stop pinning
+            history = [(i, m) for i, m in history if i <= at]
+            model = dict(saved)
         assert _snapshot(t) == model, f"step {step} op {op} diverged"
 
     # final sanity: time travel to every recorded commit replays history
@@ -146,3 +156,13 @@ def test_random_workload_dag(spark, tmp_table_path, table_type, seed):
                for r in t.read(as_of=inst)
                .select("k", "p", "v", "payload").collect()}
         assert got == snap, f"time travel to {inst} diverged"
+
+    # incremental consistency: between adjacent surviving commits the
+    # change stream is exactly the keys whose model value changed (deletes
+    # and replaced partitions simply don't appear — reference semantics)
+    for (a, ma), (b, mb) in zip(history[-4:-1], history[-3:]):
+        expect = {kp: v for kp, v in mb.items() if ma.get(kp) != v}
+        got = {(r["k"], r["p"]): (r["v"], r["payload"])
+               for r in t.read(QUERY_INCREMENTAL, begin=a, end=b)
+               .select("k", "p", "v", "payload").collect()}
+        assert got == expect, f"incremental ({a}, {b}] diverged"
