@@ -381,20 +381,28 @@ state AS (
          l_extendedprice, l_discount
   FROM li_d)
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(qty AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+       CAST(sum(CAST(qty AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sum_disc_price,
        count(*) AS count_order
 FROM state GROUP BY l_returnflag, l_linestatus
 """)
 def cow_snapshot_agg_q1(spark, sf_dir):
-    """TPC-H-Q1-style aggregation over the merged snapshot."""
+    """TPC-H-Q1-style aggregation over the merged snapshot.
+
+    Money sums are returned as exact integer cents (decimal sum × 100 →
+    BIGINT): decimal aggregation is order-independent and int64 hashes
+    identically across engines, unlike DECIMAL scale/float renderings.
+    """
     t = _r_cow_upserted(spark, sf_dir)["t"]
     return (t.read().groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
-                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-                       * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")).alias("sum_disc_price"),
+            .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+                 .cast("long").alias("sum_qty"),
+                 (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+                 .cast("long").alias("sum_base_price"),
+                 (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")) * 10000)
+                 .cast("long").alias("sum_disc_price"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
@@ -435,7 +443,7 @@ victims AS (
   SELECT DISTINCT l_orderkey, l_linenumber, strftime(l_shipdate,'%Y-%m') AS m
   FROM lineitem WHERE l_returnflag = 'R')
 SELECT d.l_returnflag, d.l_linestatus, count(*) AS n,
-       sum(CAST(d.l_quantity AS DECIMAL(18,2))) AS sum_qty
+       CAST(sum(CAST(d.l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty
 FROM li_d d
 LEFT JOIN victims v
   ON d.l_orderkey = v.l_orderkey AND d.l_linenumber = v.l_linenumber
@@ -444,11 +452,13 @@ WHERE v.l_orderkey IS NULL
 GROUP BY d.l_returnflag, d.l_linestatus
 """)
 def cow_delete(spark, sf_dir):
-    """hard delete by key: records with an 'R' twin are gone."""
+    """hard delete by key: records with an 'R' twin are gone.
+    sum_qty in exact integer hundredths (see cow_snapshot_agg_q1)."""
     t = _r_cow_deleted(spark, sf_dir)["t"]
     return (t.read().groupBy("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty")))
+                 (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+                 .cast("long").alias("sum_qty")))
 
 
 @q("filter_exists", """
@@ -547,14 +557,17 @@ state AS (
               THEN 1.0 ELSE o_totalprice END AS price
   FROM orders
   WHERE strftime(o_orderdate,'%Y') != (SELECT last FROM years))
-SELECT y, count(*) AS n, sum(CAST(price AS DECIMAL(18,2))) AS sum_price
+SELECT y, count(*) AS n,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price
 FROM state GROUP BY y
 """)
 def insert_overwrite_and_drop_partition(spark, sf_dir):
+    """sum_price in exact integer cents (see cow_snapshot_agg_q1)."""
     t = _r_orders_overwrite(spark, sf_dir)["t"]
     return (t.read().groupBy(F.col("_hoodie_partition_path").alias("y"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price")))
+                 (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+                 .cast("long").alias("sum_price")))
 
 
 # ---- DML ---------------------------------------------------------------------
@@ -699,17 +712,19 @@ def savepoint_restore(spark, sf_dir):
 @q("clustering_cleaning_archival", f"""
 WITH {_LI_DEDUP}
 SELECT l_returnflag, count(*) AS n,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty
 FROM li_d GROUP BY l_returnflag
 """)
 def clustering_cleaning_archival(spark, sf_dir):
     """layout + retention services leave the logical table untouched.  The
     three upserts cover disjoint orderkey thirds, so per-batch (key, month)
-    dedup equals the global li_d dedup."""
+    dedup equals the global li_d dedup.  sum_qty in exact integer
+    hundredths (see cow_snapshot_agg_q1)."""
     t = _r_maintenance(spark, sf_dir)["t"]
     return (t.read().groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty")))
+                 (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+                 .cast("long").alias("sum_qty")))
 
 
 @q("schema_evolution", f"""

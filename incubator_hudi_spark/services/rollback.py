@@ -38,15 +38,18 @@ def rollback_instant(table, instant_time: str) -> str:
             f"can only roll back the last completed data instant "
             f"({completed[-1].time}), not {instant_time}")
     # a savepoint pins the snapshot as of its `at` instant — rolling back
-    # any instant that snapshot depends on would corrupt it (the reference
-    # cleaner/restore likewise treat savepointed commits as untouchable;
-    # delete the savepoint first)
-    for sp in timeline.completed([tl.SAVEPOINT]):
-        at = timeline.read_metadata(sp).get("savepoint_at", sp.time)
-        if instant_time <= at:
-            raise ValueError(
-                f"instant {instant_time} is pinned by savepoint {sp.time} "
-                f"(at {at}); delete the savepoint before rolling back")
+    # any COMPLETED instant that snapshot depends on would corrupt it (the
+    # reference cleaner/restore likewise treat savepointed commits as
+    # untouchable; delete the savepoint first).  Pending/dangling instants
+    # (target is None) are invisible to readers, so crash recovery may roll
+    # them back regardless of savepoint pins.
+    if target is not None:
+        for sp in timeline.completed([tl.SAVEPOINT]):
+            at = timeline.read_metadata(sp).get("savepoint_at", sp.time)
+            if instant_time <= at:
+                raise ValueError(
+                    f"instant {instant_time} is pinned by savepoint {sp.time} "
+                    f"(at {at}); delete the savepoint before rolling back")
 
     rb = table._start(tl.ROLLBACK)
     # any metadata-table checkpoint covering the target is now wrong

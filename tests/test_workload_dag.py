@@ -138,6 +138,11 @@ def test_random_workload_dag(spark, tmp_table_path, table_type, seed):
                 t.cluster(sort_columns=["k"])
             # table services must not change query results (no model change;
             # they add non-data instants, so rollback history stays aligned)
+        elif op == "clean":
+            t.clean()
+            # cleaning removes obsolete file versions only — query results
+            # (and savepointed snapshots, per cleaning.py's retention
+            # contract) must be unaffected
         elif op == "savepoint":
             savepoints.append((t.savepoint(), history[-1][0], dict(model)))
         elif op == "restore":
