@@ -150,6 +150,10 @@ class WriteConfig:
     # batches up to this many rows broadcast their key set to prune the index
     # scan (indexing.tag_locations) instead of shuffling/building it
     index_broadcast_max_rows: int = 1_000_000
+    # COW rewrite strategy: None = auto (broadcast anti-join pass-through when
+    # the batch is broadcastable and the payload is new-commit-wins, else the
+    # per-file-group window merge); True/False forces it
+    cow_broadcast_merge: Optional[bool] = None
     # write a metadata-table view checkpoint every N data commits
     # (HoodieBackedTableMetadataWriter sync cadence; 0 disables)
     metadata_checkpoint_commits: int = 10

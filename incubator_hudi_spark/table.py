@@ -34,7 +34,8 @@ from .config import (BULK_INSERT, COPY_ON_WRITE, DELETE, DELETE_MARKER,
                      INSERT_OVERWRITE_TABLE, MERGE_ON_READ, META_COLUMNS,
                      META_COMMIT_SEQNO, META_COMMIT_TIME, META_FILE_NAME,
                      META_PARTITION_PATH,
-                     META_RECORD_KEY, QUERY_INCREMENTAL, QUERY_READ_OPTIMIZED,
+                     META_RECORD_KEY, PAYLOAD_DEFAULT, QUERY_INCREMENTAL,
+                     QUERY_READ_OPTIMIZED,
                      QUERY_SNAPSHOT, SORT_GLOBAL, SORT_PARTITION, UPSERT,
                      TableConfig, WriteConfig)
 from .fsview import FileSlice, FileSystemView, WriteStat
@@ -43,10 +44,32 @@ from .keygen import partition_path_col, record_key_col
 from .metaclient import TableMetaClient
 from .plans.buckets import (assign_insert_buckets, avg_record_size,
                             new_fg_id, plan_insert_buckets)
-from .writer import (API_DELETE, FG, NEW_FLAG, collect_write_stats,
+from .writer import (API_DELETE, FG, MERGE_KEY, NEW_FLAG, collect_write_stats,
                      drop_deleted, merge_latest, ordered_meta_projection,
                      precombine_dedup, with_commit_meta, with_key_columns,
                      write_instant_files)
+
+_TIMING = os.environ.get("HUDI_SPARK_TIMING") == "1"
+
+
+class _stage:
+    """Env-gated wall-clock probe for write-path stages (HUDI_SPARK_TIMING=1)."""
+
+    def __init__(self, label: str):
+        self.label = label
+
+    def __enter__(self):
+        if _TIMING:
+            import time
+            self.t0 = time.time()
+        return self
+
+    def __exit__(self, *a):
+        if _TIMING:
+            import sys
+            import time
+            print(f"[timing] {self.label}: {time.time() - self.t0:.3f}s",
+                  file=sys.stderr)
 
 
 class HudiTable:
@@ -408,18 +431,34 @@ class HudiTable:
                     self._invalidate_key_index()
                 self._post_commit()
                 return instant.time
-            # workload profile (BaseSparkCommitActionExecutor.java:122-127) +
-            # key range for BLOOM-style pruning — one Spark action
-            prof = prepared.groupBy(META_PARTITION_PATH).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(META_RECORD_KEY).alias("mn"),
-                F.max(META_RECORD_KEY).alias("mx")).collect()
-            partitions = [r[0] for r in prof]
-            key_range = (min(r[2] for r in prof), max(r[3] for r in prof)) if prof else None
+            # fast lane: a warm INMEMORY index covering every table partition
+            # makes the pre-tag workload profile redundant — any batch
+            # partition is either covered or brand-new (no stored records →
+            # a null-fg tag is already the correct routing).  Driver-side
+            # check only; saves one Spark action per steady-state batch.
+            last_data = self.timeline.last_completed(tl.DATA_ACTIONS)
+            cache_covers = (
+                self.cfg.index_type == INDEX_INMEMORY
+                and self._key_index is not None
+                and self._key_index_valid_at == (last_data.time if last_data else None)
+                and set(view.partitions()) <= self._key_index_parts)
+            if cache_covers:
+                index_df, bc = self._key_index, True
+            else:
+                # workload profile (BaseSparkCommitActionExecutor.java:122-127)
+                # + key range for BLOOM-style pruning — one Spark action
+                with _stage("upsert.profile"):
+                    prof = prepared.groupBy(META_PARTITION_PATH).agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.min(META_RECORD_KEY).alias("mn"),
+                        F.max(META_RECORD_KEY).alias("mx")).collect()
+                partitions = [r[0] for r in prof]
+                key_range = (min(r[2] for r in prof), max(r[3] for r in prof)) if prof else None
 
-            index_df = self._load_index(view, partitions, key_range)
-            n_rows = sum(r[1] for r in prof)
-            bc = n_rows <= self.cfg.index_broadcast_max_rows
+                with _stage("upsert.load_index"):
+                    index_df = self._load_index(view, partitions, key_range)
+                n_rows = sum(r[1] for r in prof)
+                bc = n_rows <= self.cfg.index_broadcast_max_rows
             if bc:
                 # broadcast path pre-dedups the pruned index side per file
                 # group — the join can't multiply rows per (input row, fg)
@@ -441,7 +480,8 @@ class HudiTable:
             tagged = tagged.persist()
 
             # per-file-group update counts + per-partition insert counts
-            fg_prof = tagged.groupBy(META_PARTITION_PATH, FG_COL).count().collect()
+            with _stage("upsert.tag_profile"):
+                fg_prof = tagged.groupBy(META_PARTITION_PATH, FG_COL).count().collect()
             update_fgs = {r[1]: r[0] for r in fg_prof if r[1] is not None}
             insert_profile = {r[0]: r[2] for r in fg_prof if r[1] is None}
 
@@ -452,15 +492,18 @@ class HudiTable:
                 inserts = inserts.limit(0)  # deletes of absent keys are no-ops
                 insert_profile = {}
 
-            if self.tc.table_type == MERGE_ON_READ:
-                stats, fg_map, schema = self._upsert_mor(
-                    view, instant.time, updates, inserts,
-                    update_fgs, insert_profile, pending_compaction)
-            else:
-                stats, fg_map, schema = self._upsert_cow(
-                    view, instant.time, updates, inserts,
-                    update_fgs, insert_profile)
-            self._complete(instant, operation, stats, schema)
+            with _stage("upsert.write"):
+                if self.tc.table_type == MERGE_ON_READ:
+                    stats, fg_map, schema = self._upsert_mor(
+                        view, instant.time, updates, inserts,
+                        update_fgs, insert_profile, pending_compaction)
+                else:
+                    n_new = sum(r[2] for r in fg_prof)
+                    stats, fg_map, schema = self._upsert_cow(
+                        view, instant.time, updates, inserts,
+                        update_fgs, insert_profile, n_new_rows=n_new)
+            with _stage("upsert.complete"):
+                self._complete(instant, operation, stats, schema)
             if self.cfg.index_type == INDEX_INMEMORY:
                 update_only = (not is_delete and
                                not any(v > 0 for v in insert_profile.values()))
@@ -475,26 +518,84 @@ class HudiTable:
             prepared.unpersist()
             if tagged is not None:
                 tagged.unpersist()
-        self._post_commit()
+        with _stage("upsert.post_commit"):
+            self._post_commit()
         return instant.time
 
     def _upsert_cow(self, view: FileSystemView, instant_time: str,
                     updates: DataFrame, inserts: DataFrame,
-                    update_fgs: dict[str, str], insert_profile: dict[str, int]):
-        """COW merge: rewrite exactly the affected file groups —
-        old ∪ new → latest-wins window → drop deletes → write new slices."""
+                    update_fgs: dict[str, str], insert_profile: dict[str, int],
+                    n_new_rows: Optional[int] = None):
+        """COW merge: rewrite exactly the affected file groups.
+
+        Two physical strategies, same semantics:
+
+        - **broadcast anti-join fast path** (batch ≪ table, OVERWRITE_LATEST
+          payload, batch preCombined): stored rows whose key appears in the
+          batch are dropped by a broadcast LEFT ANTI join; everything else
+          passes through *in its scan partition* — the table-sized side is
+          never shuffled and never sorted.  Only the batch itself (already
+          tiny) is clustered by file group before the write.  At cluster
+          scale this turns a COW rewrite into scan → codegen filter → write,
+          embarrassingly parallel per file, zero exchanges on the big side.
+        - **window merge** (large batches, or DEFAULT payload whose
+          precombine guard needs old-vs-new comparison): old ∪ new →
+          per-file-group latest-wins window → write, one shuffle keyed by
+          file group.
+        """
         rec_size = avg_record_size(self.meta, self.timeline,
                                    self.cfg.record_size_estimate)
         plan = plan_insert_buckets(insert_profile, view, self.cfg, rec_size,
                                    pack_small_files=True)
         assigned = assign_insert_buckets(self.spark, inserts, plan,
                                          META_PARTITION_PATH, META_RECORD_KEY, FG)
-        new_rows = updates.unionByName(assigned, allowMissingColumns=True) \
-                          .withColumn(NEW_FLAG, F.lit(True))
+        new_raw = updates.unionByName(assigned, allowMissingColumns=True)
 
         fg_map = {b.file_group: b.partition for b in plan}
         fg_map.update(update_fgs)
         rewrite_fgs = set(update_fgs) | {b.file_group for b in plan if not b.is_new_fg}
+
+        # new-commit-always-wins payload → the winner per touched key is known
+        # without comparing against stored rows (merge_order_columns puts the
+        # precombine guard first only for PAYLOAD_DEFAULT)
+        new_wins = not (self.tc.payload == PAYLOAD_DEFAULT
+                        and self.tc.precombine_field)
+        fast = (rewrite_fgs
+                and new_wins
+                and self.cfg.combine_before_upsert    # one row per HoodieKey
+                and n_new_rows is not None
+                and n_new_rows <= self.cfg.index_broadcast_max_rows)
+        if self.cfg.cow_broadcast_merge is not None:
+            fast = fast if self.cfg.cow_broadcast_merge else False
+        if fast:
+            old = self._read_fg_files(view, rewrite_fgs)
+            # every stored version of a batch key dies (incl. duplicate-key
+            # twins from insert/bulk_insert) — the preCombined batch row is
+            # the slice's single new version
+            batch_keys = new_raw.select(*MERGE_KEY).dropDuplicates(MERGE_KEY)
+            survivors = old.join(F.broadcast(batch_keys), on=MERGE_KEY,
+                                 how="left_anti")
+            # rewrite also drops tombstoned-at-rest rows (insert/bulk_insert
+            # can store DELETE_MARKER=true rows; the window path's global
+            # drop_deleted removes them on rewrite — match that)
+            survivors = drop_deleted(survivors)
+            fresh = drop_deleted(new_raw).drop(API_DELETE)
+            # cluster only the small side by file group (trivial shuffle) so
+            # each file group gets one new file, not one per upstream task
+            n_small = max(1, min(len(fg_map),
+                                 self.spark.sparkContext.defaultParallelism))
+            fresh = fresh.repartition(n_small, F.col(FG))
+            merged = survivors.unionByName(fresh, allowMissingColumns=True)
+            merged = merged.withColumn(META_FILE_NAME, F.col(FG))
+            schema = self._commit_schema(merged)
+            stats = write_instant_files(merged, self.meta, instant_time,
+                                        fg_map, self.cfg,
+                                        sort_cols=[FG, META_RECORD_KEY],
+                                        pre_partitioned=True,
+                                        ensure_fgs=rewrite_fgs)
+            return stats, fg_map, schema
+
+        new_rows = new_raw.withColumn(NEW_FLAG, F.lit(True))
         if rewrite_fgs:
             old = self._read_fg_files(view, rewrite_fgs) \
                       .withColumn(NEW_FLAG, F.lit(False))
