@@ -325,8 +325,9 @@ class HudiTable:
         view = action_view if action_view is not None else self.view()
         # validate evolution on the raw batch BEFORE any union coerces types
         self._commit_schema(prepared)
-        profile = {r[0]: r[1] for r in
-                   prepared.groupBy(META_PARTITION_PATH).count().collect()}
+        with _stage("insert.profile"):
+            profile = {r[0]: r[1] for r in
+                       prepared.groupBy(META_PARTITION_PATH).count().collect()}
         rec_size = avg_record_size(self.meta, self.timeline,
                                    self.cfg.record_size_estimate)
         plan = plan_insert_buckets(profile, view if pack_small_files else None,
@@ -344,8 +345,9 @@ class HudiTable:
 
         sort_cols = self._sort_cols(sort_mode)
         schema = self._commit_schema(assigned)
-        stats = write_instant_files(assigned, self.meta, instant_time, fg_map,
-                                    self.cfg, sort_cols=sort_cols)
+        with _stage("insert.write"):
+            stats = write_instant_files(assigned, self.meta, instant_time,
+                                        fg_map, self.cfg, sort_cols=sort_cols)
         return stats, fg_map, schema
 
     def _sort_cols(self, sort_mode: str) -> Optional[list[str]]:

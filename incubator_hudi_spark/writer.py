@@ -73,26 +73,34 @@ MERGE_KEY = [META_RECORD_KEY, META_PARTITION_PATH]
 def precombine_dedup(df: DataFrame, tc: TableConfig,
                      global_index: bool = False) -> DataFrame:
     """Within-batch dedup: exactly one survivor per HoodieKey, max precombine
-    wins (SparkWriteHelper.java:49-67 reduceByKey(preCombine), vectorized as a
-    window — map-side partial aggregation free via Tungsten).  Global indexes
-    dedup by record key alone (a key is table-unique there)."""
+    wins (SparkWriteHelper.java:49-67 reduceByKey(preCombine)).  Global
+    indexes dedup by record key alone (a key is table-unique there).
+
+    Deterministic tie-break: equal precombine values fall back to every data
+    column (alphabetical, desc, nulls last) so the survivor is a pure
+    function of the data — reproducible across engines/runs (the reference's
+    reduceByKey keeps an arbitrary twin instead).
+
+    Physical plan: ``max_by(payload_struct, ordering_struct)`` hash aggregate
+    — like the reference's reduceByKey this gets map-side partial combine and
+    avoids the full sort a row_number window would pay.  Struct comparison is
+    lexicographic with nulls smallest, which is exactly multi-column
+    DESC NULLS LAST when taking the max.
+    """
     keys = [META_RECORD_KEY] if global_index else MERGE_KEY
     if tc.precombine_field and tc.precombine_field in df.columns:
-        # deterministic tie-break: equal precombine values fall back to every
-        # data column (alphabetical, desc, nulls last) so the survivor is a
-        # pure function of the data — reproducible across engines/runs
-        # (the reference's reduceByKey keeps an arbitrary twin instead)
         unorderable = {f.name for f in df.schema.fields
                        if f.dataType.typeName() in ("map",)}
         tie_cols = sorted(c for c in df.columns
                           if not c.startswith("_hoodie")
                           and c != tc.precombine_field
                           and c not in unorderable)
-        w = Window.partitionBy(*keys).orderBy(
-            F.desc_nulls_last(tc.precombine_field),
-            *[F.desc_nulls_last(c) for c in tie_cols])
-        return (df.withColumn("_hoodie_rn", F.row_number().over(w))
-                  .filter(F.col("_hoodie_rn") == 1).drop("_hoodie_rn"))
+        payload_cols = [c for c in df.columns if c not in keys]
+        ord_struct = F.struct(tc.precombine_field, *tie_cols)
+        return (df.groupBy(*keys)
+                  .agg(F.max_by(F.struct(*payload_cols), ord_struct).alias("_hoodie_win"))
+                  .select(*keys, "_hoodie_win.*")
+                  .select(*df.columns))
     return df.dropDuplicates(keys)
 
 
