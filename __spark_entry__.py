@@ -1165,6 +1165,177 @@ def multimodal_features_q(spark, sf_dir):
             .select("media_id", "modality", "n_bytes", "width", "height", "n_frames")
 
 
+# ---------------------------------------------------------------------------
+# payload / index / insert-semantics coverage (SURVEY §1.1, §2.1, §2.2)
+# ---------------------------------------------------------------------------
+
+def _r_payload_default(spark, sf_dir):
+    """DefaultHoodieRecordPayload event-time guard
+    (DefaultHoodieRecordPayload.java:41,93): a late-arriving update (lower
+    precombine) must NOT overwrite the stored row; a newer one must."""
+    def build():
+        from incubator_hudi_spark import HudiTable
+        t = HudiTable.create(
+            spark, _new_path("payload_default", sf_dir), name="orders_pd",
+            recordkey_fields=["o_orderkey"], partition_expr="o_orderstatus",
+            precombine_field="o_orderdate", payload="default")
+        o = _load(spark, sf_dir, "orders")
+        t.upsert(o)
+        late = (o.filter("o_orderkey % 3 = 0")
+                .withColumn("o_orderdate",
+                            F.expr("o_orderdate - INTERVAL 10000 DAYS"))
+                .withColumn("o_totalprice", F.lit(-1.0)))
+        fresh = (o.filter("o_orderkey % 3 = 1")
+                 .withColumn("o_orderdate",
+                             F.expr("o_orderdate + INTERVAL 10 DAYS"))
+                 .withColumn("o_totalprice", F.lit(-2.0)))
+        t.upsert(late.unionByName(fresh))
+        return {"t": t}
+    return _recipe("payload_default", sf_dir, build)
+
+
+@q("payload_default_event_time_guard", """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 1 THEN -2.0 ELSE o_totalprice END AS price,
+       strftime(CASE WHEN o_orderkey % 3 = 1
+                     THEN o_orderdate + INTERVAL 10 DAY
+                     ELSE o_orderdate END, '%Y-%m-%d') AS odate
+FROM orders
+""")
+def payload_default_event_time_guard(spark, sf_dir):
+    """DEFAULT payload: late update (precombine 10000 days older) is rejected,
+    newer update (+10 days) wins — the stored-vs-incoming ordering guard."""
+    t = _r_payload_default(spark, sf_dir)["t"]
+    return t.read().select(
+        "o_orderkey", F.col("o_totalprice").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"))
+
+
+def _r_global_index(spark, sf_dir):
+    """GLOBAL_SIMPLE index (SparkHoodieGlobalSimpleIndex): an update whose
+    partition expression now yields a different partition is still routed to
+    the record's EXISTING partition (update-partition-path=false default,
+    SparkHoodieGlobalBloomIndex.java:143)."""
+    def build():
+        from incubator_hudi_spark import HudiTable, WriteConfig
+        t = HudiTable.create(
+            spark, _new_path("global_idx", sf_dir), name="orders_gi",
+            recordkey_fields=["o_orderkey"],
+            partition_expr="date_format(o_orderdate,'yyyy')",
+            precombine_field="o_orderdate",
+            write_config=WriteConfig(index_type="GLOBAL_SIMPLE"))
+        o = _load(spark, sf_dir, "orders")
+        t.upsert(o)
+        moved = (o.filter("o_orderkey % 5 = 0")
+                 .withColumn("o_orderdate",
+                             F.expr("o_orderdate + INTERVAL 24 MONTHS"))
+                 .withColumn("o_totalprice", F.lit(1.0)))
+        t.upsert(moved)
+        return {"t": t}
+    return _recipe("global_idx", sf_dir, build)
+
+
+@q("global_index_partition_stickiness", """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y') AS part,
+       CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE o_totalprice END AS price,
+       strftime(CASE WHEN o_orderkey % 5 = 0
+                     THEN o_orderdate + INTERVAL 24 MONTH
+                     ELSE o_orderdate END, '%Y-%m-%d') AS odate
+FROM orders
+""")
+def global_index_partition_stickiness(spark, sf_dir):
+    """global index: updated rows keep their ORIGINAL partition path even
+    though the new o_orderdate maps to a different year."""
+    t = _r_global_index(spark, sf_dir)["t"]
+    return t.read().select(
+        "o_orderkey", F.col("_hoodie_partition_path").alias("part"),
+        F.col("o_totalprice").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"))
+
+
+@q("bloom_index_upsert", f"""
+WITH {_LI_DEDUP}
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(CASE WHEN l_linenumber = 1 THEN l_quantity + 1000.0
+                          ELSE l_quantity END AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty
+FROM li_d GROUP BY l_returnflag, l_linestatus
+""")
+def bloom_index_upsert(spark, sf_dir):
+    """BLOOM index path (key-range pruned candidate files from commit-manifest
+    min/max stats, SparkHoodieBloomIndex.java:70-140): same merged snapshot
+    as the SIMPLE-index upsert."""
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("bloom_idx", sf_dir),
+                            index_type="BLOOM")
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)
+        t.upsert(li.filter("l_linenumber = 1")
+                   .withColumn("l_quantity", F.col("l_quantity") + 1000.0))
+        return {"t": t}
+    t = _recipe("bloom_idx", sf_dir, build)["t"]
+    return (t.read().groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+                 .cast("long").alias("sum_qty")))
+
+
+@q("insert_duplicate_semantics", """
+SELECT o_orderkey, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price
+FROM (SELECT * FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderkey % 7 = 0)
+GROUP BY o_orderkey
+""")
+def insert_duplicate_semantics(spark, sf_dir):
+    """insert() does NOT merge duplicate keys (SparkRDDWriteClient.java:172-178
+    — no key-based routing, combine optional and off by default): inserting
+    the same rows twice stores each record twice."""
+    def build():
+        t = _orders_table(spark, sf_dir, _new_path("insert_dups", sf_dir))
+        o = _load(spark, sf_dir, "orders").filter("o_orderkey % 7 = 0")
+        t.insert(o)
+        t.insert(o)
+        return {"t": t}
+    t = _recipe("insert_dups", sf_dir, build)["t"]
+    return (t.read().groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+                 .cast("long").alias("sum_price")))
+
+
+@q("mor_delete", f"""
+WITH {_LI_DEDUP},
+victims AS (
+  SELECT DISTINCT l_orderkey, l_linenumber, strftime(l_shipdate,'%Y-%m') AS m
+  FROM lineitem WHERE l_returnflag = 'R')
+SELECT d.l_returnflag, d.l_linestatus, count(*) AS n,
+       CAST(sum(CAST(d.l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty
+FROM li_d d
+LEFT JOIN victims v
+  ON d.l_orderkey = v.l_orderkey AND d.l_linenumber = v.l_linenumber
+ AND strftime(d.l_shipdate,'%Y-%m') = v.m
+WHERE v.l_orderkey IS NULL
+GROUP BY d.l_returnflag, d.l_linestatus
+""")
+def mor_delete(spark, sf_dir):
+    """MOR delete: tombstone delta files per file group (delete block
+    equivalent, HoodieLogBlock DELETE_BLOCK); snapshot merge drops them."""
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("mor_deleted", sf_dir),
+                            table_type="MERGE_ON_READ")
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)
+        t.delete(li.filter("l_returnflag = 'R'"))
+        return {"t": t}
+    t = _recipe("mor_deleted", sf_dir, build)["t"]
+    return (t.read().groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+                 .cast("long").alias("sum_qty")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
