@@ -143,6 +143,23 @@ def main():
         ("per-file-group merge window present", "Window" in p),
     ])
 
+    # 3b — COW broadcast anti-join fast path: the table-sided rewrite stream
+    # (scan → anti-join → write) must carry ZERO shuffle exchanges; only the
+    # tiny batch side may exchange (its clustering by file group).
+    from incubator_hudi_spark.writer import MERGE_KEY
+    batch_keys = updates.select(*MERGE_KEY).dropDuplicates(MERGE_KEY)
+    survivors = old.drop(NEW_FLAG).join(F.broadcast(batch_keys),
+                                        on=MERGE_KEY, how="left_anti")
+    fresh = updates.drop(NEW_FLAG).repartition(8, F.col(FG))
+    fast_merged = survivors.unionByName(fresh, allowMissingColumns=True)
+    p = explain(fast_merged)
+    check("COW broadcast anti-join rewrite: table side never shuffles", p, [
+        ("anti join is broadcast",
+         "BroadcastHashJoin" in p and "LeftAnti" in p),
+        (f"only the batch-side exchange remains (found {n_exchanges(fast_merged)})",
+         n_exchanges(fast_merged) <= 1),
+    ])
+
     # 5 — index tagging broadcasts the batch, streams the key scan.  The
     # pruned (≤ batch-sized) location set may be shuffled once for its
     # per-file-group dedup — what must NEVER happen is an exchange between
