@@ -1336,6 +1336,58 @@ def mor_delete(spark, sf_dir):
                  .cast("long").alias("sum_qty")))
 
 
+@q("keygen_nonpartitioned", """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 4 = 0 THEN 0.5 ELSE o_totalprice END AS price,
+       count(*) AS n
+FROM orders GROUP BY 1, 2
+""")
+def keygen_nonpartitioned(spark, sf_dir):
+    """NonpartitionedKeyGenerator (NonpartitionedKeyGenerator.java:34):
+    constant partition path; upserts route purely by record key."""
+    def build():
+        from incubator_hudi_spark import HudiTable
+        t = HudiTable.create(
+            spark, _new_path("nonpart", sf_dir), name="orders_np",
+            recordkey_fields=["o_orderkey"], partition_expr=None,
+            precombine_field="o_orderdate")
+        o = _load(spark, sf_dir, "orders")
+        t.upsert(o)
+        t.upsert(o.filter("o_orderkey % 4 = 0")
+                  .withColumn("o_totalprice", F.lit(0.5)))
+        return {"t": t}
+    t = _recipe("nonpart", sf_dir, build)["t"]
+    return (t.read().groupBy("o_orderkey",
+                             F.col("o_totalprice").alias("price"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("snapshot_export", f"""
+WITH {_LI_DEDUP}
+SELECT strftime(l_shipdate, '%Y-%m') AS part, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty
+FROM li_d GROUP BY 1
+""")
+def snapshot_export(spark, sf_dir):
+    """HoodieSnapshotExporter: frozen plain-parquet copy of the snapshot,
+    partitioned by the hudi partition path; read back via vanilla
+    spark.read.parquet (no engine involved)."""
+    from incubator_hudi_spark import admin
+
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("export_src", sf_dir))
+        t.upsert(_load(spark, sf_dir, "lineitem"))
+        dest = _new_path("export_out", sf_dir)
+        admin.export_snapshot(t, dest)
+        return {"dest": dest}
+    dest = _recipe("snapshot_export", sf_dir, build)["dest"]
+    return (spark.read.parquet(dest)
+            .groupBy(F.col("_hoodie_partition_path").alias("part"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+                 .cast("long").alias("sum_qty")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

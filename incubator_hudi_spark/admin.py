@@ -151,3 +151,29 @@ def repair_deduplicate(table) -> str | None:
         return None
     data_cols = [c for c in victims.columns if not c.startswith("_hoodie_")]
     return table.upsert(victims.select(*data_cols))
+
+
+def export_snapshot(table, dest_path: str, fmt: str = "parquet",
+                    as_of: str | None = None,
+                    partition_by_path: bool = True,
+                    include_meta_columns: bool = False) -> int:
+    """HoodieSnapshotExporter (hudi-utilities/.../HoodieSnapshotExporter.java):
+    materialize the latest (or as-of) snapshot as a plain parquet/orc/json
+    dataset outside the table — e.g. to hand a frozen copy to a non-engine
+    consumer.  Partitioned by the hudi partition path when asked (the
+    reference's --output-partition-field behavior).  Returns rows exported.
+
+    Scale: a single distributed read→write; no driver materialization.
+    """
+    from .config import META_PARTITION_PATH
+    df = table.read(as_of=as_of)
+    if not include_meta_columns:
+        keep = [c for c in df.columns if not c.startswith("_hoodie_")]
+        out = df.select(*keep, META_PARTITION_PATH) if partition_by_path else df.select(*keep)
+    else:
+        out = df
+    writer = out.write.mode("overwrite").format(fmt)
+    if partition_by_path:
+        writer = writer.partitionBy(META_PARTITION_PATH)
+    writer.save(dest_path)
+    return df.count()

@@ -63,3 +63,28 @@ def test_schema_providers(spark, tmp_path, li):
     assert [f.name for f in out.schema.fields] == ["l_orderkey", "l_quantity", "extra"]
     assert out.filter("extra IS NOT NULL").count() == 0
     assert out.count() == li.count()
+
+
+def test_export_snapshot_roundtrip(spark, tmp_path, li):
+    t = HudiTable.create(
+        spark, str(tmp_path / "exp"), "exp",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate")
+    t.upsert(li)
+    t.upsert(li.limit(500).withColumn("l_quantity", F.lit(-7.0)))
+    dest = str(tmp_path / "out")
+    n = admin.export_snapshot(t, dest)
+    back = spark.read.parquet(dest)
+    assert n == t.read().count() == back.count()
+    # partitioned layout by hudi partition path, no meta columns in the data
+    assert "_hoodie_partition_path" in back.columns
+    assert not any(c.startswith("_hoodie_") and c != "_hoodie_partition_path"
+                   for c in back.columns)
+    n_upd = t.read().filter("l_quantity = -7.0").count()
+    assert back.filter("l_quantity = -7.0").count() == n_upd > 0
+    # as-of export reproduces the historical snapshot
+    first = t.timeline.completed_data_instants()[0].time
+    dest2 = str(tmp_path / "out2")
+    admin.export_snapshot(t, dest2, as_of=first)
+    assert spark.read.parquet(dest2).filter("l_quantity = -7.0").count() == 0
