@@ -31,7 +31,10 @@ CHECKPOINT_KEY = "deltastreamer.checkpoint"
 
 class DFSSource:
     """Incremental directory listing source (DFSPathSelector semantics: files
-    with mod-time > checkpoint).  fmt ∈ {parquet, json, csv}."""
+    with mod-time > checkpoint).  fmt ∈ {parquet, orc, json, csv, avro} —
+    avro needs the spark-avro package on the classpath (the reference ships
+    AvroDFSSource the same way; a missing package raises Spark's own
+    AnalysisException at fetch time)."""
 
     def __init__(self, spark: SparkSession, path: str, fmt: str = "parquet",
                  schema=None, options: Optional[dict] = None):
@@ -57,7 +60,10 @@ class DFSSource:
             reader = reader.schema(self.schema)
         for k, v in self.options.items():
             reader = reader.option(k, v)
-        df = getattr(reader, self.fmt)(*sorted(new_files))
+        if hasattr(reader, self.fmt):
+            df = getattr(reader, self.fmt)(*sorted(new_files))
+        else:   # avro & other format-plugin sources
+            df = reader.format(self.fmt).load(sorted(new_files))
         return df, repr(max_mtime)
 
 

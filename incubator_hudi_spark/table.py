@@ -376,6 +376,26 @@ class HudiTable:
         finally:
             self.cfg = saved
 
+    def insert_prepped(self, df: DataFrame) -> str:
+        """insertPreppedRecords (SparkRDDWriteClient.java:182-188): caller
+        already combined — skip the optional pre-insert dedup."""
+        saved = self.cfg
+        self.cfg = self.cfg.with_(combine_before_insert=False)
+        try:
+            return self.insert(df)
+        finally:
+            self.cfg = saved
+
+    def delete_prepped(self, keys_df: DataFrame) -> str:
+        """deletePreppedRecords: keys already unique — skip the dedup stage."""
+        saved = self.cfg
+        self.cfg = self.cfg.with_(combine_before_upsert=False)
+        try:
+            return self._upsert_impl(
+                keys_df.withColumn(API_DELETE, F.lit(True)), DELETE)
+        finally:
+            self.cfg = saved
+
     def upsert(self, df: DataFrame) -> str:
         """The heart (SparkRDDWriteClient.java:149-159 →
         BaseSparkCommitActionExecutor.java:112-145): preCombine → index tag →

@@ -122,3 +122,42 @@ def test_admin_dataframes(spark, tmp_table_path, orders):
     assert admin.pending_compactions_df(t).count() == 0
     assert admin.upgrade_table(t, 2) == 2
     assert t.tc.version == 2
+
+
+def test_global_bloom_index_matches_global_simple(spark, tmp_path, orders):
+    """GLOBAL_BLOOM = global routing + key-range file pruning
+    (SparkHoodieGlobalBloomIndex.java:143) — same results as GLOBAL_SIMPLE."""
+    outs = []
+    for idx in ("GLOBAL_SIMPLE", "GLOBAL_BLOOM"):
+        t = HudiTable.create(
+            spark, str(tmp_path / idx), idx,
+            recordkey_fields=["o_orderkey"],
+            partition_expr="date_format(o_orderdate,'yyyy')",
+            precombine_field="o_orderdate",
+            write_config=WriteConfig(index_type=idx))
+        t.upsert(orders)
+        upd = (orders.limit(200)
+               .withColumn("o_orderdate",
+                           F.col("o_orderdate") + F.expr("interval 400 days"))
+               .withColumn("o_totalprice", F.lit(3.5)))
+        t.upsert(upd)
+        outs.append(t.read().select("o_orderkey", "_hoodie_partition_path",
+                                    "o_totalprice"))
+    assert outs[0].exceptAll(outs[1]).count() == 0
+    assert outs[1].exceptAll(outs[0]).count() == 0
+
+
+def test_prepped_variants(spark, tmp_path, orders):
+    t = HudiTable.create(
+        spark, str(tmp_path / "prepped"), "prepped",
+        recordkey_fields=["o_orderkey"],
+        partition_expr="date_format(o_orderdate,'yyyy')",
+        precombine_field="o_orderdate")
+    t.insert_prepped(orders)
+    n = t.read().count()
+    assert n == orders.count()
+    t.upsert_prepped(orders.limit(100).withColumn("o_totalprice", F.lit(-3.0)))
+    assert t.read().count() == n
+    assert t.read().filter("o_totalprice = -3.0").count() == 100
+    t.delete_prepped(orders.limit(40))
+    assert t.read().count() == n - 40
