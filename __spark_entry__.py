@@ -1388,6 +1388,30 @@ def snapshot_export(spark, sf_dir):
                  .cast("long").alias("sum_qty")))
 
 
+@q("schema_widening", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CASE WHEN l_linenumber = 2 THEN l_quantity + 2000.0
+            ELSE l_quantity END AS l_quantity
+FROM li_d
+""")
+def schema_widening(spark, sf_dir):
+    """ALTER TABLE CHANGE COLUMN widening (int→bigint, Avro promotion):
+    metadata-only; narrow stored files are read with the widened schema and
+    later wide-typed upserts merge against them."""
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("widening", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)
+        t.change_column("l_linenumber", "bigint")
+        t.upsert(li.filter("l_linenumber = 2")
+                  .withColumn("l_linenumber", F.col("l_linenumber").cast("bigint"))
+                  .withColumn("l_quantity", F.col("l_quantity") + 2000.0))
+        return {"t": t}
+    t = _recipe("widening", sf_dir, build)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

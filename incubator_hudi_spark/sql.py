@@ -231,6 +231,10 @@ class HudiSqlSession:
                      s, re.I | re.S)
         if m:
             return self._table(m.group(1)).add_columns(m.group(2))
+        m = re.match(r"ALTER\s+TABLE\s+(\S+)\s+CHANGE\s+(?:COLUMN\s+)?"
+                     r"(\S+)\s+(?:\2\s+)?(\S+)$", s, re.I)
+        if m:
+            return self._table(m.group(1)).change_column(m.group(2), m.group(3))
         m = re.match(r"ALTER\s+TABLE\s+(\S+)\s+RENAME\s+TO\s+(\S+)$", s, re.I)
         if m:
             old, new = m.groups()

@@ -204,21 +204,47 @@ class HudiTable:
         return StructType.fromJson(json.loads(sj)) if sj else None
 
     @staticmethod
-    def _evolve(prev: Optional[StructType], new: StructType) -> StructType:
+    def _is_widening(old, new) -> bool:
+        """Avro-promotion-style compatible type widening (the reference's
+        schema resolution allows int→long and float→double; Spark 4's parquet
+        reader reads old narrow files directly with the widened schema).
+        Decimal: precision growth at the same scale."""
+        from pyspark.sql.types import (ByteType, DecimalType, DoubleType,
+                                       FloatType, IntegerType, LongType,
+                                       ShortType)
+        ints = (ByteType, ShortType, IntegerType, LongType)
+        if isinstance(old, ints) and isinstance(new, ints):
+            return ints.index(type(new)) > ints.index(type(old))
+        if isinstance(old, FloatType) and isinstance(new, DoubleType):
+            return True
+        if isinstance(old, DecimalType) and isinstance(new, DecimalType):
+            return new.scale == old.scale and new.precision >= old.precision
+        return False
+
+    @classmethod
+    def _evolve(cls, prev: Optional[StructType], new: StructType) -> StructType:
         if prev is None:
             return new
         by_name = {f.name: f for f in prev.fields}
+        widened: dict[str, StructField] = {}
         for f in new.fields:
             old = by_name.get(f.name)
             if old is None:
                 by_name[f.name] = f  # backwards-compatible add
             elif old.dataType.simpleString() != f.dataType.simpleString():
-                raise ValueError(
-                    f"incompatible schema change for column {f.name}: "
-                    f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}")
-        # preserve previous order, append new fields
-        fields = list(prev.fields) + [f for f in new.fields if f.name not in
-                                      {p.name for p in prev.fields}]
+                if cls._is_widening(old.dataType, f.dataType):
+                    widened[f.name] = StructField(f.name, f.dataType,
+                                                  old.nullable or f.nullable)
+                elif cls._is_widening(f.dataType, old.dataType):
+                    pass  # incoming is narrower — stored type wins, union casts up
+                else:
+                    raise ValueError(
+                        f"incompatible schema change for column {f.name}: "
+                        f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}")
+        # preserve previous order (applying widenings), append new fields
+        fields = [widened.get(f.name, f) for f in prev.fields]
+        fields += [f for f in new.fields if f.name not in
+                   {p.name for p in prev.fields}]
         return StructType(fields)
 
     def _read_schema(self, extra_bool_cols: Sequence[str] = ()) -> StructType:
@@ -764,10 +790,31 @@ class HudiTable:
                        StructType(list(cur.fields) + list(new_fields)))
         return instant.time
 
-    def change_column_comment_only(self) -> None:
-        """AlterHoodieTableChangeColumnCommand restricts to compatible
-        changes; type changes are rejected by ``_evolve`` on write — nothing
-        further to do here (comments are not persisted in parquet)."""
+    def change_column(self, name: str, new_type_ddl: str) -> str:
+        """ALTER TABLE CHANGE COLUMN (AlterHoodieTableChangeColumnCommand):
+        compatible type widening only (int→long, float→double, decimal
+        precision growth — Avro promotion rules).  Metadata-only commit; old
+        narrow files are read directly with the widened schema (Spark 4
+        parquet widening), so no rewrite happens."""
+        from pyspark.sql.types import _parse_datatype_string
+        cur = self.stored_schema()
+        if cur is None:
+            raise ValueError("table has no schema yet — write data first")
+        by_name = {f.name: f for f in cur.fields}
+        if name not in by_name:
+            raise ValueError(f"no such column: {name}")
+        new_t = _parse_datatype_string(new_type_ddl)
+        old_t = by_name[name].dataType
+        if old_t.simpleString() != new_t.simpleString() \
+                and not self._is_widening(old_t, new_t):
+            raise ValueError(
+                f"only widening type changes are supported: "
+                f"{old_t.simpleString()} -> {new_t.simpleString()}")
+        fields = [StructField(f.name, new_t if f.name == name else f.dataType,
+                              f.nullable) for f in cur.fields]
+        instant = self._start(tl.COMMIT)
+        self._complete(instant, "alter_change_column", [], StructType(fields))
+        return instant.time
 
     def rename_table(self, new_name: str) -> None:
         """AlterHoodieTableRenameCommand: table name lives in table config."""

@@ -119,3 +119,49 @@ def test_catalog_sync(spark, tmp_path, li):
     assert rt == 100 and ro < 100  # logs visible only through realtime view
     parts = sync_partitions(m)
     assert parts and all("-" in p for p in parts)
+
+
+def test_change_column_widening(spark, tmp_path, li):
+    t = HudiTable.create(
+        spark, str(tmp_path / "widen"), "widen",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate")
+    t.upsert(li)
+    assert dict(t.read().dtypes)["l_linenumber"] == "int"
+    # explicit ALTER CHANGE: metadata-only widening, old files read as-is
+    t.change_column("l_linenumber", "bigint")
+    snap = t.read()
+    assert dict(snap.dtypes)["l_linenumber"] == "bigint"
+    assert snap.count() == t.read().count()
+    # widened writes merge with narrow stored files
+    upd = (li.limit(300)
+           .withColumn("l_linenumber", F.col("l_linenumber").cast("bigint"))
+           .withColumn("l_quantity", F.lit(-5.0)))
+    t.upsert(upd)
+    assert dict(t.read().dtypes)["l_linenumber"] == "bigint"
+    assert t.read().filter("l_quantity = -5.0").count() > 0
+    # non-widening change still rejected
+    with pytest.raises(ValueError):
+        t.change_column("l_quantity", "string")
+    with pytest.raises(ValueError):
+        t.change_column("l_linenumber", "int")   # narrowing
+
+
+def test_implicit_widening_on_write(spark, tmp_path, li):
+    t = HudiTable.create(
+        spark, str(tmp_path / "widen2"), "widen2",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate")
+    t.upsert(li)
+    # a batch that arrives with a wider type evolves the schema in-place
+    t.upsert(li.limit(100)
+             .withColumn("l_linenumber", F.col("l_linenumber").cast("bigint")))
+    assert dict(t.read().dtypes)["l_linenumber"] == "bigint"
+    # and a narrower late batch is upcast into the stored wide type
+    t.upsert(li.limit(50)
+             .withColumn("l_linenumber", F.col("l_linenumber").cast("int"))
+             .withColumn("l_quantity", F.lit(-9.0)))
+    assert dict(t.read().dtypes)["l_linenumber"] == "bigint"
+    assert t.read().filter("l_quantity = -9.0").count() == 50
