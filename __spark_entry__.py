@@ -1412,6 +1412,80 @@ def schema_widening(spark, sf_dir):
     return t.read().select("l_orderkey", "l_linenumber", "l_quantity")
 
 
+@q("pii_scrub", r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' u' || doc_id || '@ex.com 10.0.0.' || (doc_id % 256) AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+       md5(regexp_replace(regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS clean_md5
+FROM seeded
+""")
+def pii_scrub_q(spark, sf_dir):
+    """PII redaction (emails/IPv4/phones) over documents seeded with
+    deterministic synthetic PII; verified via redaction counts + an md5 of
+    the scrubbed text.  Pure regexp codegen — a map-only stage at scale."""
+    from incubator_hudi_spark.operators import text as T
+    docs = (_load(spark, sf_dir, "documents")
+            .withColumn("text",
+                        F.concat(F.col("text"), F.lit(" u"), F.col("doc_id"),
+                                 F.lit("@ex.com 10.0.0."),
+                                 F.pmod(F.col("doc_id"), F.lit(256)))))
+    return (T.pii_scrub(docs)
+            .select("doc_id", "n_emails", "n_ips",
+                    F.md5(F.col("text_clean")).alias("clean_md5")))
+
+
+@q("dup_clusters", r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(lower(trim(text)),'\s+')) - 2, 1) + 1),
+      i -> array_to_string(string_split_regex(lower(trim(text)),'\s+')[i:i+2], ' '))) AS sh
+  FROM documents),
+sigs AS (
+  SELECT doc_id,
+    list_transform(range(0, 16),
+      i -> list_min(list_transform(sh, s -> md5(i::varchar || md5(s))))) AS sig
+  FROM docs),
+banded AS (
+  SELECT doc_id, b AS band, md5(sig[b*2+1] || sig[b*2+2]) AS bh
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id
+            JOIN sigs sb ON cand.id_b = sb.doc_id
+  WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.7),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT DISTINCT a AS v, a AS l FROM edges
+  UNION
+  SELECT e.b, r.l FROM reach r JOIN edges e ON r.v = e.a
+)
+SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+""")
+def dup_clusters_q(spark, sf_dir):
+    """near-dup pair list → connected components (iterative min-label
+    propagation) — the keep-one-per-cluster step of corpus dedup; oracle is
+    a recursive-CTE transitive closure over the same MinHash+LSH pairs."""
+    from incubator_hudi_spark.operators import dedup as D
+    docs = _load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, k=16, bands=8, verify_threshold=0.7,
+                                hash_family="md5")
+    return D.dup_clusters(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

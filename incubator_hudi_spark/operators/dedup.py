@@ -272,3 +272,43 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
              .withColumn("jaccard", inter / union)
              .filter(F.col("jaccard") >= threshold)
              .select("id_a", "id_b", "jaccard"))
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair list → cluster ids
+    (min member id wins), the step that turns pairwise dup detection into
+    keep-one-per-cluster corpus pruning.
+
+    Iterative min-label propagation: each round joins current labels across
+    the (symmetrized) edge list and keeps the per-vertex minimum — the
+    standard alternating-join approach that scales as O(E) work per round
+    with O(log n) rounds on realistic dup graphs (chains are rare; dup
+    clusters are near-cliques).  Each round is one shuffle; frames are
+    persisted and the fixpoint check piggybacks on the aggregation.
+    Returns (doc_id, cluster_id) for every vertex that appears in a pair.
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    edges = (pairs.select(a.alias("src"), b.alias("dst"))
+             .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("v"))
+              .distinct().withColumn("label", F.col("v")).persist())
+    try:
+        for _ in range(max_iterations):
+            # candidate labels flowing along edges, then per-vertex min
+            prop = (edges.join(labels.withColumnRenamed("v", "src"), "src")
+                    .select(F.col("dst").alias("v"), "label"))
+            new_labels = (labels.unionByName(prop)
+                          .groupBy("v").agg(F.min("label").alias("label"))
+                          .persist())
+            changed = (new_labels.join(labels.withColumnRenamed("label", "old"), "v")
+                       .filter("label < old").limit(1).count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("v").alias("doc_id"),
+                             F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()

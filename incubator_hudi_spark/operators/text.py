@@ -118,3 +118,34 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("detected_lang", detect_language(F.col(text_col)))
             .withColumn("n_tokens_bpe", token_count_bpe_ish(F.col(text_col)).cast("long"))
             .withColumn("fingerprint", doc_fingerprint(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-corpus hygiene) — pure regexp expressions, all
+# patterns chosen to behave identically under Java regex (Spark) and RE2
+# (DuckDB) so the operator is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              email_token: str = "<EMAIL>", ip_token: str = "<IP>",
+              phone_token: str = "<PHONE>") -> DataFrame:
+    """Redact emails / IPv4s / international phone numbers and count the
+    redactions.  Whole-stage-codegen regexp chain — no Python in the row
+    path; at 100 TB this is a pure map stage (zero shuffles)."""
+    t = F.col(text_col)
+    return (df
+            .withColumn("n_emails", F.regexp_count(t, F.lit(PII_EMAIL)))
+            .withColumn("n_ips", F.regexp_count(t, F.lit(PII_IPV4)))
+            .withColumn("n_phones", F.regexp_count(t, F.lit(PII_PHONE)))
+            .withColumn(
+                f"{text_col}_clean",
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(t, PII_EMAIL, email_token),
+                        PII_PHONE, phone_token),
+                    PII_IPV4, ip_token)))

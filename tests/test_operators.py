@@ -171,3 +171,31 @@ def test_lsh_and_ivf_topk(spark):
         assert top1 == {i: i for i in top1}
         assert df.filter("rank > 3").count() == 0
         assert df.groupBy("query_id").count().filter("count > 3").count() == 0
+
+
+def test_pii_scrub(spark):
+    from incubator_hudi_spark.operators import text as T
+    rows = [
+        (1, "contact me at alice@example.com or +1 555 123 4567 ok"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 served bob@sub.dom.org"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in T.pii_scrub(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert "<EMAIL>" in out[1]["text_clean"] and "<PHONE>" in out[1]["text_clean"]
+    assert "alice@example.com" not in out[1]["text_clean"]
+    assert out[2]["n_ips"] == 2 and out[2]["text_clean"].count("<IP>") == 2
+    assert out[3]["text_clean"] == "nothing sensitive here"
+
+
+def test_dup_clusters_connected_components(spark):
+    from incubator_hudi_spark.operators import dedup as D
+    # two chains and one isolated pair: {1,2,3,4}, {10,11}, {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
