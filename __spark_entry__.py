@@ -1486,6 +1486,101 @@ def dup_clusters_q(spark, sf_dir):
     return D.dup_clusters(pairs)
 
 
+# ---------------------------------------------------------------------------
+# relational queries ON TOP of hudi tables (SURVEY §2.8: reads hand back
+# genuine DataFrames, so the full Catalyst join/agg surface applies — these
+# two run TPC-H-style multi-table plans entirely over engine snapshots)
+# ---------------------------------------------------------------------------
+
+def _r_tpch_tables(spark, sf_dir):
+    """Every TPC-H-ish table bulk-ingested as its own hudi table (dims
+    non-partitioned; facts keep their natural keys)."""
+    def build():
+        from incubator_hudi_spark import HudiTable
+        keys = {"customer": ["c_custkey"], "orders": ["o_orderkey"],
+                "supplier": ["s_suppkey"], "nation": ["n_nationkey"],
+                "region": ["r_regionkey"]}
+        out = {}
+        for name, rk in keys.items():
+            t = HudiTable.create(spark, _new_path(f"tpch_{name}", sf_dir),
+                                 name=name, recordkey_fields=rk)
+            t.bulk_insert(_load(spark, sf_dir, name))
+            out[name] = t
+        out["lineitem"] = _r_bulk(spark, sf_dir)["t"]
+        return out
+    return _recipe("tpch_tables", sf_dir, build)
+
+
+@q("join_q3_on_hudi", """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS odate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+""")
+def join_q3_on_hudi(spark, sf_dir):
+    """TPC-H Q3 shape over three hudi snapshots — Catalyst broadcast-joins
+    the dimension side and pushes both date filters into the parquet scans."""
+    r = _r_tpch_tables(spark, sf_dir)
+    c, o, l = r["customer"].read(), r["orders"].read(), r["lineitem"].read()
+    return (c.filter("c_mktsegment = 'BUILDING'")
+            .join(o, c.c_custkey == o.o_custkey)
+            .filter("o_orderdate < TIMESTAMP '1995-03-15 00:00:00'")
+            .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter("l_shipdate > TIMESTAMP '1995-03-15 00:00:00'")
+            .groupBy("l_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+                     "o_orderpriority")
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+                  * 10000).cast("long").alias("revenue"))
+            .select("l_orderkey", "revenue", "odate", "o_orderpriority"))
+
+
+@q("join_q5_on_hudi", """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS revenue,
+       count(*) AS n
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN customer c ON c.c_nationkey = s.s_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_suppkey = s.s_suppkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n.n_name
+""")
+def join_q5_on_hudi(spark, sf_dir):
+    """TPC-H Q5 shape — a six-table join where every input is a hudi
+    snapshot; local-supplier condition keeps the join graph honest."""
+    r = _r_tpch_tables(spark, sf_dir)
+    reg = r["region"].read().filter("r_name = 'ASIA'")
+    nat, sup = r["nation"].read(), r["supplier"].read()
+    cus, orde, li = r["customer"].read(), r["orders"].read(), r["lineitem"].read()
+    return (reg
+            .join(nat, nat.n_regionkey == reg.r_regionkey)
+            .join(sup, sup.s_nationkey == nat.n_nationkey)
+            .join(cus, cus.c_nationkey == sup.s_nationkey)
+            .join(orde, orde.o_custkey == cus.c_custkey)
+            .filter("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+                    "o_orderdate < TIMESTAMP '1999-01-01 00:00:00'")
+            .join(li, (F.col("l_orderkey") == F.col("o_orderkey"))
+                  & (F.col("l_suppkey") == F.col("s_suppkey")))
+            .groupBy("n_name")
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+                  * 10000).cast("long").alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
