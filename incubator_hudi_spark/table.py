@@ -262,6 +262,17 @@ class HudiTable:
     # commit protocol helpers
     # ------------------------------------------------------------------
     def _start(self, action: str) -> tl.Instant:
+        # eager rollback of failed writes at write start (the reference's
+        # rollback-on-start) — single-writer mode only: with OCC another
+        # writer's inflight instant is live work, not a crash (the reference
+        # likewise defers to heartbeat-based lazy cleaning under OCC)
+        if action in tl.DATA_ACTIONS and self._pre_commit_hook is None \
+                and not getattr(self, "_recovering", False):
+            self._recovering = True
+            try:
+                self._recover_dangling()
+            finally:
+                self._recovering = False
         t = tl.new_instant_time()
         ins = self.timeline.create_requested(t, action)
         return self.timeline.transition_to_inflight(ins)

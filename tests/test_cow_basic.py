@@ -194,3 +194,35 @@ def test_rollback_restores_previous_snapshot(spark, tmp_table_path, lineitem):
     snap = t.read()
     assert snap.count() == before
     assert snap.filter(F.col("l_quantity") < 0).count() == 0
+
+
+def test_crash_recovery_on_next_write(spark, tmp_table_path, lineitem):
+    """A writer that died mid-commit leaves requested+inflight instants and
+    orphan data files; the next write (rollback-on-start) must clear them
+    and readers must never have seen the partial data."""
+    import os
+    from incubator_hudi_spark import timeline as tl
+
+    t = HudiTable.create(spark, tmp_table_path, "t",
+                         recordkey_fields=["l_orderkey", "l_linenumber"],
+                         partition_expr="date_format(l_shipdate,'yyyy-MM')",
+                         precombine_field="l_shipdate")
+    t.upsert(lineitem)
+    n = t.read().count()
+
+    # simulate the crash: dangling instant + orphan files in its data dir
+    crash = tl.new_instant_time()
+    ins = t.timeline.create_requested(crash, tl.COMMIT)
+    t.timeline.transition_to_inflight(ins)
+    d = os.path.join(t.meta.instant_data_dir(crash), "_fg=deadbeef")
+    os.makedirs(d)
+    lineitem.limit(10).write.mode("overwrite").parquet(os.path.join(d, "orphan"))
+
+    t2 = HudiTable.load(spark, tmp_table_path)
+    assert t2.read().count() == n            # partial write invisible
+    t2.upsert(lineitem.limit(100).withColumn("l_quantity", F.lit(-1.0)))
+    assert not any(p.time == crash for p in t2.timeline.pending())
+    assert not os.path.isdir(t2.meta.instant_data_dir(crash))
+    rb = t2.timeline.completed([tl.ROLLBACK])
+    assert rb, "rollback instant should record the recovery"
+    assert t2.read().filter("l_quantity = -1.0").count() == 100
