@@ -1581,6 +1581,37 @@ def join_q5_on_hudi(spark, sf_dir):
                  F.count(F.lit(1)).alias("n")))
 
 
+@q("sessionization", f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+m AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk FROM o),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id FROM m)
+SELECT user_id, session_id,
+       strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+""")
+def sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min) over events — the batch twin of the
+    applyInPandasWithState streaming operator (streaming/sessionize.py); one
+    user-keyed shuffle, gaps-and-islands in pure window functions."""
+    from incubator_hudi_spark.streaming.sessionize import sessionize
+    ev = _load(spark, sf_dir, "events")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id", "session_id",
+        F.date_format("session_start", _TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", _TS_FMT_SPARK).alias("session_end"),
+        "n_events")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

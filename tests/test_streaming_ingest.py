@@ -108,3 +108,71 @@ def test_table_to_table_incremental_pipeline(spark, events):
     job.sync_once()
     assert down.read().count() == events.count()
     assert job.sync_once() is None  # caught up
+
+
+def test_writestream_foreachbatch_available_now(spark, tmp_path, events):
+    """True Structured Streaming integration: file readStream →
+    foreachBatch(HudiStreamingSink) with availableNow, then a second round
+    with new files resumes exactly-once from the recorded batch ids."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    events.filter("event_id % 2 = 0").write.parquet(src + "/p0")
+    t = make_events(spark, str(tmp_path / "tbl"))
+    sink = HudiStreamingSink(t, query_id="ws")
+
+    def run_round():
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", "4").parquet(src + "/*")
+                  .writeStream.foreachBatch(lambda df, bid: sink(df, bid))
+                  .option("checkpointLocation", ckpt)
+                  .trigger(availableNow=True).start())
+        stream.awaitTermination(120)
+
+    run_round()
+    n_half = events.filter("event_id % 2 = 0").count()
+    assert t.read().count() == n_half
+    events.filter("event_id % 2 = 1").write.parquet(src + "/p1")
+    run_round()
+    assert t.read().count() == events.count()
+    assert sink.last_committed_batch() is not None
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path, events):
+    """applyInPandasWithState sessionization: state carries open sessions
+    across micro-batches; closed sessions match the batch window version."""
+    from incubator_hudi_spark.streaming.sessionize import (sessionize,
+                                                           sessionize_stream)
+    ev = events.filter("user_id < 20")
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    # split by time so sessions genuinely span micro-batch boundaries
+    cut = ev.selectExpr("percentile(cast(cast(ts as timestamp) as long), 0.5)").first()[0]
+    ev.filter(F.col("ts").cast("timestamp").cast("long") <= cut).write.parquet(src + "/p0")
+    ev.filter(F.col("ts").cast("timestamp").cast("long") > cut).write.parquet(src + "/p1")
+
+    out = sessionize_stream(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*"),
+        gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.table("sess_out").select("user_id", "session_start",
+                                         "session_end", "n_events")
+
+    ref = (sessionize(ev, gap_minutes=30)
+           .select("user_id",
+                   F.col("session_start").cast("timestamp").cast("long").alias("session_start"),
+                   F.col("session_end").cast("timestamp").cast("long").alias("session_end"),
+                   "n_events"))
+    # the stream never emits each user's trailing open session — drop the
+    # last session per user from the batch reference before comparing
+    w_last = F.max("session_start").over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        .partitionBy("user_id"))
+    ref_closed = (ref.withColumn("_last", w_last)
+                  .filter("session_start < _last").drop("_last"))
+    assert got.count() == ref_closed.count()
+    assert got.exceptAll(ref_closed).count() == 0
+    assert ref_closed.exceptAll(got).count() == 0
