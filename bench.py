@@ -132,6 +132,13 @@ def main():
         text.analyze(docs).select(
             F.sum("n_tokens"),
             F.sum(F.pmod(F.col("fingerprint"), F.lit(1000003)))).collect()
+    with timed("pii_scrub"):
+        text.pii_scrub(docs).select(
+            F.sum("n_emails"), F.sum(F.length("text_clean"))).collect()
+    with timed("sessionization"):
+        from incubator_hudi_spark.streaming.sessionize import sessionize
+        ev = load_table(spark, SF_DIR, "events")
+        sessionize(ev, gap_minutes=30).count()
 
     total = round(sum(timings.values()), 3)
     li.unpersist()
