@@ -208,6 +208,18 @@ def main():
         ("merge window present", "Window" in p),
     ])
 
+    # 7 — sessionization: exactly one user-keyed shuffle feeds both windows
+    # and the session aggregation (sort-order reuse within the partition)
+    from incubator_hudi_spark.streaming.sessionize import sessionize
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    sess = sessionize(ev, gap_minutes=30)
+    p = explain(sess)
+    check("sessionization: one user-keyed shuffle", p, [
+        (f"exactly 1 Exchange (found {n_exchanges(sess)})",
+         n_exchanges(sess) == 1),
+        ("gaps-and-islands windows present", "Window" in p),
+    ])
+
     # 6 — ANN brute force broadcasts the query side
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qs = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
