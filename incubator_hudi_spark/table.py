@@ -495,6 +495,11 @@ class HudiTable:
             # partition is either covered or brand-new (no stored records →
             # a null-fg tag is already the correct routing).  Driver-side
             # check only; saves one Spark action per steady-state batch.
+            # NOTE: this lane always broadcasts the batch's key set (no row
+            # count is taken) — acceptable under the INMEMORY index contract
+            # (table small enough to pin its key map in executor memory, so
+            # any batch ≤ table is broadcastable); the sized SIMPLE/BLOOM
+            # paths below keep the index_broadcast_max_rows guard.
             last_data = self.timeline.last_completed(tl.DATA_ACTIONS)
             cache_covers = (
                 self.cfg.index_type == INDEX_INMEMORY
