@@ -335,7 +335,8 @@ class HudiTable:
         prepared = self._prepare(df, instant.time, self.cfg.combine_before_insert)
         stats, fg_map, schema = self._write_inserts(
             prepared, instant.time, pack_small_files=False,
-            sort_mode=sort_mode or self.cfg.bulk_insert_sort_mode)
+            sort_mode=sort_mode or self.cfg.bulk_insert_sort_mode,
+            profile_df=with_key_columns(df, self.tc))
         self._complete(instant, BULK_INSERT, stats, schema)
         self._post_commit()
         return instant.time
@@ -349,22 +350,27 @@ class HudiTable:
         stats, fg_map, schema = self._write_inserts(
             prepared, instant.time,
             pack_small_files=(self.tc.table_type == COPY_ON_WRITE),
-            sort_mode=SORT_PARTITION)
+            sort_mode=SORT_PARTITION,
+            profile_df=with_key_columns(df, self.tc))
         self._complete(instant, INSERT, stats, schema)
         self._post_commit()
         return instant.time
 
     def _write_inserts(self, prepared: DataFrame, instant_time: str,
                        pack_small_files: bool, sort_mode: str,
-                       action_view: Optional[FileSystemView] = None):
+                       action_view: Optional[FileSystemView] = None,
+                       profile_df: Optional[DataFrame] = None):
         """Shared insert path: profile → bucket plan → assign → write.
-        Packed small file groups are rewritten (old ∪ new) — COW semantics."""
+        Packed small file groups are rewritten (old ∪ new) — COW semantics.
+        ``profile_df``: cheaper pre-combine frame to count (same partitions,
+        counts ≥ the written rows — bucket sizing is statistical anyway)."""
         view = action_view if action_view is not None else self.view()
         # validate evolution on the raw batch BEFORE any union coerces types
         self._commit_schema(prepared)
         with _stage("insert.profile"):
+            src = profile_df if profile_df is not None else prepared
             profile = {r[0]: r[1] for r in
-                       prepared.groupBy(META_PARTITION_PATH).count().collect()}
+                       src.groupBy(META_PARTITION_PATH).count().collect()}
         rec_size = avg_record_size(self.meta, self.timeline,
                                    self.cfg.record_size_estimate)
         plan = plan_insert_buckets(profile, view if pack_small_files else None,
@@ -456,7 +462,11 @@ class HudiTable:
                                  combine=self.cfg.combine_before_upsert)
         # validate evolution on the raw batch BEFORE any union coerces types
         self._commit_schema(prepared)
-        prepared = prepared.persist()
+        # workload profiles run on the RAW keyed batch, not the deduped one:
+        # identical partition set, conservative (≥) counts and key ranges —
+        # so the preCombine shuffle never materializes just to be counted
+        profile_src = with_key_columns(df, self.tc)
+        persisted = False
         tagged = None
         try:
             # pending-compaction targets MUST be read BEFORE the view is
@@ -484,7 +494,8 @@ class HudiTable:
                 stats, fg_map, schema = self._write_inserts(
                     prepared, instant.time,
                     pack_small_files=(self.tc.table_type == COPY_ON_WRITE),
-                    sort_mode=SORT_PARTITION, action_view=view)
+                    sort_mode=SORT_PARTITION, action_view=view,
+                    profile_df=profile_src)
                 self._complete(instant, operation, stats, schema)
                 if self.cfg.index_type == INDEX_INMEMORY:
                     self._invalidate_key_index()
@@ -510,9 +521,10 @@ class HudiTable:
                 index_df, bc = self._key_index, True
             else:
                 # workload profile (BaseSparkCommitActionExecutor.java:122-127)
-                # + key range for BLOOM-style pruning — one Spark action
+                # + key range for BLOOM-style pruning — one Spark action over
+                # the raw keyed batch (no dedup shuffle)
                 with _stage("upsert.profile"):
-                    prof = prepared.groupBy(META_PARTITION_PATH).agg(
+                    prof = profile_src.groupBy(META_PARTITION_PATH).agg(
                         F.count(F.lit(1)).alias("n"),
                         F.min(META_RECORD_KEY).alias("mn"),
                         F.max(META_RECORD_KEY).alias("mx")).collect()
@@ -523,6 +535,11 @@ class HudiTable:
                     index_df = self._load_index(view, partitions, key_range)
                 n_rows = sum(r[1] for r in prof)
                 bc = n_rows <= self.cfg.index_broadcast_max_rows
+            # the tagging join consumes prepared twice (broadcast probe +
+            # stream side) and the write again via tagged — cache it now that
+            # the profile no longer forces early materialization
+            prepared = prepared.persist()
+            persisted = True
             if bc:
                 # broadcast path pre-dedups the pruned index side per file
                 # group — the join can't multiply rows per (input row, fg)
@@ -579,7 +596,8 @@ class HudiTable:
                 else:
                     self._invalidate_key_index()
         finally:
-            prepared.unpersist()
+            if persisted:
+                prepared.unpersist()
             if tagged is not None:
                 tagged.unpersist()
         with _stage("upsert.post_commit"):
