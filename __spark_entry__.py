@@ -1612,6 +1612,37 @@ def sessionization(spark, sf_dir):
         "n_events")
 
 
+@q("sequence_packing", r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+  FROM documents),
+walk AS (
+  SELECT shard, rn, doc_id, n_tokens, n_tokens AS acc, 0 AS pack_id
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN w.acc + d.n_tokens > 2000 THEN d.n_tokens
+              ELSE w.acc + d.n_tokens END,
+         CASE WHEN w.acc + d.n_tokens > 2000 THEN w.pack_id + 1
+              ELSE w.pack_id END
+  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1)
+SELECT doc_id, shard, n_tokens, pack_id FROM walk
+""")
+def sequence_packing(spark, sf_dir):
+    """Greedy token-budget sequence packing per shard (applyInPandas linear
+    pass; shards pack in parallel) — oracle is a recursive-CTE walk of the
+    same greedy rule."""
+    from incubator_hudi_spark.operators import text as T
+    from incubator_hudi_spark.operators.packing import pack_greedy
+    docs = (_load(spark, sf_dir, "documents")
+            .select("doc_id", F.pmod(F.col("doc_id"), F.lit(4)).alias("shard"),
+                    T.token_count_whitespace(F.col("text")).cast("long")
+                    .alias("n_tokens")))
+    return pack_greedy(docs, budget=2000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -199,3 +199,20 @@ def test_dup_clusters_connected_components(spark):
            for r in D.dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_pack_greedy(spark):
+    from incubator_hudi_spark.operators.packing import pack_greedy
+    rows = [  # (doc_id, shard, n_tokens)
+        (1, 0, 60), (2, 0, 50), (3, 0, 10), (4, 0, 200), (5, 0, 1),
+        (10, 1, 100), (11, 1, 100),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+    got = {r["doc_id"]: r["pack_id"]
+           for r in pack_greedy(df, budget=100).collect()}
+    # shard 0: [60] -> pack0 (60); +50 would exceed -> pack1 (50+10=60);
+    # 200 alone exceeds budget -> pack2; 1 -> +200>100 -> pack3
+    assert got[1] == 0 and got[2] == 1 and got[3] == 1
+    assert got[4] == 2 and got[5] == 3
+    # shard 1 packs independently: 100 fills pack0 exactly, next opens pack1
+    assert got[10] == 0 and got[11] == 1
