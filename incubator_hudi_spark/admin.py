@@ -176,4 +176,15 @@ def export_snapshot(table, dest_path: str, fmt: str = "parquet",
     if partition_by_path:
         writer = writer.partitionBy(META_PARTITION_PATH)
     writer.save(dest_path)
+    if fmt == "parquet":
+        # count from the written files' footers — no second table scan
+        import os
+
+        import pyarrow.parquet as pq
+        total = 0
+        for root, _d, files in os.walk(dest_path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+        return total
     return df.count()

@@ -151,8 +151,10 @@ class WriteConfig:
     # scan (indexing.tag_locations) instead of shuffling/building it
     index_broadcast_max_rows: int = 1_000_000
     # COW rewrite strategy: None = auto (broadcast anti-join pass-through when
-    # the batch is broadcastable and the payload is new-commit-wins, else the
-    # per-file-group window merge); True/False forces it
+    # the batch is broadcastable AND semantically eligible — new-commit-wins
+    # payload, preCombined batch — else the per-file-group window merge).
+    # True forces the broadcast path whenever semantically eligible (skips
+    # the size guard only); False always uses the window merge.
     cow_broadcast_merge: Optional[bool] = None
     # write a metadata-table view checkpoint every N data commits
     # (HoodieBackedTableMetadataWriter sync cadence; 0 disables)

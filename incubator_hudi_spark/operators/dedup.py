@@ -295,6 +295,7 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     labels = (edges.select(F.col("src").alias("v"))
               .distinct().withColumn("label", F.col("v")).persist())
     try:
+        converged = False
         for _ in range(max_iterations):
             # candidate labels flowing along edges, then per-vertex min
             prop = (edges.join(labels.withColumnRenamed("v", "src"), "src")
@@ -307,8 +308,22 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
-        return labels.select(F.col("v").alias("doc_id"),
-                             F.col("label").alias("cluster_id"))
+        if not converged:
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_iterations} rounds — "
+                f"a component's propagation diameter exceeds the cap; raise "
+                f"max_iterations (chains this long usually indicate a "
+                f"too-loose pair threshold)")
+        # pin the result off the iterative lineage (re-evaluating the joined
+        # chain without a cache is exponential), then release the cache —
+        # localCheckpoint blocks are reclaimed with the DataFrame, unlike a
+        # persist the caller can never unpersist
+        out = labels.select(F.col("v").alias("doc_id"),
+                            F.col("label").alias("cluster_id")) \
+                    .localCheckpoint(eager=True)
+        labels.unpersist()
+        return out
     finally:
         edges.unpersist()

@@ -43,5 +43,6 @@ def pack_greedy(df: DataFrame, budget: int, token_col: str = "n_tokens",
             "pack_id": packs,
         })
 
-    return (df.select(id_col, shard_col, token_col)
+    cols = list(dict.fromkeys([id_col, shard_col, token_col, order]))
+    return (df.select(*cols)
             .groupBy(shard_col).applyInPandas(pack, out_schema))

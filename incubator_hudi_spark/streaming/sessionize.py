@@ -26,11 +26,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _epoch_s(col):
-    """Epoch seconds for TIMESTAMP and TIMESTAMP_NTZ alike (NTZ has no
+def _epoch_us(col):
+    """Epoch MICROseconds for TIMESTAMP and TIMESTAMP_NTZ alike (NTZ has no
     direct long cast in Spark 4; route through TIMESTAMP — value-preserving
-    under a UTC session timezone)."""
-    return col.cast("timestamp").cast("long")
+    under a UTC session timezone).  Microsecond precision keeps the gap
+    comparison exact for parquet timestamps, matching an interval-based SQL
+    oracle at the session boundary."""
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30,
@@ -42,12 +44,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
     time order), start/end timestamps, and event count.  Deterministic
     ordering ties broken by ``order_col``.
     """
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     prev = F.lag(ts_col).over(w)
     brk = F.when(
         prev.isNull()
-        | (_epoch_s(F.col(ts_col)) - _epoch_s(prev) > gap_s),
+        | (_epoch_us(F.col(ts_col)) - _epoch_us(prev) > gap_us),
         F.lit(1)).otherwise(F.lit(0))
     cum = Window.partitionBy(user_col).orderBy(ts_col, order_col) \
                 .rowsBetween(Window.unboundedPreceding, 0)
@@ -70,13 +72,18 @@ def sessionize_stream(stream_df: DataFrame, gap_minutes: int = 30,
     stay in state — they are emitted once a later batch closes them (the
     standard continuous-sessionization contract; no watermark needed because
     state is one tuple per user, not buffered events).
+
+    Output: (user, session_start, session_end, n_events) with the session
+    bounds as epoch-microsecond longs (state schemas need primitives); the
+    user column keeps the input column's type.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_s = gap_minutes * 60
-    out_schema = (f"{user_col} long, session_start long, session_end long, "
-                  f"n_events long")
+    gap_us = gap_minutes * 60 * 1_000_000
+    user_t = stream_df.schema[user_col].dataType.simpleString()
+    out_schema = (f"{user_col} {user_t}, session_start long, "
+                  f"session_end long, n_events long")
     state_schema = "start long, last long, n long"
 
     def fold(key: Tuple, pdfs: Iterator["pd.DataFrame"],
@@ -87,20 +94,25 @@ def sessionize_stream(stream_df: DataFrame, gap_minutes: int = 30,
         else:
             start = last = n = None
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, order_col])
-            # unit-agnostic epoch seconds (Arrow may hand datetime64[us] or [ns])
-            ts_s = pdf[ts_col].values.astype("datetime64[s]").astype("int64").tolist()
-            for t in ts_s:
+        # a group's micro-batch may arrive as several Arrow chunks in
+        # arbitrary order — concatenate first, sort ONCE across the batch
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True) \
+                      .sort_values([ts_col, order_col])
+            # unit-agnostic epoch micros (Arrow hands datetime64[us] or [ns])
+            ts_us = batch[ts_col].values.astype("datetime64[us]") \
+                                 .astype("int64").tolist()
+            for t in ts_us:
                 if start is None:
                     start, last, n = t, t, 1
-                elif t - last > gap_s:
+                elif t - last > gap_us:
                     closed.append((uid, start, last, n))
                     start, last, n = t, t, 1
                 else:
                     last, n = t, n + 1
         if start is not None:
-            state.update((start, last, n))
+            state.update((int(start), int(last), int(n)))
         if closed:
             yield pd.DataFrame(closed, columns=[user_col, "session_start",
                                                 "session_end", "n_events"])

@@ -642,13 +642,15 @@ class HudiTable:
         # precombine guard first only for PAYLOAD_DEFAULT)
         new_wins = not (self.tc.payload == PAYLOAD_DEFAULT
                         and self.tc.precombine_field)
-        fast = (rewrite_fgs
-                and new_wins
-                and self.cfg.combine_before_upsert    # one row per HoodieKey
-                and n_new_rows is not None
-                and n_new_rows <= self.cfg.index_broadcast_max_rows)
-        if self.cfg.cow_broadcast_merge is not None:
-            fast = fast if self.cfg.cow_broadcast_merge else False
+        semantically_ok = (bool(rewrite_fgs) and new_wins
+                           and self.cfg.combine_before_upsert)  # 1 row/key
+        if self.cfg.cow_broadcast_merge is None:      # auto: add size guard
+            fast = (semantically_ok and n_new_rows is not None
+                    and n_new_rows <= self.cfg.index_broadcast_max_rows)
+        elif self.cfg.cow_broadcast_merge:            # forced: skip the size
+            fast = semantically_ok                    # guard, never safety
+        else:
+            fast = False
         if fast:
             old = self._read_fg_files(view, rewrite_fgs)
             # every stored version of a batch key dies (incl. duplicate-key

@@ -163,8 +163,10 @@ def test_sessionize_stream_matches_batch(spark, tmp_path, events):
 
     ref = (sessionize(ev, gap_minutes=30)
            .select("user_id",
-                   F.col("session_start").cast("timestamp").cast("long").alias("session_start"),
-                   F.col("session_end").cast("timestamp").cast("long").alias("session_end"),
+                   F.unix_micros(F.col("session_start").cast("timestamp"))
+                   .alias("session_start"),
+                   F.unix_micros(F.col("session_end").cast("timestamp"))
+                   .alias("session_end"),
                    "n_events"))
     # the stream never emits each user's trailing open session — drop the
     # last session per user from the batch reference before comparing
