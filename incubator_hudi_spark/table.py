@@ -1075,9 +1075,19 @@ class HudiTable:
         manifests, so the scan touches only file groups with changes; the
         ``_hoodie_commit_time`` range filter additionally prunes parquet row
         groups via min/max (free pushdown — it's a leading stored column)."""
-        instants = [i for i in self.timeline.completed_data_instants()
-                    if (begin is None or i.time > begin)
-                    and (end is None or i.time <= end)]
+        # active ∪ archived: an incremental pull whose range reaches behind
+        # the archival boundary must still see those commits' file groups
+        # (the view already folds archived instants; enumerate them here too)
+        active = self.timeline.completed_data_instants()
+        seen = {(i.time, i.action) for i in active}
+        archived = [i for i in self.timeline.archived_instants()
+                    if i.action in tl.DATA_ACTIONS
+                    and (i.time, i.action) not in seen]
+        instants = sorted(
+            (i for i in active + archived
+             if (begin is None or i.time > begin)
+             and (end is None or i.time <= end)),
+            key=lambda i: i.time)
         if not instants:
             return self.spark.createDataFrame([], self._read_schema())
         hi = end or instants[-1].time

@@ -128,3 +128,36 @@ def test_metadata_files_df(spark, tmp_path, li):
     assert rows == len(FileSystemView(t.meta).latest_slices())
     assert {"kind", "partition", "file_group", "path", "size",
             "num_records", "min_key", "max_key"} <= set(df.columns)
+
+
+def test_incremental_read_spans_archived_range(spark, tmp_path, li):
+    """An incremental pull whose (begin, end] reaches behind the archival
+    boundary must still include the archived commits' changes."""
+    from incubator_hudi_spark import QUERY_INCREMENTAL
+
+    t = _mk(spark, tmp_path / "t")
+    t.cfg = t.cfg.with_(metadata_checkpoint_commits=0,
+                        archive_min_commits=2, archive_max_commits=3)
+    c0 = t.bulk_insert(li)
+    # each update batch touches a DIFFERENT month partition, so archived
+    # commits' file groups are disjoint from the active ones — enumeration
+    # that forgets archived instants would drop those months entirely
+    months = [r[0] for r in li.selectExpr(
+        "date_format(l_shipdate,'yyyy-MM') AS m").distinct()
+        .orderBy("m").limit(4).collect()]
+    marks = []
+    for i, m in enumerate(months):
+        marks.append(t.upsert(
+            li.filter(F.date_format("l_shipdate", "yyyy-MM") == m)
+              .withColumn("l_quantity", F.lit(1000.0 + i))))
+    inc_before = t.read(QUERY_INCREMENTAL, begin=c0, end=marks[-1]) \
+                  .select("l_orderkey", "l_linenumber", "l_quantity")
+    rows_before = {tuple(r) for r in inc_before.collect()}
+    assert len({r[2] for r in rows_before}) == 4   # all four months present
+    t.write_metadata_checkpoint()
+    assert t.archive() > 0
+    archived_times = {i.time for i in t.timeline.archived_instants()}
+    assert any(m in archived_times for m in marks[:-1] + [c0])
+    inc_after = t.read(QUERY_INCREMENTAL, begin=c0, end=marks[-1]) \
+                 .select("l_orderkey", "l_linenumber", "l_quantity")
+    assert {tuple(r) for r in inc_after.collect()} == rows_before
