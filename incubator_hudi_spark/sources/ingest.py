@@ -201,10 +201,17 @@ class IngestJob:
 
     def last_checkpoint(self) -> Optional[str]:
         """Resume point from the latest commit carrying one
-        (DeltaSync.java:311-360)."""
-        for ins in reversed(self.table.timeline.completed(tl.DATA_ACTIONS)):
-            cp = self.table.timeline.read_metadata(ins).get("extra", {}) \
-                                    .get(CHECKPOINT_KEY)
+        (DeltaSync.java:311-360).  Falls back to the archived timeline: an
+        idle pipeline's last stamped commit may have been archived while
+        other writers advanced the table — losing the checkpoint would
+        re-ingest the source from scratch."""
+        tline = self.table.timeline
+        active = list(tline.completed(tl.DATA_ACTIONS))
+        archived = sorted((i for i in tline.archived_instants()
+                           if i.action in tl.DATA_ACTIONS),
+                          key=lambda i: i.time)
+        for ins in reversed(archived + active):
+            cp = tline.read_metadata(ins).get("extra", {}).get(CHECKPOINT_KEY)
             if cp is not None:
                 return cp
         return None

@@ -34,8 +34,16 @@ class HudiStreamingSink:
         self.transform = transform
 
     def last_committed_batch(self) -> Optional[int]:
-        for ins in reversed(self.table.timeline.completed(tl.DATA_ACTIONS)):
-            extra = self.table.timeline.read_metadata(ins).get("extra", {})
+        # scan active then archived commits — an idle stream's last stamped
+        # batch id may sit behind the archival boundary (see
+        # IngestJob.last_checkpoint)
+        tline = self.table.timeline
+        active = list(tline.completed(tl.DATA_ACTIONS))
+        archived = sorted((i for i in tline.archived_instants()
+                           if i.action in tl.DATA_ACTIONS),
+                          key=lambda i: i.time)
+        for ins in reversed(archived + active):
+            extra = tline.read_metadata(ins).get("extra", {})
             if extra.get(QUERY_ID_KEY) == self.query_id and \
                     extra.get(BATCH_ID_KEY) is not None:
                 return int(extra[BATCH_ID_KEY])

@@ -178,3 +178,21 @@ def test_sessionize_stream_matches_batch(spark, tmp_path, events):
     assert got.count() == ref_closed.count()
     assert got.exceptAll(ref_closed).count() == 0
     assert ref_closed.exceptAll(got).count() == 0
+
+
+def test_checkpoint_survives_archival(spark, tmp_path, events):
+    """Checkpoint/batch-id lookups fall back to the archived timeline when
+    the stamped commit has been archived past."""
+    t = make_events(spark, str(tmp_path / "tbl"))
+    t.cfg = t.cfg.with_(metadata_checkpoint_commits=0,
+                        archive_min_commits=2, archive_max_commits=3)
+    sink = HudiStreamingSink(t, query_id="arch")
+    sink(events.filter("event_id % 5 = 0"), 7)
+    # foreign writers advance the table without stamping batch ids
+    for i in range(4):
+        t.upsert(events.filter(f"event_id % 5 = {i % 4 + 1}"))
+    t.write_metadata_checkpoint()
+    assert t.archive() > 0
+    # the stamped commit is now archived — the sink must still see batch 7
+    assert sink.last_committed_batch() == 7
+    assert sink(events.filter("event_id % 5 = 0"), 7) is None  # replay skipped
