@@ -198,7 +198,15 @@ class HudiTable:
     def stored_schema(self) -> Optional[StructType]:
         last = self.timeline.last_completed(tl.DATA_ACTIONS)
         if last is None:
-            return None
+            # degenerate corner: every data instant archived (deep restore
+            # after heavy archival) — the schema still rides in the newest
+            # archived commit's metadata
+            archived = sorted((i for i in self.timeline.archived_instants()
+                               if i.action in tl.DATA_ACTIONS),
+                              key=lambda i: i.time)
+            if not archived:
+                return None
+            last = archived[-1]
         md = self.timeline.read_metadata(last)
         sj = md.get("schema")
         return StructType.fromJson(json.loads(sj)) if sj else None
