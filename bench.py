@@ -123,6 +123,15 @@ def main():
         tm.read().count()
 
     # ---- data-pipeline operators -----------------------------------------
+    # the write sections are done with their caches (lineitem, update batch,
+    # per-table key indexes); drop them so operator timings measure the
+    # operators, not GC pressure from dead cached state
+    li.unpersist()
+    upd.unpersist()
+    spark.catalog.clearCache()
+    docs.persist().count()
+    emb.persist().count()
+
     with timed("minhash_lsh_pairs"):
         dedup.minhash_lsh_pairs(docs, k=16, bands=8, verify_threshold=0.7).count()
     with timed("ann_brute_force_top10"):
@@ -141,8 +150,6 @@ def main():
         sessionize(ev, gap_minutes=30).count()
 
     total = round(sum(timings.values()), 3)
-    li.unpersist()
-    upd.unpersist()
     shutil.rmtree(work, ignore_errors=True)
 
     print(json.dumps({

@@ -104,8 +104,19 @@ def assign_insert_buckets(spark: SparkSession, inserts: DataFrame,
     (binomial noise ≪ file-size targets, which are estimates anyway).
     """
     totals: dict[str, int] = {}
+    buckets_per_part: dict[str, int] = {}
     for b in plan:
         totals[b.partition] = max(totals.get(b.partition, 0), b.seq_end)
+        buckets_per_part[b.partition] = buckets_per_part.get(b.partition, 0) + 1
+    if buckets_per_part and all(n == 1 for n in buckets_per_part.values()):
+        # common case (steady-state upserts, partition-sized bulk loads): one
+        # target bucket per partition — assignment is a pure map lookup, no
+        # join, no hash column (the range join below costs a broadcast +
+        # per-row range probe; a literal map is a codegen'd lookup)
+        fg_of = F.create_map(*[x for b in plan
+                               for x in (F.lit(b.partition), F.lit(b.file_group))])
+        return (inserts.withColumn(fg_col, fg_of[F.col(partition_col)])
+                .filter(F.col(fg_col).isNotNull()))  # match inner-join drops
     plan_df = spark.createDataFrame(
         [(b.partition, b.file_group, b.seq_start, b.seq_end, totals[b.partition])
          for b in plan],

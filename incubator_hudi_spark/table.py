@@ -678,6 +678,22 @@ class HudiTable:
                                  self.spark.sparkContext.defaultParallelism))
             fresh = fresh.repartition(n_small, F.col(FG))
             merged = survivors.unionByName(fresh, allowMissingColumns=True)
+            # write-parallelism guard: the survivors side passes through in
+            # its SCAN partitions, and Spark packs files up to
+            # maxPartitionBytes per partition — with many small file groups
+            # (early table life / small SF) the whole rewrite can collapse
+            # into 1-2 encode tasks.  The manifest knows the rewrite set's
+            # bytes, so when it's small enough that a shuffle is ~free,
+            # re-spread by file group for parallel encoding.  At scale file
+            # groups approach the 120 MB target, scan partitions ≈ one file
+            # each, and this branch stays off — the table side still never
+            # shuffles on the 100 TB path.
+            rewrite_bytes = sum(sl.base_size + sl.log_size
+                                for sl in view.latest_slices()
+                                if sl.file_group in rewrite_fgs)
+            par = self.spark.sparkContext.defaultParallelism
+            if rewrite_bytes < par * 24 * 1024 * 1024:
+                merged = merged.repartition(min(len(fg_map), par), F.col(FG))
             merged = merged.withColumn(META_FILE_NAME, F.col(FG))
             schema = self._commit_schema(merged)
             stats = write_instant_files(merged, self.meta, instant_time,

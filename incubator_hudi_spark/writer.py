@@ -217,11 +217,17 @@ def write_instant_files(
     out_dir = meta.instant_data_dir(instant_time)
     if subdir:
         out_dir = os.path.join(out_dir, subdir)
+    import time as _time
+    _t0 = _time.time()
     (out.write
         .option("compression", cfg.parquet_compression)
         .partitionBy(FG)
         .mode("append")          # dir is unique per instant; append avoids pre-listing
         .parquet(out_dir))
+    if os.environ.get("HUDI_SPARK_TIMING") == "1":
+        import sys as _sys
+        print(f"[timing] write.files: {_time.time() - _t0:.3f}s",
+              file=_sys.stderr)
     if ensure_fgs:
         written = {d.split("=", 1)[1] for d in os.listdir(out_dir)
                    if d.startswith(f"{FG}=")}
@@ -266,11 +272,13 @@ def collect_write_stats(meta: TableMetaClient, out_dir: str,
 
     def stat_one(task):
         fg, path = task
-        pf = pq.ParquetFile(path)
-        md = pf.metadata
+        md = pq.read_metadata(path)   # footer only — no reader/schema setup
         min_k = max_k = None
-        try:
-            ki = pf.schema_arrow.names.index(META_RECORD_KEY)
+        # column index of the record key in the parquet (physical) schema;
+        # all our columns are top-level so leaf order == field order
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        if META_RECORD_KEY in names:
+            ki = names.index(META_RECORD_KEY)
             mins, maxs = [], []
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ki).statistics
@@ -279,8 +287,6 @@ def collect_write_stats(meta: TableMetaClient, out_dir: str,
                     maxs.append(st.max)
             if mins:
                 min_k, max_k = min(mins), max(maxs)
-        except ValueError:
-            pass
         return WriteStat(
             partition=fg_to_partition.get(fg, ""),
             file_group=fg,
