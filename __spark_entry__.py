@@ -1643,6 +1643,246 @@ def sequence_packing(spark, sf_dir):
     return pack_greedy(docs, budget=2000)
 
 
+# ---------------------------------------------------------------------------
+# round-2 coverage: overwrite-table/truncate, DeltaStreamer checkpointing,
+# timestamp keygen, table→table incremental pipelines, sampling/vocab/corpus
+# dedup operators
+# ---------------------------------------------------------------------------
+
+@q("insert_overwrite_table", """
+SELECT o_orderkey, strftime(o_orderdate, '%Y') AS y,
+       CAST(-5.0 AS DOUBLE) AS price
+FROM orders WHERE o_orderkey % 3 = 0
+""")
+def insert_overwrite_table_q(spark, sf_dir):
+    """insert_overwrite_table (SparkInsertOverwriteTableCommitActionExecutor):
+    one replacecommit atomically swaps EVERY existing file group for the new
+    data — rows absent from the batch are gone, even in partitions the batch
+    never touches."""
+    def build():
+        t = _orders_table(spark, sf_dir, _new_path("iot", sf_dir))
+        o = _load(spark, sf_dir, "orders")
+        t.bulk_insert(o)
+        t.insert_overwrite_table(o.filter("o_orderkey % 3 = 0")
+                                  .withColumn("o_totalprice", F.lit(-5.0)))
+        return {"t": t}
+    t = _recipe("iot", sf_dir, build)["t"]
+    return t.read().select("o_orderkey",
+                           F.col("_hoodie_partition_path").alias("y"),
+                           F.col("o_totalprice").alias("price"))
+
+
+@q("truncate_reinsert", f"""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+       strftime(l_shipdate, '{_TS_FMT_DUCK}') AS ship_ts
+FROM lineitem WHERE l_linenumber <= 2
+""")
+def truncate_reinsert(spark, sf_dir):
+    """TRUNCATE TABLE (TruncateHoodieTableCommand): data gone, metadata
+    alive; a later insert() starts the table over (and, per reference insert
+    semantics, stores raw rows without key-merging)."""
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("trunc", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)
+        t.truncate()
+        t.insert(li.filter("l_linenumber <= 2"))
+        return {"t": t}
+    t = _recipe("trunc", sf_dir, build)["t"]
+    return t.read().select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        F.date_format("l_shipdate", _TS_FMT_SPARK).alias("ship_ts"))
+
+
+@q("ingest_checkpointed", f"""
+SELECT event_id, user_id, upper(event_type) AS etype, value * 2 AS v2,
+       strftime(CAST(ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS ts_s
+FROM events
+""")
+def ingest_checkpointed(spark, sf_dir):
+    """DeltaStreamer loop (DeltaSync.syncOnce + checkpoint in commit
+    metadata): a DFS source lands two file batches; two sync_once calls
+    ingest each exactly once through a SQL transformer — the second resumes
+    from the checkpoint stamped in the first commit."""
+    def build():
+        import time as _time
+
+        from incubator_hudi_spark import HudiTable
+        from incubator_hudi_spark.sources.ingest import (DFSSource, IngestJob,
+                                                         sql_transformer)
+        ev = _load(spark, sf_dir, "events")
+        src_dir = _new_path("ingest_src", sf_dir)
+        ev.filter("event_id % 2 = 0").write.parquet(os.path.join(src_dir, "b1"))
+        t = HudiTable.create(
+            spark, _new_path("ingest_tbl", sf_dir), name="events_ingest",
+            recordkey_fields=["event_id"],
+            partition_expr="date_format(ts,'yyyy-MM-dd')",
+            precombine_field="ts")
+        job = IngestJob(
+            t, DFSSource(spark, src_dir),
+            transform=sql_transformer(
+                spark, "SELECT event_id, user_id, upper(event_type) AS etype, "
+                       "value * 2 AS v2, ts FROM src"))
+        assert job.sync_once() is not None
+        _time.sleep(0.05)   # distinct mtime for the second batch
+        ev.filter("event_id % 2 = 1").write.parquet(os.path.join(src_dir, "b2"))
+        assert job.sync_once() is not None
+        assert job.sync_once() is None   # checkpoint: nothing new → no commit
+        return {"t": t}
+    t = _recipe("ingest_cp", sf_dir, build)["t"]
+    return t.read().select(
+        "event_id", "user_id", "etype", "v2",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"))
+
+
+@q("timestamp_keygen_daily", """
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y/%m/%d') AS part, count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""")
+def timestamp_keygen_daily(spark, sf_dir):
+    """TimestampBasedKeyGenerator (TimestampBasedKeyGenerator.java:36):
+    slash-separated multi-level date partition paths derived from an event
+    timestamp."""
+    def build():
+        from incubator_hudi_spark import HudiTable
+        t = HudiTable.create(
+            spark, _new_path("ts_keygen", sf_dir), name="events_daily",
+            recordkey_fields=["event_id"],
+            partition_expr="date_format(ts,'yyyy/MM/dd')",
+            precombine_field="ts")
+        t.bulk_insert(_load(spark, sf_dir, "events"))
+        return {"t": t}
+    t = _recipe("ts_keygen", sf_dir, build)["t"]
+    return (t.read().groupBy(F.col("_hoodie_partition_path").alias("part"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+@q("hudi_incr_pipeline", """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice + 9.0
+            ELSE o_totalprice END AS price
+FROM orders
+""")
+def hudi_incr_pipeline(spark, sf_dir):
+    """Table→table incremental pipeline (HoodieIncrSource.java): downstream
+    table follows the upstream via incremental pulls, checkpoint = last
+    consumed instant; two syncs propagate base data then just the update
+    batch."""
+    def build():
+        from incubator_hudi_spark.sources.ingest import HudiIncrSource, IngestJob
+        up = _orders_table(spark, sf_dir, _new_path("incr_up", sf_dir))
+        down = _orders_table(spark, sf_dir, _new_path("incr_down", sf_dir))
+        o = _load(spark, sf_dir, "orders")
+        up.upsert(o)
+        job = IngestJob(down, HudiIncrSource(up))
+        assert job.sync_once() is not None
+        up.upsert(o.filter("o_orderkey % 4 = 1")
+                   .withColumn("o_totalprice", F.col("o_totalprice") + 9.0))
+        assert job.sync_once() is not None
+        assert job.sync_once() is None
+        return {"t": down}
+    t = _recipe("hudi_incr", sf_dir, build)["t"]
+    return t.read().select("o_orderkey", "o_orderstatus",
+                           F.col("o_totalprice").alias("price"))
+
+
+@q("stratified_sample", """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substring(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 10000
+      < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
+""")
+def stratified_sample_q(spark, sf_dir):
+    """Deterministic per-language stratified sampling (training-corpus mixing
+    ratios): content-hash bucketing, zero shuffles — the md5 family is
+    oracle-checked; xxhash64 shares the identical plan."""
+    from incubator_hudi_spark.operators import sampling as S
+    docs = _load(spark, sf_dir, "documents")
+    return S.sample_stratified(
+        docs, "lang", {"en": 0.5, "de": 0.25}, default_rate=0.10,
+        hash_family="md5").select("doc_id", "lang")
+
+
+@q("vocab_top100", r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents),
+c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token)
+SELECT token, n, rank FROM (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM c) WHERE rank <= 100
+""")
+def vocab_top100(spark, sf_dir):
+    """Corpus vocabulary top-k (token frequency with deterministic
+    tie-break) — explode + map-side-combined count; the global top-k sorts
+    only the aggregated vocabulary."""
+    from incubator_hudi_spark.operators import text as T
+    return T.vocab_topk(_load(spark, sf_dir, "documents"), k=100)
+
+
+@q("corpus_dedup_keep_one", r"""
+WITH docs AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(lower(trim(text)),'\s+')) - 2, 1) + 1),
+      i -> array_to_string(string_split_regex(lower(trim(text)),'\s+')[i:i+2], ' '))) AS sh
+  FROM documents),
+sigs AS (
+  SELECT doc_id,
+    list_transform(range(0, 16),
+      i -> list_min(list_transform(sh, s -> md5(i::varchar || md5(s))))) AS sig
+  FROM docs),
+banded AS (
+  SELECT doc_id, b AS band, md5(sig[b*2+1] || sig[b*2+2]) AS bh
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+losers AS (
+  SELECT DISTINCT id_b
+  FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id
+            JOIN sigs sb ON cand.id_b = sb.doc_id
+  WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.7)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM losers)
+""")
+def corpus_dedup_keep_one(spark, sf_dir):
+    """End-to-end corpus dedup: MinHash+LSH pairs → drop every doc similar to
+    a lower-id survivor (the keep-one anti-join) — the surviving corpus, not
+    just the pair list."""
+    from incubator_hudi_spark.operators import dedup as D
+    docs = _load(spark, sf_dir, "documents")
+    return D.dedup_minhash(docs, threshold=0.7,
+                           hash_family="md5").select("doc_id", "lang")
+
+
+@q("quality_filter_counts", r"""
+WITH f AS (
+  SELECT lang,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           / greatest(length(text), 1) AS digit_ratio
+  FROM documents)
+SELECT lang, count(*) AS n_kept
+FROM f
+WHERE n_tokens >= 5 AND punct_ratio < 0.2 AND digit_ratio < 0.3
+GROUP BY lang
+""")
+def quality_filter_counts(spark, sf_dir):
+    """C4-style quality gate: min length + punctuation/digit caps over the
+    quality_features columns; per-language survivor counts."""
+    from incubator_hudi_spark.operators import text as T
+    docs = _load(spark, sf_dir, "documents")
+    return (T.quality_features(docs)
+            .filter("n_tokens >= 5 AND punct_ratio < 0.2 AND digit_ratio < 0.3")
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

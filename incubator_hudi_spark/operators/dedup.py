@@ -155,13 +155,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def dedup_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 16, bands: int = 8,
-                  threshold: float = 0.7) -> DataFrame:
+                  threshold: float = 0.7,
+                  hash_family: str = "xxhash64") -> DataFrame:
     """Drop near-duplicates: every doc similar (≥ threshold) to a lower-id doc
     is removed (greedy union-find approximation — one anti-join, no iteration;
     exact connected components would add an iterative step, unnecessary for
     dedup-keep-one semantics)."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, k, bands,
-                              verify_threshold=threshold)
+                              verify_threshold=threshold,
+                              hash_family=hash_family)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 

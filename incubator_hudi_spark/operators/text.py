@@ -120,6 +120,28 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("fingerprint", doc_fingerprint(F.col(text_col))))
 
 
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text",
+               min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: top-``k`` whitespace tokens by document frequency
+    weighting = raw occurrence count.  Deterministic tie-break (count desc,
+    token asc) so the cut is reproducible.
+
+    Scale shape: explode → hash-aggregate COUNT gets map-side partial
+    combine, so the shuffle carries one row per (task, distinct token) — at
+    100 TB the wire volume is bounded by vocabulary size × tasks, not corpus
+    size.  The global top-k is a single-partition sort over the (small)
+    aggregated vocabulary.
+    """
+    from pyspark.sql.window import Window
+    toks = (df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+              .filter(F.col("token") != "")
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") >= min_count))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (toks.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (training-corpus hygiene) — pure regexp expressions, all
 # patterns chosen to behave identically under Java regex (Spark) and RE2

@@ -207,13 +207,21 @@ def write_instant_files(
     """
     if pre_partitioned:
         out = df
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
     else:
-        n_buckets = max(1, len(fg_to_partition))
-        if cfg.write_parallelism:
-            n_buckets = min(n_buckets, cfg.write_parallelism)
+        # cluster by file group into at most #cores tasks: a task may carry
+        # several small file groups (dynamic partitioning still emits one
+        # file per group), which beats one-task-per-group when groups are
+        # far below the 120 MB target — fewer tasks, same file layout.  At
+        # scale each group approaches target size and the cap is a no-op.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        n_buckets = max(1, min(len(fg_to_partition),
+                               cfg.write_parallelism or par))
         out = df.repartition(n_buckets, F.col(FG))
-    if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
+        # FG-first sort satisfies the dynamic-partition writer's required
+        # ordering, so FileFormatWriter skips its own per-task sort
+        out = out.sortWithinPartitions(FG, *(sort_cols or []))
     out_dir = meta.instant_data_dir(instant_time)
     if subdir:
         out_dir = os.path.join(out_dir, subdir)

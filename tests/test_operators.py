@@ -216,3 +216,61 @@ def test_pack_greedy(spark):
     assert got[4] == 2 and got[5] == 3
     # shard 1 packs independently: 100 fills pack0 exactly, next opens pack1
     assert got[10] == 0 and got[11] == 1
+
+
+# ------------------------------------------------------------- sampling ----
+
+def test_sample_fraction_deterministic_and_sized(spark, documents):
+    from incubator_hudi_spark.operators import sampling
+    s1 = sampling.sample_fraction(documents, 0.3)
+    s2 = sampling.sample_fraction(documents, 0.3)
+    ids1 = {r[0] for r in s1.select("doc_id").collect()}
+    ids2 = {r[0] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2                      # same sample every run
+    n = documents.count()
+    assert 0.15 * n < len(ids1) < 0.45 * n   # statistically ~0.3
+    # hash families agree on determinism, not membership
+    md5 = sampling.sample_fraction(documents, 0.3, hash_family="md5")
+    assert md5.count() > 0
+
+
+def test_sample_stratified_rates(spark, documents):
+    from incubator_hudi_spark.operators import sampling
+    out = sampling.sample_stratified(
+        documents, "lang", {"en": 1.0}, default_rate=0.0)
+    got = dict(out.groupBy("lang").count().collect())
+    want = dict(documents.groupBy("lang").count().collect())
+    assert got.get("en") == want.get("en")   # rate 1.0 keeps everything
+    assert set(got) == {"en"}                # rate 0.0 drops the rest
+
+
+def test_split_train_eval_disjoint_total(spark, documents):
+    from incubator_hudi_spark.operators import sampling
+    train, ev = sampling.split_train_eval(documents, eval_fraction=0.2)
+    t = {r[0] for r in train.select("doc_id").collect()}
+    e = {r[0] for r in ev.select("doc_id").collect()}
+    assert not (t & e)
+    assert len(t) + len(e) == documents.count()
+
+
+# ------------------------------------------------------------- vocab -------
+
+def test_vocab_topk_rank_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "a b b c c c"), (2, "c d d")], ["doc_id", "text"])
+    out = {r["token"]: (r["n"], r["rank"])
+           for r in text.vocab_topk(df, k=10).collect()}
+    assert out["c"] == (4, 1)
+    assert out["b"] == (2, 2)    # tie with d broken alphabetically
+    assert out["d"] == (2, 3)
+    assert out["a"] == (1, 4)
+
+
+def test_dedup_minhash_keep_one(spark, documents):
+    base = documents.limit(50)
+    twins = base.withColumn("doc_id", F.col("doc_id") + 100_000)
+    kept = dedup.dedup_minhash(base.unionByName(twins), threshold=0.7)
+    # every twin (higher id) is a dup of its original → all dropped
+    assert kept.filter("doc_id >= 100000").count() == 0
+    # survivors = exactly what deduping the originals alone keeps
+    assert kept.count() == dedup.dedup_minhash(base, threshold=0.7).count()
