@@ -1859,6 +1859,23 @@ def corpus_dedup_keep_one(spark, sf_dir):
                            hash_family="md5").select("doc_id", "lang")
 
 
+@q("mor_skip_merge", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber, l_quantity FROM li_d
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_quantity + 1000.0 FROM li_d
+WHERE l_linenumber = 1
+""")
+def mor_skip_merge(spark, sf_dir):
+    """MOR snapshot with merge_type=skip_merge (REALTIME_SKIP_MERGE,
+    DataSourceOptions.scala:54-61): base and log rows concatenated without
+    key-merging — both the stored and the updated version of each changed
+    key appear."""
+    t = _r_mor(spark, sf_dir)["t"]
+    return t.read(merge_type="skip_merge").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+
+
 @q("quality_filter_counts", r"""
 WITH f AS (
   SELECT lang,

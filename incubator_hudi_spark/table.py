@@ -989,20 +989,26 @@ class HudiTable:
     def read(self, query_type: str = QUERY_SNAPSHOT,
              begin: Optional[str] = None, end: Optional[str] = None,
              as_of: Optional[str] = None,
-             partitions: Optional[Sequence[str]] = None) -> DataFrame:
+             partitions: Optional[Sequence[str]] = None,
+             merge_type: str = "payload_combine") -> DataFrame:
+        """``merge_type`` (MOR snapshot only, DataSourceOptions.scala:54-61):
+        ``payload_combine`` (default) key-merges logs against the base;
+        ``skip_merge`` concatenates base + log rows without merging — the
+        cheap mode for pipelines that re-aggregate by key anyway."""
         if query_type == QUERY_INCREMENTAL:
             return self._read_incremental(begin, end, partitions)
         view = self.view(as_of=as_of or end)
         slices = view.latest_slices(partitions)
         return self._read_slices(slices,
-                                 read_optimized=(query_type == QUERY_READ_OPTIMIZED))
+                                 read_optimized=(query_type == QUERY_READ_OPTIMIZED),
+                                 skip_merge=(merge_type == "skip_merge"))
 
     def _read_fg_files(self, view: FileSystemView, fgs: set[str]) -> DataFrame:
         slices = [sl for sl in view.latest_slices() if sl.file_group in fgs]
         return self._read_slices(slices, read_optimized=False, raw=True)
 
     def _read_slices(self, slices: list[FileSlice], read_optimized: bool,
-                     raw: bool = False) -> DataFrame:
+                     raw: bool = False, skip_merge: bool = False) -> DataFrame:
         """Clean slices (no logs) → plain parquet scan; dirty slices →
         base ∪ deltas → latest-wins window → drop deletes
         (MergeOnReadSnapshotRelation.scala:94-138 / HoodieMergeOnReadRDD.scala
@@ -1043,8 +1049,13 @@ class HudiTable:
             log_paths = [self.meta.abs_path(l.path) for sl in dirty for l in sl.log_files]
             l = self.spark.read.schema(dschema).parquet(*log_paths) \
                     .withColumn(NEW_FLAG, F.lit(True))
-            d = merge_latest(b.unionByName(l), self.tc)
-            if not raw:
+            if skip_merge:
+                # REALTIME_SKIP_MERGE: plain concatenation, no key merge —
+                # the window shuffle disappears entirely
+                d = b.unionByName(l).drop(NEW_FLAG)
+            else:
+                d = merge_latest(b.unionByName(l), self.tc)
+            if not raw and not skip_merge:
                 d = drop_deleted(d)
             parts.append(d.select(*[c for c in dschema.names
                                     if c in out_cols or (raw and c == API_DELETE)]))

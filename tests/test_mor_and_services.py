@@ -193,3 +193,19 @@ def test_archival_bounds_timeline(spark, tmp_table_path, lineitem):
     assert moved > 0  # counting auto-archival from post-commit
     # view still resolves, snapshot intact
     assert t.read().filter("l_quantity = 4.0").count() == 200
+
+
+def test_mor_skip_merge_concatenates(spark, tmp_table_path, lineitem):
+    t = make_mor(spark, tmp_table_path)
+    t.upsert(lineitem)
+    n = t.read().count()
+    upd = lineitem.filter("l_linenumber = 2").withColumn("l_quantity", F.lit(777.0))
+    t.upsert(upd)
+
+    merged = t.read()
+    skipped = t.read(merge_type="skip_merge")
+    n_upd = merged.filter("l_quantity = 777").count()
+    # skip_merge keeps BOTH versions of each updated key, no window shuffle
+    assert merged.count() == n
+    assert skipped.count() == n + n_upd
+    assert skipped.filter("l_quantity = 777").count() == n_upd
