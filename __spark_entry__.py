@@ -1859,6 +1859,26 @@ def corpus_dedup_keep_one(spark, sf_dir):
                            hash_family="md5").select("doc_id", "lang")
 
 
+@q("windowed_agg_10min", f"""
+SELECT event_type,
+       strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)),
+                '{_TS_FMT_DUCK}') AS ws,
+       count(*) AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+""")
+def windowed_agg_10min(spark, sf_dir):
+    """Tumbling 10-minute event-time windows (the batch twin of the
+    watermarked streaming aggregate in streaming/windowed.py) — one keyed
+    shuffle with map-side partial aggregation."""
+    from incubator_hudi_spark.streaming.windowed import windowed_agg
+    ev = _load(spark, sf_dir, "events")
+    return (windowed_agg(ev, window_minutes=10)
+            .select("event_type",
+                    F.date_format("window_start", _TS_FMT_SPARK).alias("ws"),
+                    "n_events", "min_value", "max_value"))
+
+
 @q("mor_skip_merge", f"""
 WITH {_LI_DEDUP}
 SELECT l_orderkey, l_linenumber, l_quantity FROM li_d

@@ -61,17 +61,34 @@ def main():
     docs = load_table(spark, SF_DIR, "documents")
     emb = load_table(spark, SF_DIR, "embeddings")
 
-    # untimed warmup: exercise the write/read codegen paths once on a tiny
-    # slice so timed numbers measure the engine, not JVM/JIT warmup
+    # untimed warmup: exercise the write/read codegen paths so timed numbers
+    # measure the engine, not JVM/JIT warmup.  The slice must be big enough
+    # to push the parquet encode / merge / window loops past the C2
+    # compilation threshold — a few thousand rows JITs nothing.
+    from incubator_hudi_spark.config import INDEX_INMEMORY as _IM
+    wli = li.limit(150_000)
+    wupd = wli.filter("l_orderkey % 50 = 7").withColumn("l_quantity", F.lit(1.0))
     wt = HudiTable.create(
         spark, os.path.join(work, "warmup"), name="warmup",
         recordkey_fields=["l_orderkey", "l_linenumber"],
         partition_expr="date_format(l_shipdate,'yyyy-MM')",
         precombine_field="l_shipdate")
-    wli = li.limit(20000)
+    wt.cfg = wt.cfg.with_(index_type=_IM)
     wt.bulk_insert(wli)
-    wt.upsert(wli.limit(2000).withColumn("l_quantity", F.lit(1.0)))
+    wt.upsert(wupd)                      # cold-index upsert (anti-join path)
+    wt.upsert(wupd)                      # warm-index steady-state path
+    wt.delete(wupd.limit(5000))
     wt.read().count()
+    wm = HudiTable.create(
+        spark, os.path.join(work, "warmup_mor"), name="warmup_mor",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate", table_type=MERGE_ON_READ)
+    wm.cfg = wm.cfg.with_(inline_compaction=False, index_type=_IM)
+    wm.upsert(wli)
+    wm.upsert(wupd)                      # delta-append path
+    wm.read().count()                    # merged-read window path
+    wm.run_compaction()
 
     def make_table(name, table_type="COPY_ON_WRITE"):
         return HudiTable.create(

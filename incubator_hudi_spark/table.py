@@ -568,34 +568,52 @@ class HudiTable:
                 ).dropDuplicates([uid, FG_COL]).drop(uid)
             tagged = tagged.persist()
 
-            # per-file-group update counts + per-partition insert counts
-            with _stage("upsert.tag_profile"):
-                fg_prof = tagged.groupBy(META_PARTITION_PATH, FG_COL).count().collect()
-            update_fgs = {r[1]: r[0] for r in fg_prof if r[1] is not None}
-            insert_profile = {r[0]: r[2] for r in fg_prof if r[1] is None}
-
             updates = tagged.filter(F.col(FG_COL).isNotNull()) \
                             .withColumn(FG, F.col(FG_COL)).drop(FG_COL)
             inserts = tagged.filter(F.col(FG_COL).isNull()).drop(FG_COL)
             if is_delete:
                 inserts = inserts.limit(0)  # deletes of absent keys are no-ops
-                insert_profile = {}
 
-            with _stage("upsert.write"):
-                if self.tc.table_type == MERGE_ON_READ:
-                    stats, fg_map, schema = self._upsert_mor(
+            # MOR fast lane: updates already carry their file-group routing
+            # in the data, and delta appends read nothing — so no pre-write
+            # profile action is needed at all.  The delta write materializes
+            # the tagging cache; inserts are then probed on that cache
+            # (~free).  Not applicable when bootstrap (external) file groups
+            # exist: those updates must re-route through a COW rewrite,
+            # which needs the per-file-group profile.
+            has_ext = self.tc.table_type == MERGE_ON_READ and any(
+                f.external for sl in view.latest_slices() for f in sl.base_files)
+            if self.tc.table_type == MERGE_ON_READ and not has_ext:
+                with _stage("upsert.write"):
+                    stats, fg_map, schema = self._upsert_mor_fast(
                         view, instant.time, updates, inserts,
-                        update_fgs, insert_profile, pending_compaction)
-                else:
-                    n_new = sum(r[2] for r in fg_prof)
-                    stats, fg_map, schema = self._upsert_cow(
-                        view, instant.time, updates, inserts,
-                        update_fgs, insert_profile, n_new_rows=n_new)
+                        pending_compaction, is_delete)
+                # MOR inserts only ever open NEW file groups, so base files
+                # in the stats ⇔ insert rows landed
+                wrote_inserts = any(not s.log for s in stats)
+            else:
+                # per-file-group update counts + per-partition insert counts
+                with _stage("upsert.tag_profile"):
+                    fg_prof = tagged.groupBy(META_PARTITION_PATH, FG_COL).count().collect()
+                update_fgs = {r[1]: r[0] for r in fg_prof if r[1] is not None}
+                insert_profile = {} if is_delete else \
+                    {r[0]: r[2] for r in fg_prof if r[1] is None}
+                wrote_inserts = any(v > 0 for v in insert_profile.values())
+
+                with _stage("upsert.write"):
+                    if self.tc.table_type == MERGE_ON_READ:
+                        stats, fg_map, schema = self._upsert_mor(
+                            view, instant.time, updates, inserts,
+                            update_fgs, insert_profile, pending_compaction)
+                    else:
+                        n_new = sum(r[2] for r in fg_prof)
+                        stats, fg_map, schema = self._upsert_cow(
+                            view, instant.time, updates, inserts,
+                            update_fgs, insert_profile, n_new_rows=n_new)
             with _stage("upsert.complete"):
                 self._complete(instant, operation, stats, schema)
             if self.cfg.index_type == INDEX_INMEMORY:
-                update_only = (not is_delete and
-                               not any(v > 0 for v in insert_profile.values()))
+                update_only = not is_delete and not wrote_inserts
                 if update_only and self._key_index is not None:
                     # an update-only commit rewrites/appends WITHIN existing
                     # file groups — every cached location stays correct, so
@@ -780,21 +798,69 @@ class HudiTable:
 
         has_inserts = bool(insert_profile) and any(v > 0 for v in insert_profile.values())
         if has_inserts:
-            rec_size = avg_record_size(self.meta, self.timeline,
-                                       self.cfg.record_size_estimate)
-            plan = plan_insert_buckets(insert_profile, None, self.cfg, rec_size,
-                                       pack_small_files=False)
-            assigned = assign_insert_buckets(self.spark, inserts, plan,
-                                             META_PARTITION_PATH,
-                                             META_RECORD_KEY, FG)
-            assigned = assigned.drop(API_DELETE) \
-                               .withColumn(META_FILE_NAME, F.col(FG))
-            schema = self._commit_schema(assigned)
-            stats += write_instant_files(assigned, self.meta, instant_time,
-                                         {b.file_group: b.partition for b in plan},
-                                         self.cfg, sort_cols=[META_RECORD_KEY])
-            fg_map.update({b.file_group: b.partition for b in plan})
+            s, m, schema = self._mor_write_new_fgs(inserts, insert_profile,
+                                                   instant_time)
+            stats += s
+            fg_map.update(m)
 
+        if schema is None:
+            schema = self.stored_schema()
+        return stats, fg_map, schema
+
+    def _mor_write_new_fgs(self, inserts: DataFrame,
+                           insert_profile: dict[str, int], instant_time: str):
+        """MOR insert rows → brand-new base file groups (never packed into
+        existing groups — logs may only attach to bases the engine owns the
+        full key-set of)."""
+        rec_size = avg_record_size(self.meta, self.timeline,
+                                   self.cfg.record_size_estimate)
+        plan = plan_insert_buckets(insert_profile, None, self.cfg, rec_size,
+                                   pack_small_files=False)
+        assigned = assign_insert_buckets(self.spark, inserts, plan,
+                                         META_PARTITION_PATH,
+                                         META_RECORD_KEY, FG)
+        assigned = assigned.drop(API_DELETE) \
+                           .withColumn(META_FILE_NAME, F.col(FG))
+        schema = self._commit_schema(assigned)
+        fg_map = {b.file_group: b.partition for b in plan}
+        stats = write_instant_files(assigned, self.meta, instant_time,
+                                    fg_map, self.cfg,
+                                    sort_cols=[META_RECORD_KEY])
+        return stats, fg_map, schema
+
+    def _upsert_mor_fast(self, view: FileSystemView, instant_time: str,
+                         updates: DataFrame, inserts: DataFrame,
+                         pending_compaction: Optional[dict[str, str]],
+                         is_delete: bool):
+        """Profile-free MOR upsert: the delta append needs no pre-write
+        counts — each update row already carries its file group from the
+        tagging join, and appends read nothing.  One Spark job writes the
+        delta files (materializing the tagging cache); the insert side is
+        then probed on that cache for ~free.  Saves one full action per
+        steady-state batch vs the profiled path (the reference pays the same
+        profile job per batch, WorkloadProfile.java:33-50)."""
+        base_of = {sl.file_group: sl.base_instant
+                   for sl in view.latest_slices()}
+        fg_part = {sl.file_group: sl.partition for sl in view.latest_slices()}
+        # pending-compaction log routing — see _upsert_mor for the contract
+        for fg, ctime in (pending_compaction or {}).items():
+            base_of[fg] = max(base_of.get(fg) or "", ctime)
+        upd = updates.withColumn(META_FILE_NAME, F.col(FG))
+        schema = self._commit_schema(upd)
+        stats = write_instant_files(
+            upd, self.meta, instant_time, fg_part, self.cfg,
+            sort_cols=[META_RECORD_KEY], log=True,
+            fg_base_instant=base_of, subdir="log")
+        fg_map = {s.file_group: s.partition for s in stats}
+
+        if not is_delete and inserts.limit(1).count() > 0:
+            insert_profile = {r[0]: r[1] for r in
+                              inserts.groupBy(META_PARTITION_PATH)
+                                     .count().collect()}
+            s, m, schema = self._mor_write_new_fgs(inserts, insert_profile,
+                                                   instant_time)
+            stats += s
+            fg_map.update(m)
         if schema is None:
             schema = self.stored_schema()
         return stats, fg_map, schema

@@ -268,6 +268,8 @@ def collect_write_stats(meta: TableMetaClient, out_dir: str,
     path list — the manifest shape is identical."""
     import pyarrow.parquet as pq
 
+    if not os.path.isdir(out_dir):   # empty frame → Spark wrote nothing
+        return []
     tasks = []
     for d in sorted(os.listdir(out_dir)):
         if not d.startswith(f"{FG}="):

@@ -196,3 +196,40 @@ def test_checkpoint_survives_archival(spark, tmp_path, events):
     # the stamped commit is now archived — the sink must still see batch 7
     assert sink.last_committed_batch() == 7
     assert sink(events.filter("event_id % 5 = 0"), 7) is None  # replay skipped
+
+def test_windowed_agg_stream_matches_batch(spark, tmp_path, events):
+    """Watermarked tumbling-window aggregation: append-mode stream emits
+    exactly the finalized windows, matching the batch twin."""
+    from incubator_hudi_spark.streaming.windowed import (windowed_agg,
+                                                         windowed_agg_stream)
+    ev = events.filter("user_id < 50").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "win_src")
+    ckpt = str(tmp_path / "win_ckpt")
+    cut = ev.selectExpr("percentile(cast(ts as long), 0.5)").first()[0]
+    ev.filter(F.col("ts").cast("long") <= cut).write.parquet(src + "/p0")
+    ev.filter(F.col("ts").cast("long") > cut).write.parquet(src + "/p1")
+
+    out = windowed_agg_stream(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*"),
+        window_minutes=60, watermark_minutes=10)
+    q = (out.writeStream.format("memory").queryName("win_out")
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.table("win_out")
+
+    ref = windowed_agg(ev, window_minutes=60)
+    # append mode only emits windows the final watermark passed — every
+    # emitted window must match the batch result exactly, and all but the
+    # tail windows (>= max ts - watermark) must have been emitted
+    assert got.count() > 0
+    joined = got.join(ref.withColumnRenamed("n_events", "ref_n"),
+                      ["event_type", "window_start"], "inner")
+    assert joined.count() == got.count()
+    assert joined.filter("n_events <> ref_n").count() == 0
+    mx = ev.agg(F.max("ts").cast("long")).first()[0]
+    closed_ref = ref.filter(
+        F.col("window_end").cast("long") <= mx - 10 * 60)
+    assert got.count() >= closed_ref.count()
