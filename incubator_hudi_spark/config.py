@@ -156,6 +156,12 @@ class WriteConfig:
     # True forces the broadcast path whenever semantically eligible (skips
     # the size guard only); False always uses the window merge.
     cow_broadcast_merge: Optional[bool] = None
+    # MOR merged read/compaction: when a dirty slice-set's total log bytes is
+    # under this, the base side is split by a broadcast of the log key set —
+    # untouched keys pass through in their scan partitions (ZERO shuffle of
+    # the base table) and only touched keys enter the latest-wins window.
+    # Above it, the global union+window path runs (logs too big to broadcast).
+    mor_merge_broadcast_max_log_bytes: int = 64 * 1024 * 1024
     # write a metadata-table view checkpoint every N data commits
     # (HoodieBackedTableMetadataWriter sync cadence; 0 disables)
     metadata_checkpoint_commits: int = 10

@@ -99,14 +99,21 @@ def run_compaction(table, instant_time: Optional[str] = None) -> Optional[str]:
     slices = [sl for sl in view.latest_slices() if sl.file_group in fgs]
     # _read_slices(raw=True) already merged base∪logs with the latest-wins
     # window and kept the delete markers; resolve them here.
-    merged = table._read_slices(slices, read_optimized=False, raw=True)
+    # cluster_by_fg keeps the output clustered by file group so the write
+    # needs no repartition of its own (pre_partitioned): untouched base rows
+    # flow scan→filter→write with zero exchange (the reference compactor is
+    # likewise one streaming merge task per file group), and only the
+    # log-touched rows ride the small merge shuffle.
+    merged = table._read_slices(slices, read_optimized=False, raw=True,
+                                cluster_by_fg=True)
     merged = drop_deleted(merged).drop(API_DELETE)
     merged = merged.withColumn(META_FILE_NAME, F.col(FG))
     schema = table._read_schema()
     stats = write_instant_files(
         merged.select(*[c for c in merged.columns if c in schema.names or c == FG]),
         table.meta, instant_time, fgs, table.cfg,
-        sort_cols=["_hoodie_record_key"], ensure_fgs=set(fgs))
+        sort_cols=[FG, "_hoodie_record_key"], pre_partitioned=True,
+        ensure_fgs=set(fgs))
     table._complete(inflight, COMPACT, stats, schema,
                     completed_action=tl.COMMIT)
     return instant_time

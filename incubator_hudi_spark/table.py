@@ -1074,12 +1074,21 @@ class HudiTable:
         return self._read_slices(slices, read_optimized=False, raw=True)
 
     def _read_slices(self, slices: list[FileSlice], read_optimized: bool,
-                     raw: bool = False, skip_merge: bool = False) -> DataFrame:
+                     raw: bool = False, skip_merge: bool = False,
+                     cluster_by_fg: bool = False) -> DataFrame:
         """Clean slices (no logs) → plain parquet scan; dirty slices →
         base ∪ deltas → latest-wins window → drop deletes
         (MergeOnReadSnapshotRelation.scala:94-138 / HoodieMergeOnReadRDD.scala
         merged iterator, vectorized).  Only dirty file groups pay the merge
-        shuffle — at scale that's the set compaction hasn't reached yet."""
+        shuffle — at scale that's the set compaction hasn't reached yet.
+
+        ``cluster_by_fg`` (compaction): keep the output clustered by file
+        group so the caller can write with ``pre_partitioned=True`` — in the
+        broadcast-split path only the small merged side is shuffled (the base
+        passes through in scan partitions, zero full-table exchange, like the
+        reference compactor's one-task-per-file-group merge); in the window
+        fallback the merge window partitions by file group so the window
+        shuffle doubles as the write clustering."""
         schema = self._read_schema()
         out_cols = [f.name for f in schema.fields]
 
@@ -1111,16 +1120,50 @@ class HudiTable:
             b = bases[0]
             for x in bases[1:]:
                 b = b.unionByName(x)
-            b = b.withColumn(NEW_FLAG, F.lit(False))
             log_paths = [self.meta.abs_path(l.path) for sl in dirty for l in sl.log_files]
-            l = self.spark.read.schema(dschema).parquet(*log_paths) \
-                    .withColumn(NEW_FLAG, F.lit(True))
+            logs = self.spark.read.schema(dschema).parquet(*log_paths) \
+                       .withColumn(NEW_FLAG, F.lit(True))
+            log_bytes = sum(l.size for sl in dirty for l in sl.log_files)
             if skip_merge:
                 # REALTIME_SKIP_MERGE: plain concatenation, no key merge —
                 # the window shuffle disappears entirely
-                d = b.unionByName(l).drop(NEW_FLAG)
+                d = b.unionByName(logs.drop(NEW_FLAG))
+            elif log_bytes <= self.cfg.mor_merge_broadcast_max_log_bytes:
+                # broadcast-split merge: logs are (by design) small deltas, so
+                # broadcast their key set and split the base — keys without a
+                # log row pass through IN THEIR SCAN PARTITIONS (the 100 TB
+                # base side is never shuffled, mirroring the COW anti-join
+                # rewrite), and only touched keys pay the latest-wins window,
+                # over base-twin ∪ log rows a few MB in size.
+                lk = logs.select(*MERGE_KEY).dropDuplicates(MERGE_KEY)
+                untouched = b.join(F.broadcast(lk), MERGE_KEY, "left_anti")
+                touched = (b.join(F.broadcast(lk), MERGE_KEY, "left_semi")
+                            .withColumn(NEW_FLAG, F.lit(False)))
+                small = touched.unionByName(logs)
+                if cluster_by_fg:
+                    # every row carries its file group in _hoodie_file_name;
+                    # cluster just the small side so the whole output can be
+                    # written pre-partitioned (one new file per group from
+                    # this side, scan-partition passthrough from the other).
+                    # bucket_col makes the merge window's required
+                    # distribution start with the file group, so the window
+                    # reuses this exchange instead of adding a key shuffle.
+                    n = max(1, min(len(dirty),
+                                   self.spark.sparkContext.defaultParallelism))
+                    small = small.repartition(n, F.col(META_FILE_NAME))
+                # per-file-group window — the reference merges per split
+                # (RealtimeCompactedRecordReader), so a duplicate-key twin in
+                # another file group is untouched by this group's logs
+                merged_small = merge_latest(small, self.tc,
+                                            bucket_col=META_FILE_NAME)
+                d = untouched.unionByName(merged_small)
             else:
-                d = merge_latest(b.unionByName(l), self.tc)
+                bl = b.withColumn(NEW_FLAG, F.lit(False)).unionByName(logs)
+                if cluster_by_fg:
+                    n = max(1, min(len(dirty),
+                                   self.spark.sparkContext.defaultParallelism))
+                    bl = bl.repartition(n, F.col(META_FILE_NAME))
+                d = merge_latest(bl, self.tc, bucket_col=META_FILE_NAME)
             if not raw and not skip_merge:
                 d = drop_deleted(d)
             parts.append(d.select(*[c for c in dschema.names
