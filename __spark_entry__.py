@@ -1920,6 +1920,66 @@ def quality_filter_counts(spark, sf_dir):
             .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")))
 
 
+@q("asof_join_attribution", f"""
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '{_TS_FMT_DUCK}') AS ts,
+       strftime(r.ts, '{_TS_FMT_DUCK}') AS click_ts,
+       r.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts > r.ts
+""")
+def asof_join_attribution(spark, sf_dir):
+    """As-of join (backward, strict): each purchase attributed to the same
+    user's latest strictly-earlier click.  Implemented as the single-shuffle
+    union+prefix-window operator (operators/joins.asof_join); the oracle is
+    DuckDB's native ASOF JOIN — an independent implementation of the same
+    semantics.  (user_id, ts) is unique per side in the corpus, so the match
+    is deterministic."""
+    from incubator_hudi_spark.operators.joins import asof_join
+    ev = _load(spark, sf_dir, "events")
+    out = asof_join(ev.filter("event_type = 'purchase'"),
+                    ev.filter("event_type = 'click'"),
+                    on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_cols=["value"], strict=True)
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        F.date_format("matched_ts", _TS_FMT_SPARK).alias("click_ts"),
+        F.col("matched_value").alias("click_value"))
+
+
+@q("range_join_click_context", """
+SELECT l.event_id,
+       count(*) AS n_clicks,
+       CAST(sum(CAST(floor(r.value * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_value_milli
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
+GROUP BY l.event_id
+""")
+def range_join_click_context(spark, sf_dir):
+    """Bounded time-range join: clicks by the same user in the 30 minutes up
+    to each purchase, aggregated per purchase.  The operator bucketizes time
+    so the theta-join becomes an equi-join on (user, bucket) with a 2× fan-out
+    bound (operators/joins.range_join); the oracle is the naive inequality
+    join.  floor(value*1000) keeps the sum in exact integers (both engines
+    evaluate the double product identically)."""
+    from incubator_hudi_spark.operators.joins import range_join
+    ev = _load(spark, sf_dir, "events")
+    pairs = range_join(ev.filter("event_type = 'purchase'"),
+                       ev.filter("event_type = 'click'"),
+                       on=["user_id"], left_ts="ts", right_ts="ts",
+                       before_seconds=1800.0, after_seconds=0.0,
+                       right_cols=["value"])
+    return (pairs.groupBy("event_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks"),
+                 F.sum(F.floor(F.col("r_value") * 1000).cast("long"))
+                  .cast("long").alias("sum_value_milli")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -46,6 +46,7 @@ from .plans.buckets import (assign_insert_buckets, avg_record_size,
                             new_fg_id, plan_insert_buckets)
 from .writer import (API_DELETE, FG, MERGE_KEY, NEW_FLAG, collect_write_stats,
                      drop_deleted, merge_latest, ordered_meta_projection,
+                     precombine_dedup_in_bucket,
                      precombine_dedup, with_commit_meta, with_key_columns,
                      write_instant_files)
 
@@ -367,11 +368,16 @@ class HudiTable:
     def _write_inserts(self, prepared: DataFrame, instant_time: str,
                        pack_small_files: bool, sort_mode: str,
                        action_view: Optional[FileSystemView] = None,
-                       profile_df: Optional[DataFrame] = None):
+                       profile_df: Optional[DataFrame] = None,
+                       combine_in_write: bool = False):
         """Shared insert path: profile → bucket plan → assign → write.
         Packed small file groups are rewritten (old ∪ new) — COW semantics.
         ``profile_df``: cheaper pre-combine frame to count (same partitions,
-        counts ≥ the written rows — bucket sizing is statistical anyway)."""
+        counts ≥ the written rows — bucket sizing is statistical anyway).
+        ``combine_in_write``: caller skipped preCombine; fold it into the
+        write shuffle (one exchange total — see precombine_dedup_in_bucket).
+        Requires non-global keys; disabled when small-file packing unions
+        stored rows (those must not dedup against the batch)."""
         view = action_view if action_view is not None else self.view()
         # validate evolution on the raw batch BEFORE any union coerces types
         self._commit_schema(prepared)
@@ -390,15 +396,32 @@ class HudiTable:
         fg_map = {b.file_group: b.partition for b in plan}
 
         packed = [b for b in plan if not b.is_new_fg]
+        if combine_in_write:
+            # single-exchange dedup+write: cluster the batch by file group
+            # once, dedup inside those partitions (twins collocate — bucket
+            # assignment hashes the record key), write pre-partitioned.
+            par = self.spark.sparkContext.defaultParallelism
+            n = max(1, min(len(fg_map), self.cfg.write_parallelism or par))
+            assigned = assigned.repartition(n, F.col(FG))
+            assigned = precombine_dedup_in_bucket(assigned, self.tc, FG)
         if packed:
+            # stored rows must NOT dedup against the batch (insert keeps
+            # duplicate twins) — union after the fused dedup; the union
+            # breaks the clustering, so the write re-exchanges below
             old = self._read_fg_files(view, {b.file_group for b in packed})
             assigned = old.unionByName(assigned, allowMissingColumns=True)
 
         sort_cols = self._sort_cols(sort_mode)
         schema = self._commit_schema(assigned)
         with _stage("insert.write"):
-            stats = write_instant_files(assigned, self.meta, instant_time,
-                                        fg_map, self.cfg, sort_cols=sort_cols)
+            if combine_in_write and not packed:
+                stats = write_instant_files(
+                    assigned, self.meta, instant_time, fg_map, self.cfg,
+                    sort_cols=[FG] + (sort_cols or []), pre_partitioned=True)
+            else:
+                stats = write_instant_files(assigned, self.meta, instant_time,
+                                            fg_map, self.cfg,
+                                            sort_cols=sort_cols)
         return stats, fg_map, schema
 
     def _sort_cols(self, sort_mode: str) -> Optional[list[str]]:
@@ -498,12 +521,19 @@ class HudiTable:
                 # first commit into an empty table: every record is an
                 # insert — skip index load, tagging, and the merge window
                 # (tagging against an empty index yields the same routing,
-                # one table scan and one shuffle more expensive)
+                # one table scan and one shuffle more expensive).  With
+                # non-global keys the preCombine dedup also folds into the
+                # write's own file-group exchange (one shuffle total).
+                from .indexing import is_global
+                fuse = (self.cfg.combine_before_upsert
+                        and not is_global(self.cfg.index_type))
+                if fuse:
+                    prepared = self._prepare(df, instant.time, combine=False)
                 stats, fg_map, schema = self._write_inserts(
                     prepared, instant.time,
                     pack_small_files=(self.tc.table_type == COPY_ON_WRITE),
                     sort_mode=SORT_PARTITION, action_view=view,
-                    profile_df=profile_src)
+                    profile_df=profile_src, combine_in_write=fuse)
                 self._complete(instant, operation, stats, schema)
                 if self.cfg.index_type == INDEX_INMEMORY:
                     self._invalidate_key_index()

@@ -104,6 +104,31 @@ def precombine_dedup(df: DataFrame, tc: TableConfig,
     return df.dropDuplicates(keys)
 
 
+def precombine_dedup_in_bucket(df: DataFrame, tc: TableConfig,
+                               bucket_col: str) -> DataFrame:
+    """preCombine fused into the write shuffle: same survivor as
+    ``precombine_dedup`` (max precombine, deterministic full-row tie-break)
+    but expressed as a row_number window partitioned by
+    ``(bucket, HoodieKey)`` — an upstream ``repartition(n, bucket)`` already
+    satisfies the window's required distribution, so dedup costs ZERO extra
+    exchanges on top of the write clustering.  Valid only for non-global
+    keys (twins share (key, partition) ⇒ the same bucket); bucket assignment
+    hashes the record key, so cross-bucket twins cannot exist."""
+    if not (tc.precombine_field and tc.precombine_field in df.columns):
+        return df.dropDuplicates([bucket_col] + MERGE_KEY)
+    unorderable = {f.name for f in df.schema.fields
+                   if f.dataType.typeName() in ("map",)}
+    tie_cols = sorted(c for c in df.columns
+                      if not c.startswith("_hoodie")
+                      and c != tc.precombine_field
+                      and c not in unorderable)
+    order = [F.desc_nulls_last(tc.precombine_field)]
+    order += [F.desc_nulls_last(c) for c in tie_cols]
+    w = Window.partitionBy(bucket_col, *MERGE_KEY).orderBy(*order)
+    return (df.withColumn("_hoodie_rn", F.row_number().over(w))
+              .filter(F.col("_hoodie_rn") == 1).drop("_hoodie_rn"))
+
+
 def merge_order_columns(tc: TableConfig, df: DataFrame) -> list[Column]:
     """Cross-version ordering for latest-wins merges.
 
