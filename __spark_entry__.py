@@ -1920,6 +1920,48 @@ def quality_filter_counts(spark, sf_dir):
             .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")))
 
 
+@q("global_index_partition_move", """
+SELECT o_orderkey,
+       strftime(CASE WHEN o_orderkey % 5 = 0
+                     THEN o_orderdate + INTERVAL 24 MONTH
+                     ELSE o_orderdate END, '%Y') AS part,
+       CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE o_totalprice END AS price,
+       strftime(CASE WHEN o_orderkey % 5 = 0
+                     THEN o_orderdate + INTERVAL 24 MONTH
+                     ELSE o_orderdate END, '%Y-%m-%d') AS odate
+FROM orders
+""")
+def global_index_partition_move(spark, sf_dir):
+    """GLOBAL_BLOOM with update-partition-path=true
+    (SparkHoodieGlobalBloomIndex.java:143): an update whose partition
+    expression maps to a new partition MOVES the record — delete in the old
+    partition + insert in the new — so `part` reflects the NEW o_orderdate
+    (contrast global_index_partition_stickiness)."""
+    def build():
+        from incubator_hudi_spark import HudiTable, WriteConfig
+        t = HudiTable.create(
+            spark, _new_path("global_move", sf_dir), name="orders_gm",
+            recordkey_fields=["o_orderkey"],
+            partition_expr="date_format(o_orderdate,'yyyy')",
+            precombine_field="o_orderdate",
+            write_config=WriteConfig(
+                index_type="GLOBAL_BLOOM",
+                global_index_update_partition_path=True))
+        o = _load(spark, sf_dir, "orders")
+        t.upsert(o)
+        moved = (o.filter("o_orderkey % 5 = 0")
+                 .withColumn("o_orderdate",
+                             F.expr("o_orderdate + INTERVAL 24 MONTHS"))
+                 .withColumn("o_totalprice", F.lit(1.0)))
+        t.upsert(moved)
+        return {"t": t}
+    t = _recipe("global_move", sf_dir, build)["t"]
+    return t.read().select(
+        "o_orderkey", F.col("_hoodie_partition_path").alias("part"),
+        F.col("o_totalprice").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"))
+
+
 @q("asof_join_attribution", f"""
 SELECT l.event_id, l.user_id,
        strftime(l.ts, '{_TS_FMT_DUCK}') AS ts,

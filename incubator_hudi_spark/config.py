@@ -150,6 +150,12 @@ class WriteConfig:
     # batches up to this many rows broadcast their key set to prune the index
     # scan (indexing.tag_locations) instead of shuffling/building it
     index_broadcast_max_rows: int = 1_000_000
+    # global indexes: when an update's partition expression maps to a new
+    # partition, False (reference default) routes it to the record's EXISTING
+    # partition; True MOVES the record — delete in the old partition + insert
+    # in the new (hoodie.bloom/simple.index.update.partition.path,
+    # SparkHoodieGlobalBloomIndex.java:143)
+    global_index_update_partition_path: bool = False
     # COW rewrite strategy: None = auto (broadcast anti-join pass-through when
     # the batch is broadcastable AND semantically eligible — new-commit-wins
     # payload, preCombined batch — else the per-file-group window merge).

@@ -131,13 +131,17 @@ def load_key_index(spark: SparkSession, meta: TableMetaClient, view: FileSystemV
 def tag_locations(incoming: DataFrame, index_df: DataFrame, index_type: str,
                   key_col: str = META_RECORD_KEY,
                   partition_col: str = META_PARTITION_PATH,
-                  broadcast_incoming: bool = False) -> DataFrame:
+                  broadcast_incoming: bool = False,
+                  update_partition_path: bool = False) -> DataFrame:
     """Attach (fg, current partition) to incoming rows; null fg → insert.
 
     Non-global: key unique within partition → join on (key, partition).
     Global: key unique table-wide → join on key only; an update whose
     incoming partition differs is routed to its *existing* partition
     (update-partition-path=false default, SparkHoodieGlobalBloomIndex.java:143).
+    With ``update_partition_path`` the record MOVES instead: the row splits
+    into a delete tagged to the old location plus an untagged insert in the
+    incoming partition (the reference emits the same delete+insert pair).
 
     ``broadcast_incoming`` (batch ≪ table, the common upsert shape): never
     build a hash table from the big index side — broadcast the batch's key set
@@ -162,6 +166,30 @@ def tag_locations(incoming: DataFrame, index_df: DataFrame, index_type: str,
         idx = F.broadcast(idx.dropDuplicates(dedup_cols))
     tagged = incoming.join(idx, on=on, how="left")
     if is_global(index_type):
+        if update_partition_path:
+            from .writer import API_DELETE
+            is_del = (F.coalesce(F.col(API_DELETE), F.lit(False))
+                      if API_DELETE in tagged.columns else F.lit(False))
+            moving = (F.col(CUR_PART_COL).isNotNull()
+                      & (F.col(CUR_PART_COL) != F.col(partition_col))
+                      & ~is_del)
+            rest = (tagged.filter(~moving)
+                    .withColumn(partition_col,
+                                F.coalesce(F.col(CUR_PART_COL),
+                                           F.col(partition_col)))
+                    .drop(CUR_PART_COL))
+            moved = tagged.filter(moving)
+            # insert half: incoming partition, no location tag
+            mv_ins = (moved.withColumn(FG_COL, F.lit(None).cast("string"))
+                           .drop(CUR_PART_COL))
+            # delete half: old location, marked as a hard delete
+            mv_del = (moved.withColumn(partition_col, F.col(CUR_PART_COL))
+                           .withColumn(API_DELETE, F.lit(True))
+                           .drop(CUR_PART_COL))
+            if API_DELETE not in rest.columns:
+                rest = rest.withColumn(API_DELETE, F.lit(False))
+                mv_ins = mv_ins.withColumn(API_DELETE, F.lit(False))
+            return rest.unionByName(mv_ins).unionByName(mv_del)
         tagged = tagged.withColumn(
             partition_col,
             F.coalesce(F.col(CUR_PART_COL), F.col(partition_col)))

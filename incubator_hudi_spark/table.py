@@ -581,9 +581,10 @@ class HudiTable:
             if bc:
                 # broadcast path pre-dedups the pruned index side per file
                 # group — the join can't multiply rows per (input row, fg)
-                tagged = tag_locations(prepared, index_df,
-                                       self.cfg.index_type,
-                                       broadcast_incoming=True)
+                tagged = tag_locations(
+                    prepared, index_df, self.cfg.index_type,
+                    broadcast_incoming=True,
+                    update_partition_path=self.cfg.global_index_update_partition_path)
             else:
                 # shuffle path: the index may map one key to the same file
                 # group several times (MOR base+log, duplicate keys in a
@@ -595,6 +596,7 @@ class HudiTable:
                     prepared.withColumn(uid, F.monotonically_increasing_id()),
                     index_df, self.cfg.index_type,
                     broadcast_incoming=False,
+                    update_partition_path=self.cfg.global_index_update_partition_path,
                 ).dropDuplicates([uid, FG_COL]).drop(uid)
             tagged = tagged.persist()
 
