@@ -2022,6 +2022,66 @@ def range_join_click_context(spark, sf_dir):
                   .cast("long").alias("sum_value_milli")))
 
 
+@q("tfidf_top_terms", r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+SELECT doc_id, token, tf, df FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC)
+           AS rnk
+  FROM tf JOIN dfreq USING (token))
+WHERE rnk <= 3
+""")
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF term statistics (operators/text.tf_idf): top-3 salient terms
+    per document ranked by (tf desc, rarity asc, token) — the hash stays on
+    exact integers; the float tfidf score itself is library output."""
+    from pyspark.sql.window import Window
+    from incubator_hudi_spark.operators import text as T
+    stats = T.tf_idf(_load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token"))
+    return (stats.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "token", "tf", "df"))
+
+
+@q("flatten_json_transform", """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_value_milli
+FROM events
+GROUP BY 1, 2
+""")
+def flatten_json_transform(spark, sf_dir):
+    """DeltaStreamer transformer chain (sources/ingest.py): parse the JSON
+    props column into a struct, FlatteningTransformer lifts it to top-level
+    columns, then aggregate — the flatten + SQL-transformer composition the
+    reference ships as FlatteningTransformer/SqlQueryBasedTransformer."""
+    from incubator_hudi_spark.sources.ingest import (chained_transformer,
+                                                     flatten_transformer,
+                                                     sql_transformer)
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "props", F.from_json("props", "k BIGINT"))
+    tx = chained_transformer(
+        flatten_transformer,
+        sql_transformer(spark, """
+            SELECT event_type, props_k % 10 AS k_mod,
+                   count(*) AS n,
+                   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                     AS sum_value_milli
+            FROM src GROUP BY 1, 2""", view_name="src"))
+    return tx(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

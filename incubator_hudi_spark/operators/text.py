@@ -142,6 +142,30 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text",
                 .filter(F.col("rank") <= k))
 
 
+def tf_idf(df: DataFrame, doc_id_col: str = "doc_id",
+           text_col: str = "text") -> DataFrame:
+    """Per-(doc, token) term statistics: ``tf`` (occurrences in the doc),
+    ``df`` (documents containing the token), ``n_docs``, and the smoothed
+    ``tfidf = tf * (ln((n_docs+1)/(df+1)) + 1)`` (scikit-learn's smoothing).
+
+    Scale shape: explode → two hash aggregates with map-side combine
+    (doc-term counts shuffle by (doc, token); document frequency shuffles
+    the aggregated vocabulary only), then a token-keyed join the optimizer
+    can broadcast when the vocabulary is small.  No Python in the row path.
+    """
+    toks = (df.select(F.col(doc_id_col).alias("doc_id"),
+                      F.explode(_tokens(F.col(text_col))).alias("token"))
+              .filter(F.col("token") != ""))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count_distinct(F.col(doc_id_col)).alias("n_docs"))
+    out = tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs))
+    idf = F.log((F.col("n_docs") + 1).cast("double")
+                / (F.col("df") + 1).cast("double")) + F.lit(1.0)
+    return out.withColumn("tfidf", F.col("tf").cast("double") * idf) \
+              .select("doc_id", "token", "tf", "df", "n_docs", "tfidf")
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (training-corpus hygiene) — pure regexp expressions, all
 # patterns chosen to behave identically under Java regex (Spark) and RE2

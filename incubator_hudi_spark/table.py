@@ -1167,7 +1167,10 @@ class HudiTable:
                 # base side is never shuffled, mirroring the COW anti-join
                 # rewrite), and only touched keys pay the latest-wins window,
                 # over base-twin ∪ log rows a few MB in size.
-                lk = logs.select(*MERGE_KEY).dropDuplicates(MERGE_KEY)
+                # no dedup on the key set: semi/anti hash builds collapse
+                # duplicate keys anyway, and a dropDuplicates here would cost
+                # an extra (small-side) exchange
+                lk = logs.select(*MERGE_KEY)
                 untouched = b.join(F.broadcast(lk), MERGE_KEY, "left_anti")
                 touched = (b.join(F.broadcast(lk), MERGE_KEY, "left_semi")
                             .withColumn(NEW_FLAG, F.lit(False)))

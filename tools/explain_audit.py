@@ -203,15 +203,41 @@ def main():
     m.upsert(li.limit(300).withColumn("l_quantity", F.lit(2.0)))
     mor_read = m.read()
     p = explain(mor_read)
-    check("MOR snapshot merge: one latest-wins shuffle", p, [
-        (f"exactly 1 Exchange (found {n_exchanges(mor_read)})", n_exchanges(mor_read) == 1),
+    check("MOR snapshot merge: broadcast-split, base side never shuffles", p, [
+        (f"only the touched-keys exchange remains (found {n_exchanges(mor_read)})",
+         n_exchanges(mor_read) == 1),
         ("merge window present", "Window" in p),
+        ("untouched base rows pass through a broadcast anti join",
+         "BroadcastHashJoin" in p and "LeftAnti" in p),
+    ])
+
+    # 4b — temporal joins (operators/joins.py)
+    from incubator_hudi_spark.operators.joins import asof_join, range_join
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    purch = ev.filter("event_type = 'purchase'")
+    clicks = ev.filter("event_type = 'click'")
+    aj = asof_join(purch, clicks, ["user_id"], "ts", "ts",
+                   right_cols=["value"])
+    p = explain(aj)
+    check("as-of join: one key-hash exchange, no inequality join", p, [
+        (f"exactly 1 Exchange (found {n_exchanges(aj)})", n_exchanges(aj) == 1),
+        ("prefix window present", "Window" in p),
+        ("no nested-loop/cartesian fallback",
+         "NestedLoop" not in p and "Cartesian" not in p),
+    ])
+    rj = range_join(purch, clicks, ["user_id"], "ts", "ts",
+                    before_seconds=1800.0, right_cols=["value"])
+    p = explain(rj)
+    check("range join: bucketized equi-join (no theta-join blowup)", p, [
+        ("hash/sort-merge equi-join",
+         "HashJoin" in p or "SortMergeJoin" in p),
+        ("no nested-loop/cartesian fallback",
+         "NestedLoop" not in p and "Cartesian" not in p),
     ])
 
     # 7 — sessionization: exactly one user-keyed shuffle feeds both windows
     # and the session aggregation (sort-order reuse within the partition)
     from incubator_hudi_spark.streaming.sessionize import sessionize
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     sess = sessionize(ev, gap_minutes=30)
     p = explain(sess)
     check("sessionization: one user-keyed shuffle", p, [
