@@ -2082,6 +2082,29 @@ def flatten_json_transform(spark, sf_dir):
     return tx(ev)
 
 
+@q("repetition_bigram", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t), 1)),
+                               i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks),
+c AS (SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY 1, 2)
+SELECT doc_id, sum(n) AS n_grams, max(n) AS top_gram_n,
+       CAST(floor(1000.0 * max(n) / sum(n)) AS BIGINT) AS rep_milli
+FROM c GROUP BY doc_id
+""")
+def repetition_bigram(spark, sf_dir):
+    """Bigram-repetition quality signal (operators/text.repetition_features):
+    share of each doc's bigrams taken by its most frequent bigram — the
+    Gopher-rules boilerplate detector, computed with explode + map-side
+    combined aggregates (never a per-row quadratic loop)."""
+    from incubator_hudi_spark.operators import text as T
+    return T.repetition_features(_load(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -142,6 +142,35 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text",
                 .filter(F.col("rank") <= k))
 
 
+def repetition_features(df: DataFrame, doc_id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signal: per doc, the share of bigrams taken by
+    the single most frequent bigram — high values flag boilerplate/spam.
+    Returns (doc_id, n_grams, top_gram_n, rep_milli) where rep_milli =
+    floor(1000·top/total); docs with <2 tokens emit no row.
+
+    Scale shape: bigrams built token-local (zip_with of two slices — no
+    quadratic per-row loop), exploded, then two hash aggregates with
+    map-side combine; wire volume is bounded by distinct (doc, bigram), not
+    corpus size.  The in-row alternative (array_distinct × filter count) is
+    O(tokens²) per doc and melts on long documents.
+    """
+    toks = _tokens(F.col(text_col))
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    g = (df.select(F.col(doc_id_col).alias("doc_id"),
+                   F.explode(grams).alias("gram"))
+           .groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n")))
+    return (g.groupBy("doc_id")
+            .agg(F.sum("n").alias("n_grams"),
+                 F.max("n").alias("top_gram_n"))
+            .withColumn("rep_milli",
+                        F.floor(F.lit(1000.0) * F.col("top_gram_n")
+                                / F.col("n_grams")).cast("long")))
+
+
 def tf_idf(df: DataFrame, doc_id_col: str = "doc_id",
            text_col: str = "text") -> DataFrame:
     """Per-(doc, token) term statistics: ``tf`` (occurrences in the doc),
