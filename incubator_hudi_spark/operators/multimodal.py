@@ -102,12 +102,14 @@ def extract_features(media: DataFrame,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
+            # column zip, not iterrows — pandas row views cost ~10× per row
+            for mid, mod, payload in zip(pdf["media_id"], pdf["modality"],
+                                         pdf["payload"]):
+                payload = bytes(payload)
                 meta = dec(payload)
                 rows.append({
-                    "media_id": r["media_id"],
-                    "modality": r["modality"],
+                    "media_id": mid,
+                    "modality": mod,
                     "n_bytes": len(payload),
                     "sha1_prefix": hashlib.sha1(payload).hexdigest()[:12],
                     "width": meta.get("width"),
