@@ -557,6 +557,16 @@ class HudiTable:
                 and set(view.partitions()) <= self._key_index_parts)
             if cache_covers:
                 index_df, bc = self._key_index, True
+            elif self.cfg.index_type == INDEX_INMEMORY:
+                # cold INMEMORY: load the whole-table key index in one go —
+                # it gets pinned for every later batch anyway, so the
+                # pre-tag workload-profile action (whose only INMEMORY use
+                # is picking which partitions to load) is pure overhead.
+                # One Spark action saved per cold start.
+                with _stage("upsert.load_index"):
+                    index_df = self._load_index(
+                        view, sorted(view.partitions()), None)
+                bc = True
             else:
                 # workload profile (BaseSparkCommitActionExecutor.java:122-127)
                 # + key range for BLOOM-style pruning — one Spark action over
@@ -722,12 +732,6 @@ class HudiTable:
             # drop_deleted removes them on rewrite — match that)
             survivors = drop_deleted(survivors)
             fresh = drop_deleted(new_raw).drop(API_DELETE)
-            # cluster only the small side by file group (trivial shuffle) so
-            # each file group gets one new file, not one per upstream task
-            n_small = max(1, min(len(fg_map),
-                                 self.spark.sparkContext.defaultParallelism))
-            fresh = fresh.repartition(n_small, F.col(FG))
-            merged = survivors.unionByName(fresh, allowMissingColumns=True)
             # write-parallelism guard: the survivors side passes through in
             # its SCAN partitions, and Spark packs files up to
             # maxPartitionBytes per partition — with many small file groups
@@ -737,12 +741,19 @@ class HudiTable:
             # re-spread by file group for parallel encoding.  At scale file
             # groups approach the 120 MB target, scan partitions ≈ one file
             # each, and this branch stays off — the table side still never
-            # shuffles on the 100 TB path.
+            # shuffles on the 100 TB path; only the (tiny) fresh side is
+            # clustered by file group so each group gets one new file, not
+            # one per upstream task.  Exactly one exchange either way.
             rewrite_bytes = sum(sl.base_size + sl.log_size
                                 for sl in view.latest_slices()
                                 if sl.file_group in rewrite_fgs)
             par = self.spark.sparkContext.defaultParallelism
-            if rewrite_bytes < par * 24 * 1024 * 1024:
+            respread = rewrite_bytes < par * 24 * 1024 * 1024
+            if not respread:
+                n_small = max(1, min(len(fg_map), par))
+                fresh = fresh.repartition(n_small, F.col(FG))
+            merged = survivors.unionByName(fresh, allowMissingColumns=True)
+            if respread:
                 merged = merged.repartition(min(len(fg_map), par), F.col(FG))
             merged = merged.withColumn(META_FILE_NAME, F.col(FG))
             schema = self._commit_schema(merged)
