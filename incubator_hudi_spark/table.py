@@ -369,7 +369,8 @@ class HudiTable:
                        pack_small_files: bool, sort_mode: str,
                        action_view: Optional[FileSystemView] = None,
                        profile_df: Optional[DataFrame] = None,
-                       combine_in_write: bool = False):
+                       combine_in_write: bool = False,
+                       seed_key_index: bool = False):
         """Shared insert path: profile → bucket plan → assign → write.
         Packed small file groups are rewritten (old ∪ new) — COW semantics.
         ``profile_df``: cheaper pre-combine frame to count (same partitions,
@@ -413,6 +414,22 @@ class HudiTable:
 
         sort_cols = self._sort_cols(sort_mode)
         schema = self._commit_schema(assigned)
+        # INMEMORY index bootstrap: a write into an EMPTY table IS the whole
+        # table — the batch's (key, partition, fg) columns are exactly what
+        # load_key_index would re-scan from the just-written files.  Persist
+        # the write frame so the index projection comes off the cache instead
+        # of a table-sized parquet re-scan on the next upsert (the reference
+        # similarly feeds write locations back into its index,
+        # HoodieIndex.updateLocation).  Empty-table-only (otherwise stored
+        # rows outside the batch would be missing), and only when the caller
+        # opts in: the persist adds columnar-cache encode cost to the write
+        # job, which pays off on upsert-style ingests (the next op is almost
+        # certainly another upsert) but not on one-shot bulk loads.
+        seed_index = (seed_key_index
+                      and self.cfg.index_type == INDEX_INMEMORY
+                      and not view.latest_slices())
+        if seed_index:
+            assigned = assigned.persist()
         with _stage("insert.write"):
             if combine_in_write and not packed:
                 stats = write_instant_files(
@@ -422,6 +439,18 @@ class HudiTable:
                 stats = write_instant_files(assigned, self.meta, instant_time,
                                             fg_map, self.cfg,
                                             sort_cols=sort_cols)
+        if seed_index:
+            from .indexing import CUR_PART_COL
+            self._invalidate_key_index()
+            idx = assigned.select(
+                F.col(META_RECORD_KEY),
+                F.col(META_PARTITION_PATH).alias(CUR_PART_COL),
+                F.col(FG).alias(FG_COL)).persist()
+            idx.count()
+            assigned.unpersist()
+            self._key_index = idx
+            self._key_index_parts = {b.partition for b in plan}
+            self._key_index_valid_at = instant_time
         return stats, fg_map, schema
 
     def _sort_cols(self, sort_mode: str) -> Optional[list[str]]:
@@ -533,9 +562,13 @@ class HudiTable:
                     prepared, instant.time,
                     pack_small_files=(self.tc.table_type == COPY_ON_WRITE),
                     sort_mode=SORT_PARTITION, action_view=view,
-                    profile_df=profile_src, combine_in_write=fuse)
+                    profile_df=profile_src, combine_in_write=fuse,
+                    seed_key_index=True)
                 self._complete(instant, operation, stats, schema)
-                if self.cfg.index_type == INDEX_INMEMORY:
+                if (self.cfg.index_type == INDEX_INMEMORY
+                        and self._key_index_valid_at != instant.time):
+                    # drop a stale cache — but keep the index _write_inserts
+                    # just seeded from this very commit's write frame
                     self._invalidate_key_index()
                 self._post_commit()
                 return instant.time

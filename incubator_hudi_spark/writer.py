@@ -250,6 +250,10 @@ def write_instant_files(
     out_dir = meta.instant_data_dir(instant_time)
     if subdir:
         out_dir = os.path.join(out_dir, subdir)
+    if os.environ.get("HUDI_SPARK_EXPLAIN") == "1":
+        import sys as _sys
+        print(out._jdf.queryExecution().executedPlan().toString(),
+              file=_sys.stderr)
     import time as _time
     _t0 = _time.time()
     (out.write

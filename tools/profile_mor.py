@@ -25,6 +25,7 @@ def main():
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
              .config("spark.driver.memory", "16g")
              .config("spark.sql.autoBroadcastJoinThreshold", "64m")
              .getOrCreate())
