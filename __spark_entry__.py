@@ -2105,6 +2105,97 @@ def repetition_bigram(spark, sf_dir):
     return T.repetition_features(_load(spark, sf_dir, "documents"))
 
 
+# ---- payload variants + CDC ingestion -------------------------------------
+
+def _r_orders_partial(spark, sf_dir):
+    """OverwriteNonDefaults payload: partial-update batch nulls every column
+    except key/partition/precombine/price; stored values must survive."""
+    def build():
+        from incubator_hudi_spark import HudiTable
+        from incubator_hudi_spark.config import PAYLOAD_OVERWRITE_NON_DEFAULTS
+        t = HudiTable.create(
+            spark, _new_path("orders_partial", sf_dir), name="orders",
+            recordkey_fields=["o_orderkey"],
+            partition_expr="date_format(o_orderdate,'yyyy')",
+            precombine_field="o_orderdate",
+            payload=PAYLOAD_OVERWRITE_NON_DEFAULTS)
+        o = _load(spark, sf_dir, "orders")
+        t.upsert(o)
+        keep = ("o_orderkey", "o_orderdate", "o_totalprice")
+        upd = (o.filter("o_orderkey % 10 = 0")
+               .select(*[(F.col(c) if c in keep
+                          else F.lit(None).cast(o.schema[c].dataType).alias(c))
+                         for c in o.columns])
+               .withColumn("o_totalprice", F.col("o_totalprice") + 100000.0))
+        t.upsert(upd)
+        return {"t": t}
+    return _recipe("orders_partial", sf_dir, build)
+
+
+@q("payload_partial_update", """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderstatus, o_custkey, o_orderpriority
+FROM orders
+""")
+def payload_partial_update(spark, sf_dir):
+    """OverwriteNonDefaultsWithLatestAvroPayload.java:50-75 semantics: the
+    update batch carries only the price — status/custkey/priority arrive
+    NULL and must keep their stored values after the merge."""
+    t = _r_orders_partial(spark, sf_dir)["t"]
+    return t.read().select("o_orderkey", "o_totalprice", "o_orderstatus",
+                           "o_custkey", "o_orderpriority")
+
+
+def _r_orders_dms(spark, sf_dir):
+    """AWS DMS CDC flow: full load (no Op) → one CDC batch with I/U/D rows
+    routed through aws_dms_transformer into a plain upsert."""
+    def build():
+        from incubator_hudi_spark.sources.ingest import aws_dms_transformer
+        t = _orders_table(spark, sf_dir, _new_path("orders_dms", sf_dir))
+        o = _load(spark, sf_dir, "orders")
+        t.upsert(aws_dms_transformer(o))           # full load: Op=''
+        upd = (o.filter("o_orderkey % 7 = 1")
+               .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+               .withColumn("Op", F.lit("U")))
+        dels = (o.filter("o_orderkey % 5 = 2 AND o_orderkey % 7 != 1")
+                .withColumn("Op", F.lit("D")))
+        ins = (o.filter("o_orderkey % 11 = 3")
+               .withColumn("o_orderkey", F.col("o_orderkey") + 20_000_000)
+               .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+               .withColumn("Op", F.lit("I")))
+        cdc = upd.unionByName(dels).unionByName(ins)
+        t.upsert(aws_dms_transformer(cdc))
+        return {"t": t}
+    return _recipe("orders_dms", sf_dir, build)
+
+
+@q("aws_dms_cdc", """
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 7 = 1 THEN 'U' ELSE '' END AS op,
+         o_orderstatus
+  FROM orders
+  WHERE NOT (o_orderkey % 5 = 2 AND o_orderkey % 7 <> 1)
+), ins AS (
+  SELECT o_orderkey + 20000000 AS o_orderkey,
+         o_totalprice + 5.0 AS o_totalprice, 'I' AS op, o_orderstatus
+  FROM orders WHERE o_orderkey % 11 = 3
+)
+SELECT * FROM base UNION ALL SELECT * FROM ins
+""")
+def aws_dms_cdc(spark, sf_dir):
+    """AWS DMS change capture (AWSDmsTransformer.java:39-51,
+    AWSDmsAvroPayload.java:44-78): Op='' full load, then one batch of
+    inserts/updates/deletes; 'D' rows become delete-marker upserts."""
+    t = _r_orders_dms(spark, sf_dir)["t"]
+    return t.read().select("o_orderkey", "o_totalprice",
+                           F.col("Op").alias("op"), "o_orderstatus")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -37,9 +37,14 @@ QUERY_READ_OPTIMIZED = "read_optimized"
 QUERY_INCREMENTAL = "incremental"
 
 # Payloads (merge semantics) — OverwriteWithLatestAvroPayload.java:38,
-# DefaultHoodieRecordPayload.java:41,93
+# DefaultHoodieRecordPayload.java:41,93,
+# OverwriteNonDefaultsWithLatestAvroPayload.java:38-75
 PAYLOAD_OVERWRITE_LATEST = "overwrite_latest"   # arriving batch always wins
 PAYLOAD_DEFAULT = "default"                     # precombine (event-time) ordering guard
+# partial update: null fields in the winning version fall back to the newest
+# stored non-null value (reference: fields equal to their schema default keep
+# the stored value; null is the default for nullable Avro fields)
+PAYLOAD_OVERWRITE_NON_DEFAULTS = "overwrite_non_defaults"
 
 # Bulk-insert sort modes — BulkInsertSortMode (GlobalSortPartitioner.java:34-45 etc.)
 SORT_GLOBAL = "GLOBAL_SORT"

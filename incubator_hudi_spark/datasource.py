@@ -147,10 +147,14 @@ def _payload(opts: Mapping[str, str]) -> Optional[str]:
     if cls.endswith("DefaultHoodieRecordPayload"):
         from .config import PAYLOAD_DEFAULT
         return PAYLOAD_DEFAULT
+    if cls.endswith("OverwriteNonDefaultsWithLatestAvroPayload"):
+        from .config import PAYLOAD_OVERWRITE_NON_DEFAULTS
+        return PAYLOAD_OVERWRITE_NON_DEFAULTS
     if cls.endswith("OverwriteWithLatestAvroPayload") or not cls:
         return None  # table default
     raise ValueError(f"unsupported payload class {cls!r} (supported: "
-                     "OverwriteWithLatestAvroPayload, DefaultHoodieRecordPayload)")
+                     "OverwriteWithLatestAvroPayload, DefaultHoodieRecordPayload, "
+                     "OverwriteNonDefaultsWithLatestAvroPayload)")
 
 
 def read_hudi(spark: SparkSession, path: str,

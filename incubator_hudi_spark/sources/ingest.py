@@ -182,6 +182,19 @@ def chained_transformer(*txs: Callable[[DataFrame], DataFrame]):
     return tx
 
 
+def aws_dms_transformer(df: DataFrame) -> DataFrame:
+    """AWS DMS change-capture adapter (AWSDmsTransformer.java:39-51 +
+    AWSDmsAvroPayload.java:44-78): DMS emits full-row images with an ``Op``
+    column — '' / 'I' full-load/insert, 'U' update, 'D' delete.  Missing
+    ``Op`` (full load) is added as ''; 'D' rows become delete-marker upserts
+    (the payload's handleDeleteOperation → our ``_hoodie_is_deleted``
+    column, resolved by the standard latest-wins merge)."""
+    from ..config import DELETE_MARKER
+    if "Op" not in df.columns:
+        df = df.withColumn("Op", F.lit(""))
+    return df.withColumn(DELETE_MARKER, F.upper(F.col("Op")) == "D")
+
+
 # ---------------------------------------------------------------------------
 # The sync loop
 # ---------------------------------------------------------------------------

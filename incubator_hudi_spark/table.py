@@ -740,9 +740,12 @@ class HudiTable:
 
         # new-commit-always-wins payload → the winner per touched key is known
         # without comparing against stored rows (merge_order_columns puts the
-        # precombine guard first only for PAYLOAD_DEFAULT)
-        new_wins = not (self.tc.payload == PAYLOAD_DEFAULT
-                        and self.tc.precombine_field)
+        # precombine guard first only for PAYLOAD_DEFAULT; the partial-update
+        # payload must read stored values to fill null fields)
+        from .config import PAYLOAD_OVERWRITE_NON_DEFAULTS
+        new_wins = not ((self.tc.payload == PAYLOAD_DEFAULT
+                         and self.tc.precombine_field)
+                        or self.tc.payload == PAYLOAD_OVERWRITE_NON_DEFAULTS)
         semantically_ok = (bool(rewrite_fgs) and new_wins
                            and self.cfg.combine_before_upsert)  # 1 row/key
         if self.cfg.cow_broadcast_merge is None:      # auto: add size guard

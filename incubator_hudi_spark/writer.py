@@ -29,7 +29,8 @@ from pyspark.sql.window import Window
 
 from .config import (DELETE_MARKER, META_COLUMNS, META_COMMIT_SEQNO,
                      META_COMMIT_TIME, META_FILE_NAME, META_PARTITION_PATH,
-                     META_RECORD_KEY, PAYLOAD_DEFAULT, TableConfig, WriteConfig)
+                     META_RECORD_KEY, PAYLOAD_DEFAULT,
+                     PAYLOAD_OVERWRITE_NON_DEFAULTS, TableConfig, WriteConfig)
 from .fsview import WriteStat
 from .keygen import add_key_columns
 from .metaclient import TableMetaClient
@@ -184,9 +185,29 @@ def merge_latest(df: DataFrame, tc: TableConfig, flag_col: str = NEW_FLAG,
     keys = ([bucket_col] if bucket_col else []) + MERGE_KEY
     order_w = Window.partitionBy(*keys).orderBy(*merge_order_columns(tc, df))
     part_w = Window.partitionBy(*keys)
-    out = (df
-           .withColumn("_hoodie_has_new", F.max(F.col(flag_col).cast("int")).over(part_w))
-           .withColumn("_hoodie_rn", F.row_number().over(order_w))
+    staged = (df
+              .withColumn("_hoodie_has_new",
+                          F.max(F.col(flag_col).cast("int")).over(part_w))
+              .withColumn("_hoodie_rn", F.row_number().over(order_w)))
+    if tc.payload == PAYLOAD_OVERWRITE_NON_DEFAULTS:
+        # partial update (OverwriteNonDefaultsWithLatestAvroPayload.java:
+        # 50-75): a null field in a newer version keeps the newest stored
+        # non-null value.  first(ignorenulls) over the full merge-ordered
+        # frame == iterated pairwise field coalescing newest→oldest; all
+        # per-column aggregates share the single window pass already paid
+        # for the rank.  Only merged keys (has_new=1) are touched —
+        # pass-through stored rows stay byte-for-byte (the reference never
+        # runs combineAndGetUpdateValue on untouched keys).
+        fill_w = order_w.rowsBetween(Window.unboundedPreceding,
+                                     Window.unboundedFollowing)
+        data_cols = [c for c in df.columns
+                     if not c.startswith("_hoodie") and c != flag_col]
+        staged = staged.select(
+            *[c for c in staged.columns if c not in data_cols],
+            *[F.when(F.col("_hoodie_has_new") == 1,
+                     F.first(c, ignorenulls=True).over(fill_w))
+              .otherwise(F.col(c)).alias(c) for c in data_cols])
+    out = (staged
            .filter((F.col("_hoodie_has_new") == 0) | (F.col("_hoodie_rn") == 1))
            .drop("_hoodie_has_new", "_hoodie_rn", flag_col))
     return out
