@@ -2105,6 +2105,33 @@ def repetition_bigram(spark, sf_dir):
     return T.repetition_features(_load(spark, sf_dir, "documents"))
 
 
+@q("timestamp_keygen_epoch", """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+FROM events GROUP BY 1
+""")
+def timestamp_keygen_epoch(spark, sf_dir):
+    """TimestampBasedKeyGenerator EPOCHMILLISECONDS input mode
+    (TimestampBasedAvroKeyGenerator.java:103-126): partition an epoch-millis
+    column into daily paths via the typed keygen helper."""
+    def build():
+        from incubator_hudi_spark import HudiTable
+        from incubator_hudi_spark.keygen import (TS_EPOCHMILLIS,
+                                                 timestamp_partition_expr)
+        ev = (_load(spark, sf_dir, "events")
+              .withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))))
+        t = HudiTable.create(
+            spark, _new_path("events_epoch", sf_dir), name="events_epoch",
+            recordkey_fields=["event_id"],
+            partition_expr=timestamp_partition_expr(
+                "ts_ms", TS_EPOCHMILLIS, "yyyy-MM-dd"),
+            precombine_field="ts")
+        t.upsert(ev)
+        return {"t": t}
+    t = _recipe("events_epoch", sf_dir, build)["t"]
+    return (t.read().groupBy(F.col("_hoodie_partition_path").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 # ---- payload variants + CDC ingestion -------------------------------------
 
 def _r_orders_partial(spark, sf_dir):

@@ -149,6 +149,18 @@ def main():
     docs.persist().count()
     emb.persist().count()
 
+    # untimed warmup of the operator plan shapes (codegen/JIT), mirroring the
+    # write-path warmup above — timed numbers measure the operators
+    wdocs, wemb = docs.limit(2000), emb.limit(2000)
+    dedup.minhash_lsh_pairs(wdocs, k=16, bands=8, verify_threshold=0.7).count()
+    wq = wemb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    similarity.brute_force_topk(wemb, wq, k=5).count()
+    text.analyze(wdocs).select(F.sum("n_tokens"),
+                               F.sum(F.pmod(F.col("fingerprint"),
+                                            F.lit(1000003)))).collect()
+    text.pii_scrub(wdocs).select(F.sum("n_emails"),
+                                 F.sum(F.length("text_clean"))).collect()
+
     with timed("minhash_lsh_pairs"):
         dedup.minhash_lsh_pairs(docs, k=16, bands=8, verify_threshold=0.7).count()
     with timed("ann_brute_force_top10"):

@@ -45,3 +45,47 @@ def add_key_columns(df: DataFrame, recordkey_fields: Sequence[str],
                     key_col: str, partition_col: str) -> DataFrame:
     return df.withColumn(key_col, record_key_col(recordkey_fields)) \
              .withColumn(partition_col, partition_path_col(partition_expr))
+
+
+# -- TimestampBasedKeyGenerator typed input modes ---------------------------
+# TimestampBasedAvroKeyGenerator.java:49-50 TimestampType enum
+TS_EPOCHMILLIS = "EPOCHMILLISECONDS"
+TS_UNIX_SECONDS = "UNIX_TIMESTAMP"
+TS_SCALAR = "SCALAR"
+TS_DATE_STRING = "DATE_STRING"
+
+_SCALAR_UNITS_SECONDS = {"SECONDS": 1, "MINUTES": 60, "HOURS": 3600,
+                         "DAYS": 86400}
+
+
+def timestamp_partition_expr(field: str, input_type: str,
+                             output_format: str = "yyyy/MM/dd",
+                             input_format: Optional[str] = None,
+                             scalar_unit: str = "SECONDS") -> str:
+    """Build the partition expression for a timestamp-typed partition field
+    (TimestampBasedAvroKeyGenerator.java:103-126,214-227): normalize the
+    input (epoch-millis / epoch-seconds / scalar-of-unit / formatted string)
+    to a timestamp, then render with ``output_format``.  Returns a SQL
+    expression string usable as ``partition_expr`` — still a pure column
+    expression, no per-row Python."""
+    it = input_type.upper()
+    if it == TS_EPOCHMILLIS:
+        ts = f"timestamp_millis(CAST({field} AS BIGINT))"
+    elif it == TS_UNIX_SECONDS:
+        ts = f"timestamp_seconds(CAST({field} AS BIGINT))"
+    elif it == TS_SCALAR:
+        mult = _SCALAR_UNITS_SECONDS.get(scalar_unit.upper())
+        if mult is None:
+            raise ValueError(f"unsupported scalar unit {scalar_unit!r}")
+        ts = f"timestamp_seconds(CAST({field} AS BIGINT) * {mult})"
+    elif it == TS_DATE_STRING:
+        if not input_format:
+            raise ValueError(
+                "input_format is required for DATE_STRING (reference: "
+                "TimestampBasedAvroKeyGenerator.java:200)")
+        ts = f"to_timestamp({field}, '{input_format}')"
+    else:
+        raise ValueError(f"unsupported timestamp type {input_type!r} "
+                         f"(one of EPOCHMILLISECONDS, UNIX_TIMESTAMP, "
+                         f"SCALAR, DATE_STRING)")
+    return f"date_format({ts}, '{output_format}')"

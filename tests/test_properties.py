@@ -93,3 +93,28 @@ def test_dup_cluster_model(pairs):
             break
         labels = new
     assert labels == truth
+
+
+def test_timestamp_partition_expr_modes(spark):
+    from incubator_hudi_spark.keygen import (TS_DATE_STRING, TS_EPOCHMILLIS,
+                                             TS_SCALAR, TS_UNIX_SECONDS,
+                                             timestamp_partition_expr)
+    import pytest
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1704067200000, 1704067200, 19723, "2024/01/01 00")],
+        "ms long, s long, days long, str string")
+    row = df.select(
+        F.expr(timestamp_partition_expr("ms", TS_EPOCHMILLIS, "yyyy-MM-dd")).alias("a"),
+        F.expr(timestamp_partition_expr("s", TS_UNIX_SECONDS, "yyyy-MM-dd")).alias("b"),
+        F.expr(timestamp_partition_expr("days", TS_SCALAR, "yyyy-MM-dd",
+                                        scalar_unit="DAYS")).alias("c"),
+        F.expr(timestamp_partition_expr("str", TS_DATE_STRING, "yyyy-MM-dd",
+                                        input_format="yyyy/MM/dd HH")).alias("d"),
+    ).collect()[0]
+    assert row.a == "2024-01-01" and row.b == "2024-01-01"
+    assert row.c == "2024-01-01" and row.d == "2024-01-01"
+    with pytest.raises(ValueError):
+        timestamp_partition_expr("x", TS_DATE_STRING, "yyyy")  # no input fmt
+    with pytest.raises(ValueError):
+        timestamp_partition_expr("x", "BOGUS", "yyyy")
