@@ -143,6 +143,23 @@ def main():
         ("per-file-group merge window present", "Window" in p),
     ])
 
+    # 3a' — partial-update payload: the per-column first(ignorenulls) fills
+    # must ride the SAME single file-group exchange as the rank window (no
+    # second shuffle for the coalesce pass)
+    from incubator_hudi_spark.config import PAYLOAD_OVERWRITE_NON_DEFAULTS
+    import dataclasses
+    tc_partial = dataclasses.replace(t.tc,
+                                     payload=PAYLOAD_OVERWRITE_NON_DEFAULTS)
+    merged_pu = old.unionByName(updates, allowMissingColumns=True) \
+                   .repartition(8, F.col(FG))
+    merged_pu = drop_deleted(merge_latest(merged_pu, tc_partial, bucket_col=FG))
+    p = explain(merged_pu)
+    check("partial-update merge: coalesce fills share the one exchange", p, [
+        (f"exactly 1 Exchange (found {n_exchanges(merged_pu)})",
+         n_exchanges(merged_pu) == 1),
+        ("window fill present", "Window" in p),
+    ])
+
     # 3b — COW broadcast anti-join fast path: the table-sided rewrite stream
     # (scan → anti-join → write) must carry ZERO shuffle exchanges; only the
     # tiny batch side may exchange (its clustering by file group).
