@@ -932,14 +932,17 @@ class HudiTable:
             fg_base_instant=base_of, subdir="log")
         fg_map = {s.file_group: s.partition for s in stats}
 
-        if not is_delete and inserts.limit(1).count() > 0:
+        if not is_delete:
+            # one action doubles as existence probe and bucket profile
+            # (tagged is already cached by the delta write above)
             insert_profile = {r[0]: r[1] for r in
                               inserts.groupBy(META_PARTITION_PATH)
                                      .count().collect()}
-            s, m, schema = self._mor_write_new_fgs(inserts, insert_profile,
-                                                   instant_time)
-            stats += s
-            fg_map.update(m)
+            if insert_profile:
+                s, m, schema = self._mor_write_new_fgs(inserts, insert_profile,
+                                                       instant_time)
+                stats += s
+                fg_map.update(m)
         if schema is None:
             schema = self.stored_schema()
         return stats, fg_map, schema
