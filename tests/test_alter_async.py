@@ -78,8 +78,8 @@ def test_inmemory_index_cache(spark, tmp_path, li):
     from incubator_hudi_spark.config import INDEX_INMEMORY
     t = _mk(spark, tmp_path / "t")
     t.cfg = t.cfg.with_(index_type=INDEX_INMEMORY)
-    t.upsert(li)  # initial load: inserts → cache does not survive the commit
-    assert t._key_index is None
+    t.upsert(li)  # initial load into an empty table SEEDS the cache from
+    assert t._key_index is not None  # the write frame (no later re-scan)
     n0 = t.read().count()  # duplicate (key,partition) rows already collapsed
     # update-only upserts keep the cache warm across batches
     t.upsert(li.limit(200).withColumn("l_quantity", F.lit(90.0)))
