@@ -2105,6 +2105,26 @@ def repetition_bigram(spark, sf_dir):
     return T.repetition_features(_load(spark, sf_dir, "documents"))
 
 
+_LOOKUP_KEYS = list(range(1, 800_000, 40_000))
+
+
+@q("point_lookup_pruned", f"""
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey IN ({', '.join(map(str, _LOOKUP_KEYS))})
+""")
+def point_lookup_pruned(spark, sf_dir):
+    """Stats-pruned point lookup (read_keys): min/max key ranges from the
+    commit manifests skip files that cannot hold the requested keys —
+    O(#keys) file opens on a GLOBAL_SORT layout."""
+    def build():
+        t = _orders_table(spark, sf_dir, _new_path("orders_plain", sf_dir))
+        t.bulk_insert(_load(spark, sf_dir, "orders"))
+        return {"t": t}
+    t = _recipe("orders_plain", sf_dir, build)["t"]
+    return t.read_keys(_LOOKUP_KEYS).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+
+
 @q("timestamp_keygen_epoch", """
 SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
 FROM events GROUP BY 1

@@ -91,6 +91,83 @@ def plan_insert_buckets(
     return plan
 
 
+def range_split_points(prepared: DataFrame, plan: list[InsertBucket],
+                       profile: dict[str, int],
+                       partition_col: str, key_col: str,
+                       samples_per_bucket: int = 100) -> dict[str, list[str]]:
+    """Per-partition key split points for GLOBAL_SORT assignment
+    (GlobalSortPartitioner.java:34-45 — ``records.sortBy``; Spark's own
+    RangePartitioner uses the same sample-then-split technique).  Only
+    partitions planned with >1 bucket are sampled — steady-state writes
+    (one bucket per partition) pay nothing.  One Spark job total."""
+    from collections import defaultdict
+    k_of: dict[str, int] = defaultdict(int)
+    for b in plan:
+        k_of[b.partition] += 1
+    need = {p: k for p, k in k_of.items() if k > 1}
+    if not need:
+        return {}
+    fracs = {p: min(1.0, max(samples_per_bucket * k, 50) / max(1, profile.get(p, 1)))
+             for p, k in need.items()}
+    frac_map = F.create_map(*[x for p, fr in fracs.items()
+                              for x in (F.lit(p), F.lit(fr))])
+    sampled = (prepared
+               .select(F.col(partition_col).alias("_p"),
+                       F.col(key_col).alias("_k"))
+               .filter(F.col("_p").isin(list(need)))
+               .filter(F.rand(46474747) < frac_map[F.col("_p")])
+               .collect())
+    by_p: dict[str, list[str]] = defaultdict(list)
+    for r in sampled:
+        by_p[r[0]].append(r[1])
+    splits = {}
+    for p, k in need.items():
+        ks = sorted(by_p.get(p, []))
+        if not ks:
+            splits[p] = []          # degenerate: everything → first bucket
+            continue
+        splits[p] = [ks[min(len(ks) - 1, int(len(ks) * i / k))]
+                     for i in range(1, k)]
+    return splits
+
+
+def assign_insert_buckets_range(spark: SparkSession, inserts: DataFrame,
+                                plan: list[InsertBucket],
+                                partition_col: str, key_col: str,
+                                fg_col: str,
+                                splits: dict[str, list[str]]) -> DataFrame:
+    """GLOBAL_SORT assignment: bucket b of a partition owns the key interval
+    [split[b-1], split[b]) — intervals chain (-inf … +inf), are disjoint,
+    and cover every key, so each row matches exactly one bucket and the
+    written files carry DISJOINT min/max key ranges (what makes manifest
+    stats skipping and the BLOOM-style index prune decisively).  Duplicate
+    keys land in one bucket, preserving the in-bucket preCombine contract."""
+    from collections import defaultdict
+    by_part: dict[str, list[InsertBucket]] = defaultdict(list)
+    for b in plan:
+        by_part[b.partition].append(b)
+    rows = []
+    for p, bs in by_part.items():
+        pts = splits.get(p, [])
+        for i, b in enumerate(bs):
+            if i > len(pts):
+                break               # fewer sample points than buckets: unused
+            lo = pts[i - 1] if i > 0 else None
+            hi = pts[i] if i < len(pts) else None
+            rows.append((p, b.file_group, lo, hi))
+    plan_df = spark.createDataFrame(
+        rows, schema=(f"{partition_col} string, {fg_col} string, "
+                      "_lo string, _hi string"))
+    out = inserts.join(
+        F.broadcast(plan_df),
+        on=[inserts[partition_col] == plan_df[partition_col],
+            plan_df["_lo"].isNull() | (inserts[key_col] >= plan_df["_lo"]),
+            plan_df["_hi"].isNull() | (inserts[key_col] < plan_df["_hi"])],
+        how="inner",
+    ).drop(plan_df[partition_col]).drop("_lo", "_hi")
+    return out
+
+
 def assign_insert_buckets(spark: SparkSession, inserts: DataFrame,
                           plan: list[InsertBucket],
                           partition_col: str, key_col: str,

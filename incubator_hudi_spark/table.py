@@ -391,8 +391,24 @@ class HudiTable:
         plan = plan_insert_buckets(profile, view if pack_small_files else None,
                                    self.cfg, rec_size,
                                    pack_small_files=pack_small_files)
-        assigned = assign_insert_buckets(self.spark, prepared, plan,
-                                         META_PARTITION_PATH, META_RECORD_KEY, FG)
+        # GLOBAL_SORT into all-new buckets (bulk loads): assign by key RANGE
+        # (sampled split points) instead of key hash — each written file then
+        # owns a disjoint key interval, so manifest min/max stats make the
+        # BLOOM-style write index and read_keys point lookups maximally
+        # selective.  Steady one-bucket-per-partition plans skip the sample.
+        if (sort_mode == SORT_GLOBAL
+                and plan and all(b.is_new_fg for b in plan)):
+            from .plans.buckets import (assign_insert_buckets_range,
+                                        range_split_points)
+            splits = range_split_points(prepared, plan, profile,
+                                        META_PARTITION_PATH, META_RECORD_KEY)
+            assigned = assign_insert_buckets_range(
+                self.spark, prepared, plan,
+                META_PARTITION_PATH, META_RECORD_KEY, FG, splits)
+        else:
+            assigned = assign_insert_buckets(self.spark, prepared, plan,
+                                             META_PARTITION_PATH,
+                                             META_RECORD_KEY, FG)
         assigned = assigned.withColumn(META_FILE_NAME, F.col(FG))
         fg_map = {b.file_group: b.partition for b in plan}
 
@@ -1150,6 +1166,35 @@ class HudiTable:
         return self._read_slices(slices,
                                  read_optimized=(query_type == QUERY_READ_OPTIMIZED),
                                  skip_merge=(merge_type == "skip_merge"))
+
+    def read_keys(self, keys: Sequence, partitions: Optional[Sequence[str]] = None) -> DataFrame:
+        """Point-lookup read with manifest-stats file skipping — the
+        read-side twin of the BLOOM index's min/max pruning
+        (SparkHoodieBloomIndex.java:119-140; HoodieFileIndex data skipping):
+        only file slices whose [min_key, max_key] stats can contain one of
+        the requested record keys are scanned.  On key-sorted layouts
+        (GLOBAL_SORT bulk loads, clustered tables) the ranges are disjoint,
+        so a point lookup opens O(#keys) files out of a 100 TB table instead
+        of scanning it.  Slices with log files or missing stats are included
+        conservatively (MOR inserts live in deltas the base stats don't
+        see).  For key sets beyond a few thousand use
+        ``read().join(keys_df, ...)`` — ``filterExists``-style — instead."""
+        import bisect
+        ks = sorted({str(k) for k in keys})
+        view = self.view()
+        cand = []
+        for sl in view.latest_slices(partitions):
+            mins = [f.min_key for f in sl.base_files if f.min_key is not None]
+            maxs = [f.max_key for f in sl.base_files if f.max_key is not None]
+            if sl.log_files or not mins or not maxs:
+                cand.append(sl)          # incomplete stats → cannot skip
+                continue
+            lo, hi = min(mins), max(maxs)
+            i = bisect.bisect_left(ks, lo)
+            if i < len(ks) and ks[i] <= hi:
+                cand.append(sl)
+        df = self._read_slices(cand, read_optimized=False)
+        return df.filter(F.col(META_RECORD_KEY).isin(ks))
 
     def _read_fg_files(self, view: FileSystemView, fgs: set[str]) -> DataFrame:
         slices = [sl for sl in view.latest_slices() if sl.file_group in fgs]

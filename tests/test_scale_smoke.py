@@ -96,3 +96,34 @@ def test_driver_planning_stays_fast_with_many_groups(spark, tmp_table_path):
     # file-slice resolution over ~240 groups is driver-side metadata work;
     # anything near a second here would be minutes at 100k file groups
     assert per_resolve < 1.0, f"slice resolution too slow: {per_resolve:.2f}s"
+
+
+def test_point_lookup_skips_files(spark, tmp_table_path):
+    """read_keys must open only the files whose key range can hold the
+    requested keys.  A non-partitioned GLOBAL_SORT load with a small target
+    file size yields many files with DISJOINT key ranges — the layout where
+    stats skipping shines (a month-partitioned layout whose every file spans
+    the full key space legitimately prunes nothing)."""
+    from incubator_hudi_spark import WriteConfig
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    t = HudiTable.create(
+        spark, tmp_table_path, name="li",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr=None,                 # non-partitioned
+        precombine_field="l_shipdate",
+        write_config=WriteConfig(target_file_size_bytes=64 * 1024))
+    t.bulk_insert(li)                        # GLOBAL_SORT → sorted, disjoint
+    n_files_total = len(t.read().inputFiles())
+    assert n_files_total >= 8                # small target → many files
+    some = li.limit(5).select("l_orderkey", "l_linenumber").collect()
+    keys = [f"l_orderkey:{r[0]},l_linenumber:{r[1]}" for r in some]
+    hit = t.read_keys(keys)
+    # correctness: same rows as a direct key filter on the full snapshot
+    full = t.read().filter(F.col("_hoodie_record_key").isin(keys))
+    assert sorted(map(tuple, hit.collect())) == sorted(map(tuple, full.collect()))
+    assert hit.count() >= 5
+    # pruning: strictly fewer files than the full snapshot scan
+    n_hit = len(hit.inputFiles())
+    assert n_hit < n_files_total, (n_hit, n_files_total)
+    # miss: absent keys → empty, not an error
+    assert t.read_keys(["l_orderkey:0,l_linenumber:0"]).count() == 0
