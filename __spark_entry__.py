@@ -2105,6 +2105,34 @@ def repetition_bigram(spark, sf_dir):
     return T.repetition_features(_load(spark, sf_dir, "documents"))
 
 
+@q("data_skipping_column_stats", """
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_totalprice BETWEEN 200000.0 AND 250000.0
+""")
+def data_skipping_column_stats(spark, sf_dir):
+    """Column-stats data skipping: per-file [min,max] of configured columns
+    lands in the commit manifest at write time; read_filtered prunes file
+    slices the stats prove empty for the predicate, then re-filters exactly.
+    Clustering by o_totalprice first gives files disjoint price ranges, so
+    the skip is decisive (files opened ~ selectivity, not table size)."""
+    def build():
+        from incubator_hudi_spark import HudiTable, WriteConfig
+        t = HudiTable.create(
+            spark, _new_path("orders_stats", sf_dir), name="orders",
+            recordkey_fields=["o_orderkey"],
+            partition_expr="date_format(o_orderdate,'yyyy')",
+            precombine_field="o_orderdate",
+            write_config=WriteConfig(stats_columns=("o_totalprice",),
+                                     target_file_size_bytes=1024 * 1024))
+        t.bulk_insert(_load(spark, sf_dir, "orders"))
+        t.cluster(sort_columns=["o_totalprice"])
+        return {"t": t}
+    t = _recipe("orders_stats", sf_dir, build)["t"]
+    return t.read_filtered(
+        [("o_totalprice", "between", (200000.0, 250000.0))]).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+
+
 _LOOKUP_KEYS = list(range(1, 800_000, 40_000))
 
 

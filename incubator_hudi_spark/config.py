@@ -152,6 +152,10 @@ class WriteConfig:
     # None → one task per planned bucket (file-group), the natural Spark choice.
     write_parallelism: Optional[int] = None
     parquet_compression: str = "snappy"                 # ref default gzip; snappy/zstd is the Spark norm
+    # column-stats index: per-file [min, max] of these columns is collected
+    # into the commit manifest at write time (beyond the always-on record-key
+    # range) and drives read-side data skipping via HudiTable.read_filtered
+    stats_columns: tuple = ()
     # batches up to this many rows broadcast their key set to prune the index
     # scan (indexing.tag_locations) instead of shuffling/building it
     index_broadcast_max_rows: int = 1_000_000

@@ -44,6 +44,10 @@ class WriteStat:
     # METADATA_ONLY-bootstrapped source file: owned by the user (never
     # cleaned), lacks meta columns (derived at read time via keygen exprs)
     external: bool = False
+    # per-column [min, max] from the parquet footer for the configured
+    # stats columns (WriteConfig.stats_columns) — the column-stats index
+    # that drives read-side data skipping (read_filtered)
+    col_stats: Optional[dict] = None
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -52,7 +56,7 @@ class WriteStat:
     def from_json(d: dict) -> "WriteStat":
         kw = {k: d.get(k) for k in (
             "partition", "file_group", "path", "size", "num_records",
-            "min_key", "max_key", "log", "base_instant")}
+            "min_key", "max_key", "log", "base_instant", "col_stats")}
         kw["external"] = bool(d.get("external", False))
         return WriteStat(**kw)
 

@@ -1196,6 +1196,62 @@ class HudiTable:
         df = self._read_slices(cand, read_optimized=False)
         return df.filter(F.col(META_RECORD_KEY).isin(ks))
 
+    def read_filtered(self, conjuncts: Sequence[tuple],
+                      partitions: Optional[Sequence[str]] = None) -> DataFrame:
+        """Snapshot read with column-stats data skipping: ``conjuncts`` is a
+        list of ``(column, op, value)`` with op in =, <, <=, >, >=, between
+        (value a (lo, hi) pair for between), ANDed together.  File slices
+        whose manifest [min, max] stats (WriteConfig.stats_columns) prove a
+        conjunct impossible are skipped before the scan — on a clustered /
+        sorted layout a selective predicate opens a handful of files out of
+        a 100 TB table.  The surviving frame is re-filtered exactly, so the
+        result is identical to ``read().filter(...)`` regardless of layout.
+        Slices with log files or missing stats are never skipped."""
+        def excludes(lo, hi, op, v) -> bool:
+            try:
+                if op == "=":
+                    return v < lo or v > hi
+                if op == "<":
+                    return lo >= v
+                if op == "<=":
+                    return lo > v
+                if op == ">":
+                    return hi <= v
+                if op == ">=":
+                    return hi < v
+                if op == "between":
+                    vlo, vhi = v
+                    return vhi < lo or vlo > hi
+            except TypeError:
+                return False              # incomparable → cannot skip
+            return False
+
+        view = self.view()
+        kept = []
+        for sl in view.latest_slices(partitions):
+            skip = False
+            for col, op, v in conjuncts:
+                stats = [f.col_stats[col] for f in sl.base_files
+                         if f.col_stats and col in f.col_stats]
+                if sl.log_files or len(stats) != len(sl.base_files) or not stats:
+                    continue              # incomplete stats for this conjunct
+                if all(excludes(lo, hi, op, v) for lo, hi in stats):
+                    skip = True
+                    break
+            if not skip:
+                kept.append(sl)
+        df = self._read_slices(kept, read_optimized=False)
+        for col, op, v in conjuncts:
+            c = F.col(col)
+            if op == "=":
+                df = df.filter(c == v)
+            elif op == "between":
+                df = df.filter(c.between(v[0], v[1]))
+            else:
+                df = df.filter({"<": c < v, "<=": c <= v,
+                                ">": c > v, ">=": c >= v}[op])
+        return df
+
     def _read_fg_files(self, view: FileSystemView, fgs: set[str]) -> DataFrame:
         slices = [sl for sl in view.latest_slices() if sl.file_group in fgs]
         return self._read_slices(slices, read_optimized=False, raw=True)

@@ -304,18 +304,42 @@ def write_instant_files(
                 pq.write_table(empty, os.path.join(d, "part-empty-00000.parquet"))
     return collect_write_stats(meta, out_dir, fg_to_partition, log=log,
                                fg_base_instant=fg_base_instant,
-                               default_base_instant=instant_time)
+                               default_base_instant=instant_time,
+                               stats_columns=cfg.stats_columns)
+
+
+def _stat_value(v):
+    """Footer stat value → JSON-storable, order-preserving form."""
+    import datetime
+    import decimal
+    if isinstance(v, (bool, int, float, str)) or v is None:
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")          # "YYYY-MM-DD HH:MM:SS[.ffffff]"
+    if isinstance(v, datetime.date):         # sorts like the value and like
+        return v.isoformat()                 # Spark-style string literals
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return str(v)
 
 
 def collect_write_stats(meta: TableMetaClient, out_dir: str,
                         fg_to_partition: dict[str, str],
                         log: bool,
                         fg_base_instant: Optional[dict[str, str]],
-                        default_base_instant: str) -> list[WriteStat]:
+                        default_base_instant: str,
+                        stats_columns: tuple = ()) -> list[WriteStat]:
     """Build WriteStats from the written files' parquet footers (row count +
-    record-key min/max).  O(#files) tiny footer reads on the driver behind a
-    thread pool; at cluster scale this becomes a mapInPandas job over the
-    path list — the manifest shape is identical."""
+    record-key min/max + per-column min/max for ``stats_columns`` — the
+    column-stats index behind read-side data skipping).  O(#files) tiny
+    footer reads on the driver behind a thread pool; at cluster scale this
+    becomes a mapInPandas job over the path list — the manifest shape is
+    identical."""
     import pyarrow.parquet as pq
 
     if not os.path.isdir(out_dir):   # empty frame → Spark wrote nothing
@@ -337,16 +361,32 @@ def collect_write_stats(meta: TableMetaClient, out_dir: str,
         # column index of the record key in the parquet (physical) schema;
         # all our columns are top-level so leaf order == field order
         names = [md.schema.column(i).name for i in range(md.num_columns)]
-        if META_RECORD_KEY in names:
-            ki = names.index(META_RECORD_KEY)
+
+        def col_min_max(col):
+            if col not in names:
+                return None
+            ci = names.index(col)
             mins, maxs = [], []
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ki).statistics
+                st = md.row_group(rg).column(ci).statistics
                 if st is not None and st.has_min_max:
                     mins.append(st.min)
                     maxs.append(st.max)
-            if mins:
-                min_k, max_k = min(mins), max(maxs)
+            return (min(mins), max(maxs)) if mins else None
+
+        mm = col_min_max(META_RECORD_KEY)
+        if mm:
+            min_k, max_k = mm
+        col_stats = None
+        if stats_columns:
+            col_stats = {}
+            for c in stats_columns:
+                mm = col_min_max(c)
+                if mm is not None:
+                    lo, hi = _stat_value(mm[0]), _stat_value(mm[1])
+                    if lo is not None and hi is not None:
+                        col_stats[c] = [lo, hi]
+            col_stats = col_stats or None
         return WriteStat(
             partition=fg_to_partition.get(fg, ""),
             file_group=fg,
@@ -354,6 +394,7 @@ def collect_write_stats(meta: TableMetaClient, out_dir: str,
             size=os.path.getsize(path),
             num_records=md.num_rows,
             min_key=min_k, max_key=max_k,
+            col_stats=col_stats,
             log=log,
             base_instant=(fg_base_instant or {}).get(fg, None if log else default_base_instant),
         )

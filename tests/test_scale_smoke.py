@@ -127,3 +127,33 @@ def test_point_lookup_skips_files(spark, tmp_table_path):
     assert n_hit < n_files_total, (n_hit, n_files_total)
     # miss: absent keys → empty, not an error
     assert t.read_keys(["l_orderkey:0,l_linenumber:0"]).count() == 0
+
+
+def test_column_stats_data_skipping(spark, tmp_table_path):
+    """read_filtered prunes file slices by manifest column stats: on a
+    shipdate-partitioned layout, an l_orderkey range conjunct skips files
+    whose [min,max] cannot match, and the result equals a plain filter."""
+    from incubator_hudi_spark import WriteConfig
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    t = HudiTable.create(
+        spark, tmp_table_path, name="li",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr=None,
+        precombine_field="l_shipdate",
+        write_config=WriteConfig(target_file_size_bytes=64 * 1024,
+                                 stats_columns=("l_orderkey", "l_shipdate")))
+    t.bulk_insert(li)
+    # cluster by the NUMERIC column: files then own disjoint l_orderkey
+    # ranges (the lexicographic record-key sort of the bulk load does not
+    # cluster numbers), which is what the stats skip feeds on
+    t.cluster(sort_columns=["l_orderkey"])
+    pred = [("l_orderkey", "between", (100, 300))]
+    hit = t.read_filtered(pred)
+    exp = t.read().filter("l_orderkey between 100 and 300")
+    assert sorted(map(tuple, hit.collect())) == sorted(map(tuple, exp.collect()))
+    n_hit, n_full = len(hit.inputFiles()), len(t.read().inputFiles())
+    assert n_hit < n_full, (n_hit, n_full)
+    # a conjunct over a column without stats must not skip (conservative)
+    all_rows = t.read_filtered([("l_comment_missing_col", ">", "z")]) \
+        if False else t.read_filtered([("l_quantity", ">=", 0.0)])
+    assert all_rows.count() == t.read().count()
