@@ -2133,6 +2133,34 @@ def data_skipping_column_stats(spark, sf_dir):
         "o_orderkey", "o_totalprice", "o_orderstatus")
 
 
+@q("zorder_clustering_scan", """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_partkey <= 2000 AND l_suppkey <= 40
+""")
+def zorder_clustering_scan(spark, sf_dir):
+    """Z-order clustering (Morton curve over l_partkey, l_suppkey) is a
+    layout-only replacecommit: the multi-column range scan returns exactly
+    the plain-filter result while the manifest column stats prune files on
+    both curve dimensions (tests/test_scale_smoke.py pins the pruning)."""
+    def build():
+        from incubator_hudi_spark import HudiTable, WriteConfig
+        t = HudiTable.create(
+            spark, _new_path("li_zorder", sf_dir), name="li_zorder",
+            recordkey_fields=["l_orderkey", "l_linenumber"],
+            partition_expr=None,
+            precombine_field="l_shipdate",
+            write_config=WriteConfig(stats_columns=("l_partkey", "l_suppkey"),
+                                     target_file_size_bytes=2 * 1024 * 1024))
+        t.bulk_insert(_load(spark, sf_dir, "lineitem"))
+        t.cluster(sort_columns=["l_partkey", "l_suppkey"], layout="zorder")
+        return {"t": t}
+    t = _recipe("li_zorder", sf_dir, build)["t"]
+    return t.read_filtered([("l_partkey", "<=", 2000),
+                            ("l_suppkey", "<=", 40)]).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+
+
 _LOOKUP_KEYS = list(range(1, 800_000, 40_000))
 
 

@@ -41,10 +41,47 @@ def plan_clustering(table, partitions: Optional[Sequence[str]] = None,
     return groups
 
 
+def zorder_value(df, cols: Sequence[str], bits: int = 16):
+    """Z-order (Morton) curve value over 2..4 numeric/date/timestamp
+    columns as a pure Column expression: each column is min/max-normalized
+    to ``bits`` bits (one agg job supplies the bounds as literals), then the
+    bits are interleaved.  Sorting by the z-value gives every column
+    locality simultaneously, so per-file [min, max] column stats prune
+    range predicates on ANY of the columns — the standard multi-dimensional
+    data-skipping layout (Morton 1966; the linear sort only serves its
+    leading column).  Strings are unsupported (a hash would destroy the
+    locality the curve exists to provide)."""
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder needs 2..4 columns")
+    for c in cols:
+        t = df.schema[c].dataType.typeName()
+        if t in ("string", "binary", "boolean", "map", "array", "struct"):
+            raise ValueError(f"zorder column {c!r} has unsupported type {t}")
+    bounds = df.agg(*[f for c in cols for f in
+                      (F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                       F.max(F.col(c).cast("double")).alias(f"mx_{c}"))]
+                    ).collect()[0]
+    n = len(cols)
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            continue                     # constant/empty column adds nothing
+        scaled = F.least(F.lit(top), F.greatest(F.lit(0), F.floor(
+            (F.col(c).cast("double") - F.lit(float(mn)))
+            / F.lit(float(mx - mn)) * top))).cast("long")
+        for i in range(bits):
+            z = z + F.shiftleft(F.shiftright(scaled, i).bitwiseAND(1),
+                                i * n + j)
+    return z
+
+
 def run_clustering(table, sort_columns: Optional[Sequence[str]] = None,
                    partitions: Optional[Sequence[str]] = None,
                    small_file_limit: Optional[int] = None,
-                   recent_partitions: Optional[int] = None) -> Optional[str]:
+                   recent_partitions: Optional[int] = None,
+                   layout: str = "linear") -> Optional[str]:
     groups = plan_clustering(table, partitions, small_file_limit,
                              recent_partitions)
     if not groups:
@@ -63,6 +100,17 @@ def run_clustering(table, sort_columns: Optional[Sequence[str]] = None,
     # (recent_partitions bounds the batch), so the funnel is the planned unit
     # of work, exactly like the reference's one-Spark-task-per-group rewrite.
     sort_cols = list(sort_columns) if sort_columns else [META_RECORD_KEY]
+    if layout == "zorder":
+        # files are ASSIGNED by z-value range (inter-file locality on every
+        # sort column); rows inside a file keep the linear sort so row-group
+        # stats stay tight on the leading column
+        df = df.withColumn("_hoodie_zv", zorder_value(df, sort_cols))
+        order_cols: list = ["_hoodie_zv"]
+    elif layout == "linear":
+        order_cols = sort_cols
+    else:
+        raise ValueError(f"unknown clustering layout {layout!r} "
+                         "(linear | zorder)")
     fg_map: dict[str, str] = {}
     tiles = []
     for p, sls in sorted(groups.items()):
@@ -73,7 +121,7 @@ def run_clustering(table, sort_columns: Optional[Sequence[str]] = None,
             fg_map[fg] = p
         tiles.append((p, fgs))
     from pyspark.sql.window import Window
-    w = Window.partitionBy(META_PARTITION_PATH).orderBy(*sort_cols)
+    w = Window.partitionBy(META_PARTITION_PATH).orderBy(*order_cols)
     fg_arrays = F.create_map(*[x for p, fgs in tiles
                                for x in (F.lit(p), F.array(*[F.lit(g) for g in fgs]))])
     n_map = F.create_map(*[x for p, fgs in tiles

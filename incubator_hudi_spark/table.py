@@ -1469,9 +1469,13 @@ class HudiTable:
         return run_compaction(self, instant_time)
 
     def cluster(self, sort_columns: Optional[Sequence[str]] = None,
-                partitions: Optional[Sequence[str]] = None) -> Optional[str]:
+                partitions: Optional[Sequence[str]] = None,
+                layout: str = "linear") -> Optional[str]:
+        """``layout="zorder"`` interleaves the sort columns on a Morton
+        curve so column-stats skipping serves range predicates on every
+        sort column, not just the leading one."""
         from .services.clustering import run_clustering
-        return run_clustering(self, sort_columns, partitions)
+        return run_clustering(self, sort_columns, partitions, layout=layout)
 
     def clean(self) -> dict:
         from .services.cleaning import run_clean

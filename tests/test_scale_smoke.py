@@ -157,3 +157,38 @@ def test_column_stats_data_skipping(spark, tmp_table_path):
     all_rows = t.read_filtered([("l_comment_missing_col", ">", "z")]) \
         if False else t.read_filtered([("l_quantity", ">=", 0.0)])
     assert all_rows.count() == t.read().count()
+
+
+def test_zorder_clustering_skips_on_both_columns(spark, tmp_table_path):
+    """Z-order layout: after clustering on (l_partkey, l_suppkey), a range
+    predicate on EITHER column prunes files — the linear sort would only
+    serve its leading column.  Content must be layout-invariant."""
+    from incubator_hudi_spark import WriteConfig
+    import pytest
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    t = HudiTable.create(
+        spark, tmp_table_path, name="li",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr=None,
+        precombine_field="l_shipdate",
+        write_config=WriteConfig(target_file_size_bytes=48 * 1024,
+                                 stats_columns=("l_partkey", "l_suppkey")))
+    t.bulk_insert(li)
+    before = sorted(map(tuple, t.read().drop("_hoodie_file_name",
+                                             "_hoodie_commit_seqno",
+                                             "_hoodie_commit_time").collect()))
+    t.cluster(sort_columns=["l_partkey", "l_suppkey"], layout="zorder")
+    after = sorted(map(tuple, t.read().drop("_hoodie_file_name",
+                                            "_hoodie_commit_seqno",
+                                            "_hoodie_commit_time").collect()))
+    assert before == after                       # layout-only change
+    n_total = len(t.read().inputFiles())
+    assert n_total >= 8
+    lo_p, hi_p = 1, 40
+    n_p = len(t.read_filtered([("l_partkey", "between", (lo_p, hi_p))]).inputFiles())
+    n_s = len(t.read_filtered([("l_suppkey", "between", (1, 4))]).inputFiles())
+    assert n_p < n_total, (n_p, n_total)         # leading column prunes
+    assert n_s < n_total, (n_s, n_total)         # AND the second column
+    # string columns refuse the curve instead of silently hashing
+    with pytest.raises(ValueError):
+        t.cluster(sort_columns=["l_returnflag", "l_partkey"], layout="zorder")
