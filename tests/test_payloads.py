@@ -93,3 +93,44 @@ def test_aws_dms_flow(spark, tmp_table_path):
                .filter("o_totalprice != 1.0").count() == 0       # updated
     exp = o.filter("o_orderkey % 9 != 4").count()
     assert snap.count() == exp
+
+
+def test_partial_update_with_deletes_and_multiround(spark, tmp_table_path):
+    """Partial updates interleaved with hard deletes: a delete wins over any
+    coalesce; a later partial update of a deleted key re-inserts only the
+    provided fields (stored values are gone)."""
+    o = _orders(spark)
+    t = _make(spark, tmp_table_path)
+    t.upsert(o)
+    victims = o.filter("o_orderkey % 10 = 2")
+    t.delete(victims)
+    assert t.read().filter("o_orderkey % 10 = 2").count() == 0
+    # partial "update" of deleted keys: nothing stored to coalesce from →
+    # row comes back with nulls in the unset fields
+    back = _null_update(o, "o_orderkey % 20 = 2", 1.0)
+    t.upsert(back)
+    snap = t.read().filter("o_orderkey % 20 = 2")
+    assert snap.count() == o.filter("o_orderkey % 20 = 2").count()
+    assert snap.filter("o_orderstatus IS NOT NULL").count() == 0
+
+
+def test_partial_update_respects_event_time_guard(spark, tmp_table_path):
+    """DEFAULT-payload precombine guard composes with partial updates: an
+    update whose precombine value is OLDER than stored must lose wholesale
+    (no field-level mixing with a rejected version)."""
+    from incubator_hudi_spark.config import PAYLOAD_DEFAULT
+    from pyspark.sql import functions as F
+    rows = [(1, "2024-06-01", 100.0, "A"), (2, "2024-06-01", 200.0, "B")]
+    df = spark.createDataFrame(rows, "k int, ts string, price double, tag string") \
+              .withColumn("ts", F.to_timestamp("ts"))
+    t = HudiTable.create(
+        spark, tmp_table_path, name="g", recordkey_fields=["k"],
+        partition_expr=None, precombine_field="ts", payload=PAYLOAD_DEFAULT)
+    t.upsert(df)
+    # late-arriving update (older ts): must lose against stored
+    late = spark.createDataFrame([(1, "2024-01-01", 1.0, None)],
+                                 "k int, ts string, price double, tag string") \
+                .withColumn("ts", F.to_timestamp("ts"))
+    t.upsert(late)
+    row = t.read().filter("k = 1").collect()[0]
+    assert row.price == 100.0 and row.tag == "A"
