@@ -111,6 +111,29 @@ def main():
          and "LessThanOrEqual(_hoodie_commit_time" in p),
     ])
 
+    # 2b — stats-pruned filtered read: the exact re-filter must still reach
+    # the (already slice-pruned) parquet scan, and the scan's file list must
+    # be smaller than the full snapshot's
+    tsk = HudiTable.create(
+        spark, tmp + "/skip", "skip",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr=None, precombine_field="l_shipdate",
+        write_config=__import__(
+            "incubator_hudi_spark.config", fromlist=["WriteConfig"]
+        ).WriteConfig(target_file_size_bytes=48 * 1024,
+                      stats_columns=("l_partkey", "l_suppkey")))
+    tsk.bulk_insert(li)
+    tsk.cluster(sort_columns=["l_partkey", "l_suppkey"], layout="zorder")
+    skipped = tsk.read_filtered([("l_partkey", "between", (1, 40))])
+    p = explain(skipped)
+    n_sk, n_all = len(skipped.inputFiles()), len(tsk.read().inputFiles())
+    check("stats-pruned read: slice skip + exact filter pushdown", p, [
+        (f"fewer files than full scan ({n_sk} < {n_all})", n_sk < n_all),
+        ("re-filter pushed to parquet scan",
+         "GreaterThanOrEqual(l_partkey" in p and "LessThanOrEqual(l_partkey" in p),
+        ("no exchange introduced", n_exchanges(skipped) == 0),
+    ])
+
     # 3 — COW upsert merge: single shuffle
     from incubator_hudi_spark.writer import (FG, NEW_FLAG, drop_deleted,
                                              merge_latest)
