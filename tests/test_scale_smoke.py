@@ -192,3 +192,36 @@ def test_zorder_clustering_skips_on_both_columns(spark, tmp_table_path):
     # string columns refuse the curve instead of silently hashing
     with pytest.raises(ValueError):
         t.cluster(sort_columns=["l_returnflag", "l_partkey"], layout="zorder")
+
+
+def test_mor_compaction_unlocks_data_skipping(spark, tmp_table_path):
+    """MOR slices with logs are never skipped (deltas may hold anything);
+    compaction rewrites them into stat-carrying base files, after which
+    read_filtered prunes again — data skipping degrades gracefully under
+    ingest and recovers with the table service."""
+    from incubator_hudi_spark import WriteConfig
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    t = HudiTable.create(
+        spark, tmp_table_path, name="li",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr=None, precombine_field="l_shipdate",
+        table_type=MERGE_ON_READ,
+        write_config=WriteConfig(target_file_size_bytes=48 * 1024,
+                                 stats_columns=("l_partkey",),
+                                 inline_compaction=False))
+    t.upsert(li)
+    t.cluster(sort_columns=["l_partkey"])       # sorted base layout
+    upd = li.filter("l_orderkey % 50 = 9").withColumn("l_quantity", F.lit(3.0))
+    t.upsert(upd)                               # dirties slices with deltas
+    pred = [("l_partkey", "between", (1, 30))]
+    exp = t.read().filter("l_partkey between 1 and 30")
+    dirty_files = len(t.read_filtered(pred).inputFiles())
+    t.run_compaction()
+    clean_files = len(t.read_filtered(pred).inputFiles())
+    total = len(t.read().inputFiles())
+    assert clean_files < total                   # skipping restored
+    assert clean_files <= dirty_files
+    got = t.read_filtered(pred)
+    exp2 = t.read().filter("l_partkey between 1 and 30")
+    assert got.count() == exp2.count()
+    assert got.filter("l_orderkey % 50 = 9 AND l_quantity != 3.0").count() == 0
