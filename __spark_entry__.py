@@ -819,6 +819,35 @@ def ngram_jaccard(spark, sf_dir):
                                  block_col="lang", n=3, threshold=0.5)
 
 
+@q("contamination_13gram", """
+WITH docs AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < 400),
+grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(t,'\\s+')) - 3, 1) + 1),
+    i -> array_to_string(string_split_regex(t,'\\s+')[i:i+3], ' '))) AS g
+  FROM docs),
+pg AS (
+  SELECT list_distinct(flatten(list(g))) AS g
+  FROM grams WHERE doc_id % 97 = 3)
+SELECT grams.doc_id,
+       len(list_intersect(grams.g, pg.g)) AS n_contam_grams,
+       len(grams.g) AS n_grams,
+       CAST(floor(1000.0 * len(list_intersect(grams.g, pg.g))
+                  / len(grams.g)) AS BIGINT) AS contam_milli
+FROM grams, pg
+""")
+def contamination_13gram(spark, sf_dir):
+    """Train/eval contamination report: per-doc word-4-gram overlap against
+    a probe subset of the corpus (probe docs are fully contaminated by
+    construction, the rest mostly clean) — the GPT-3-style decontamination
+    pass as one scan + broadcast probe join."""
+    from incubator_hudi_spark.operators import dedup as D
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 400")
+    probes = docs.filter("doc_id % 97 = 3")
+    return D.contamination_report(docs, probes, n=4)
+
+
 @q("text_token_counts", """
 SELECT doc_id,
        len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens_ws,

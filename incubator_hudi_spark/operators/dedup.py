@@ -329,3 +329,53 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         return out
     finally:
         edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# train/eval contamination (n-gram overlap against a benchmark probe set)
+# ---------------------------------------------------------------------------
+
+def contamination_report(docs: DataFrame, probes: DataFrame,
+                         n: int = 13, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram overlap with a probe (benchmark/eval) corpus —
+    the standard decontamination pass for LLM training data (13-gram overlap
+    was popularized by the GPT-3 paper's dedup appendix; any public n works).
+
+    Returns (id, n_contam_grams, n_grams, contam_milli) where contam_milli =
+    floor(1000 · overlap/total), an integer so results hash stably across
+    engines.  Scale shape: docs explode to distinct n-grams with map-side
+    combine; the probe side (benchmark sets are tiny vs the corpus) is
+    aggregated to a distinct gram set and broadcast into a hash join — the
+    100 TB corpus is never shuffled, one scan + one broadcast probe."""
+    d = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(
+            word_shingles(F.col(text_col), n))).alias("_g"))
+    p = (probes.select(F.explode(F.array_distinct(
+            word_shingles(F.col(text_col), n))).alias("_g"))
+         .dropDuplicates(["_g"]))
+    per_doc = d.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (d.join(F.broadcast(p), "_g")
+            .groupBy("_id").agg(F.count(F.lit(1)).alias("n_contam_grams")))
+    return (per_doc.join(hits, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce(F.col("n_contam_grams"), F.lit(0))
+                     .alias("n_contam_grams"),
+                    F.col("n_grams"),
+                    F.floor(F.lit(1000.0)
+                            * F.coalesce(F.col("n_contam_grams"), F.lit(0))
+                            / F.col("n_grams")).cast("long")
+                     .alias("contam_milli")))
+
+
+def decontaminate(docs: DataFrame, probes: DataFrame, n: int = 13,
+                  max_contam_milli: int = 0, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Drop documents whose probe-set n-gram overlap exceeds the threshold
+    (default: any overlap).  Anti-join on the flagged id set — the corpus
+    passes through in its scan partitions."""
+    rep = contamination_report(docs, probes, n, text_col, id_col)
+    flagged = rep.filter(F.col("contam_milli") > max_contam_milli) \
+                 .select(id_col)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

@@ -274,3 +274,20 @@ def test_dedup_minhash_keep_one(spark, documents):
     assert kept.filter("doc_id >= 100000").count() == 0
     # survivors = exactly what deduping the originals alone keeps
     assert kept.count() == dedup.dedup_minhash(base, threshold=0.7).count()
+
+
+def test_decontaminate_drops_probe_overlap(spark):
+    from incubator_hudi_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    probes = docs.filter("doc_id % 11 = 4")
+    clean = D.decontaminate(docs, probes, n=4)
+    # every probe doc overlaps itself → dropped
+    assert clean.filter("doc_id % 11 = 4").count() == 0
+    # report flags exactly the probe docs as fully contaminated
+    rep = D.contamination_report(docs, probes, n=4)
+    full = rep.filter("contam_milli = 1000")
+    assert full.filter("doc_id % 11 = 4").count() == probes.count()
+    # dropping is an anti-join: survivors' rows are byte-identical
+    kept = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
+    assert kept.count() == clean.count()
