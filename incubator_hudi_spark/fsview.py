@@ -73,6 +73,21 @@ class LogFile:
     tag: Optional[str] = None
 
 
+def base_key_range(sl: "FileSlice") -> Optional[tuple[str, str]]:
+    """Record-key [min, max] proven by the slice's base-file stats, or None
+    when any base file lacks stats (an empty/ensure file, an external
+    bootstrap file) — a range from a subset could wrongly exclude keys that
+    live in the stat-less file, so incomplete means unprunable.  Log files
+    are fine: MOR deltas only ever carry keys of their slice's base
+    (inserts open new file groups), so the base range covers them."""
+    mins = [f.min_key for f in sl.base_files if f.min_key is not None]
+    maxs = [f.max_key for f in sl.base_files if f.max_key is not None]
+    if not mins or len(mins) != len(sl.base_files) \
+            or len(maxs) != len(sl.base_files):
+        return None
+    return min(mins), max(maxs)
+
+
 @dataclass
 class FileSlice:
     partition: str
@@ -228,8 +243,8 @@ class FileSystemView:
         min/max ranges; ours live in commit metadata instead of footers)."""
         out = []
         for sl in self.latest_slices():
-            mins = [f.min_key for f in sl.base_files if f.min_key is not None]
-            maxs = [f.max_key for f in sl.base_files if f.max_key is not None]
-            if mins and maxs:
-                out.append((sl.partition, sl.file_group, min(mins), max(maxs), sl.base_instant))
+            rng = base_key_range(sl)
+            if rng is not None:
+                out.append((sl.partition, sl.file_group, rng[0], rng[1],
+                            sl.base_instant))
         return out

@@ -51,14 +51,14 @@ def _candidate_slices(view: FileSystemView, index_type: str,
     parts = None if is_global(index_type) else partitions
     slices = view.latest_slices(parts)
     if index_type in (INDEX_BLOOM, INDEX_GLOBAL_BLOOM) and key_range is not None:
+        from .fsview import base_key_range
         lo, hi = key_range
         pruned = []
         for sl in slices:
-            mins = [f.min_key for f in sl.base_files if f.min_key is not None]
-            maxs = [f.max_key for f in sl.base_files if f.max_key is not None]
-            if not mins or not maxs:
-                pruned.append(sl)  # no stats → cannot prune
-            elif not (hi < min(mins) or lo > max(maxs)):
+            rng = base_key_range(sl)
+            if rng is None:
+                pruned.append(sl)  # incomplete stats → cannot prune
+            elif not (hi < rng[0] or lo > rng[1]):
                 pruned.append(sl)
         slices = pruned
     return slices

@@ -34,6 +34,7 @@ touch it, but :func:`files_df` exposes it as a DataFrame for admin/queries.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
@@ -55,6 +56,7 @@ _SCHEMA = pa.schema([
     ("num_records", pa.int64()),
     ("min_key", pa.string()),
     ("max_key", pa.string()),
+    ("col_stats", pa.string()),       # JSON {col: [min, max]} or null
     ("external", pa.bool_()),
 ])
 
@@ -115,6 +117,8 @@ def write_checkpoint(table) -> Optional[str]:
                                  path=f.path, size=f.size,
                                  num_records=f.num_records,
                                  min_key=f.min_key, max_key=f.max_key,
+                                 col_stats=(json.dumps(f.col_stats)
+                                            if f.col_stats else None),
                                  external=f.external))
             for l in sl.log_files:
                 if l.path in cleaned:
@@ -127,12 +131,14 @@ def write_checkpoint(table) -> Optional[str]:
                                  instant=l.instant,
                                  path=l.path, size=l.size,
                                  num_records=l.num_records,
-                                 min_key=None, max_key=None, external=False))
+                                 min_key=None, max_key=None, col_stats=None,
+                                 external=False))
     for (part, fg), at in view.replaced_groups().items():
         rows.append(dict(kind="replaced", partition=part, file_group=fg,
                          base_instant=None, instant=at, path=None,
                          size=None, num_records=None,
-                         min_key=None, max_key=None, external=False))
+                         min_key=None, max_key=None, col_stats=None,
+                         external=False))
 
     os.makedirs(metadata_dir(table.meta), exist_ok=True)
     tmp = path + ".tmp"
@@ -167,6 +173,8 @@ def load_state(meta, ckpt_time: str):
             path=r["path"], size=r["size"] or 0,
             num_records=r["num_records"] or 0,
             min_key=r["min_key"], max_key=r["max_key"],
+            col_stats=(json.loads(r["col_stats"])
+                       if r.get("col_stats") else None),
             log=False, base_instant=r["base_instant"],
             external=bool(r.get("external", False))))
     # logs attach after all bases exist, re-applying the fold's rule for

@@ -354,17 +354,18 @@ def contamination_report(docs: DataFrame, probes: DataFrame,
             word_shingles(F.col(text_col), n))).alias("_g"))
     p = (probes.select(F.explode(F.array_distinct(
             word_shingles(F.col(text_col), n))).alias("_g"))
-         .dropDuplicates(["_g"]))
-    per_doc = d.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (d.join(F.broadcast(p), "_g")
-            .groupBy("_id").agg(F.count(F.lit(1)).alias("n_contam_grams")))
-    return (per_doc.join(hits, "_id", "left")
+         .dropDuplicates(["_g"])
+         .withColumn("_hit", F.lit(1)))
+    # single corpus pass: broadcast-mark probe grams, one aggregate yields
+    # both the gram total and the hit count (the shingle scan is by far the
+    # dominant cost — never run it twice)
+    return (d.join(F.broadcast(p), "_g", "left")
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.count(F.col("_hit")).alias("n_contam_grams"))
             .select(F.col("_id").alias(id_col),
-                    F.coalesce(F.col("n_contam_grams"), F.lit(0))
-                     .alias("n_contam_grams"),
-                    F.col("n_grams"),
-                    F.floor(F.lit(1000.0)
-                            * F.coalesce(F.col("n_contam_grams"), F.lit(0))
+                    F.col("n_contam_grams"), F.col("n_grams"),
+                    F.floor(F.lit(1000.0) * F.col("n_contam_grams")
                             / F.col("n_grams")).cast("long")
                      .alias("contam_milli")))
 
@@ -372,10 +373,15 @@ def contamination_report(docs: DataFrame, probes: DataFrame,
 def decontaminate(docs: DataFrame, probes: DataFrame, n: int = 13,
                   max_contam_milli: int = 0, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """Drop documents whose probe-set n-gram overlap exceeds the threshold
-    (default: any overlap).  Anti-join on the flagged id set — the corpus
-    passes through in its scan partitions."""
+    """Drop documents whose probe-set n-gram overlap exceeds the threshold.
+    The default (0) means ANY overlapping gram drops the document — checked
+    on the raw gram count, since contam_milli's floor would round overlaps
+    under 0.1%% of a large doc down to zero.  Anti-join on the flagged id
+    set — the corpus passes through in its scan partitions."""
     rep = contamination_report(docs, probes, n, text_col, id_col)
-    flagged = rep.filter(F.col("contam_milli") > max_contam_milli) \
-                 .select(id_col)
+    if max_contam_milli <= 0:
+        flagged = rep.filter(F.col("n_contam_grams") > 0).select(id_col)
+    else:
+        flagged = rep.filter(F.col("contam_milli") > max_contam_milli) \
+                     .select(id_col)
     return docs.join(F.broadcast(flagged), id_col, "left_anti")

@@ -158,11 +158,14 @@ def assign_insert_buckets_range(spark: SparkSession, inserts: DataFrame,
     plan_df = spark.createDataFrame(
         rows, schema=(f"{partition_col} string, {fg_col} string, "
                       "_lo string, _hi string"))
+    # null record keys sort with '' (first interval) instead of vanishing
+    # through three-valued comparison logic in the inner join
+    k = F.coalesce(inserts[key_col], F.lit(""))
     out = inserts.join(
         F.broadcast(plan_df),
         on=[inserts[partition_col] == plan_df[partition_col],
-            plan_df["_lo"].isNull() | (inserts[key_col] >= plan_df["_lo"]),
-            plan_df["_hi"].isNull() | (inserts[key_col] < plan_df["_hi"])],
+            plan_df["_lo"].isNull() | (k >= plan_df["_lo"]),
+            plan_df["_hi"].isNull() | (k < plan_df["_hi"])],
         how="inner",
     ).drop(plan_df[partition_col]).drop("_lo", "_hi")
     return out

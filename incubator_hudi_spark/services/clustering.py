@@ -53,6 +53,9 @@ def zorder_value(df, cols: Sequence[str], bits: int = 16):
     locality the curve exists to provide)."""
     if not 2 <= len(cols) <= 4:
         raise ValueError("zorder needs 2..4 columns")
+    # interleaved positions must stay below bit 63 (long sign bit): a set
+    # sign bit would sort those rows BEFORE everything and break the curve
+    bits = min(bits, 63 // len(cols))
     for c in cols:
         t = df.schema[c].dataType.typeName()
         if t in ("string", "binary", "boolean", "map", "array", "struct"):

@@ -591,13 +591,9 @@ class HudiTable:
             # fast lane: a warm INMEMORY index covering every table partition
             # makes the pre-tag workload profile redundant — any batch
             # partition is either covered or brand-new (no stored records →
-            # a null-fg tag is already the correct routing).  Driver-side
-            # check only; saves one Spark action per steady-state batch.
-            # NOTE: this lane always broadcasts the batch's key set (no row
-            # count is taken) — acceptable under the INMEMORY index contract
-            # (table small enough to pin its key map in executor memory, so
-            # any batch ≤ table is broadcastable); the sized SIMPLE/BLOOM
-            # paths below keep the index_broadcast_max_rows guard.
+            # a null-fg tag is already the correct routing).  Saves the
+            # full-scan profile action per steady-state batch; only the
+            # short-circuiting broadcast-size probe below remains.
             last_data = self.timeline.last_completed(tl.DATA_ACTIONS)
             cache_covers = (
                 self.cfg.index_type == INDEX_INMEMORY
@@ -605,17 +601,24 @@ class HudiTable:
                 and self._key_index_valid_at == (last_data.time if last_data else None)
                 and set(view.partitions()) <= self._key_index_parts)
             if cache_covers:
-                index_df, bc = self._key_index, True
+                # broadcast-size guard (shared with the cold lane): stops
+                # after cap+1 rows, so it never scans a big batch
+                cap = self.cfg.index_broadcast_max_rows
+                index_df = self._key_index
+                bc = prepared.limit(cap + 1).count() <= cap
             elif self.cfg.index_type == INDEX_INMEMORY:
                 # cold INMEMORY: load the whole-table key index in one go —
                 # it gets pinned for every later batch anyway, so the
                 # pre-tag workload-profile action (whose only INMEMORY use
                 # is picking which partitions to load) is pure overhead.
-                # One Spark action saved per cold start.
+                # The broadcast-size guard stays: a cold first batch can be
+                # arbitrarily large, and limit(cap+1).count() short-circuits
+                # after cap+1 rows instead of scanning the batch.
                 with _stage("upsert.load_index"):
                     index_df = self._load_index(
                         view, sorted(view.partitions()), None)
-                bc = True
+                cap = self.cfg.index_broadcast_max_rows
+                bc = prepared.limit(cap + 1).count() <= cap
             else:
                 # workload profile (BaseSparkCommitActionExecutor.java:122-127)
                 # + key range for BLOOM-style pruning — one Spark action over
@@ -1180,16 +1183,17 @@ class HudiTable:
         see).  For key sets beyond a few thousand use
         ``read().join(keys_df, ...)`` — ``filterExists``-style — instead."""
         import bisect
+
+        from .fsview import base_key_range
         ks = sorted({str(k) for k in keys})
         view = self.view()
         cand = []
         for sl in view.latest_slices(partitions):
-            mins = [f.min_key for f in sl.base_files if f.min_key is not None]
-            maxs = [f.max_key for f in sl.base_files if f.max_key is not None]
-            if sl.log_files or not mins or not maxs:
+            rng = base_key_range(sl)
+            if rng is None:
                 cand.append(sl)          # incomplete stats → cannot skip
                 continue
-            lo, hi = min(mins), max(maxs)
+            lo, hi = rng
             i = bisect.bisect_left(ks, lo)
             if i < len(ks) and ks[i] <= hi:
                 cand.append(sl)

@@ -141,13 +141,18 @@ def merge_order_columns(tc: TableConfig, df: DataFrame) -> list[Column]:
       .java:50-57); in-batch dups were already preCombined.
     """
     cols: list[Column] = []
-    if API_DELETE in df.columns:
-        cols.append(F.desc_nulls_last(API_DELETE))
     if tc.payload == PAYLOAD_DEFAULT and tc.precombine_field and \
             tc.precombine_field in df.columns:
         cols.append(F.desc_nulls_last(tc.precombine_field))
     cols.append(F.desc(META_COMMIT_TIME))
     cols.append(F.desc(META_COMMIT_SEQNO))
+    if API_DELETE in df.columns:
+        # tie-break only: a delete wins against a data row of the SAME
+        # version rank (combine_before_upsert=False batches), but an OLD
+        # delete row sitting in a MOR log must lose to a newer re-insert —
+        # ranking deletes first regardless of commit time made a
+        # delete→re-insert key vanish from merged reads until compaction
+        cols.append(F.desc_nulls_last(API_DELETE))
     return cols
 
 
@@ -198,15 +203,31 @@ def merge_latest(df: DataFrame, tc: TableConfig, flag_col: str = NEW_FLAG,
         # for the rank.  Only merged keys (has_new=1) are touched —
         # pass-through stored rows stay byte-for-byte (the reference never
         # runs combineAndGetUpdateValue on untouched keys).
+        # A delete is a MERGE BARRIER: versions at or below the newest
+        # delete are dead state (the reference's pairwise fold empties the
+        # record there), so fills may only draw from rows strictly newer
+        # than it — otherwise a MOR read would resurrect pre-delete values
+        # that a compacted/COW table has already forgotten.
         fill_w = order_w.rowsBetween(Window.unboundedPreceding,
                                      Window.unboundedFollowing)
+        is_del = F.lit(False)
+        for c in (DELETE_MARKER, API_DELETE):
+            if c in df.columns:
+                is_del = is_del | F.coalesce(F.col(c), F.lit(False))
+        staged = staged.withColumn(
+            "_hoodie_del_rn",
+            F.min(F.when(is_del, F.col("_hoodie_rn"))).over(part_w))
+        live = F.col("_hoodie_rn") < F.coalesce(F.col("_hoodie_del_rn"),
+                                                F.lit(1 << 31))
         data_cols = [c for c in df.columns
                      if not c.startswith("_hoodie") and c != flag_col]
         staged = staged.select(
             *[c for c in staged.columns if c not in data_cols],
             *[F.when(F.col("_hoodie_has_new") == 1,
-                     F.first(c, ignorenulls=True).over(fill_w))
+                     F.first(F.when(live, F.col(c)),
+                             ignorenulls=True).over(fill_w))
               .otherwise(F.col(c)).alias(c) for c in data_cols])
+        staged = staged.drop("_hoodie_del_rn")
     out = (staged
            .filter((F.col("_hoodie_has_new") == 0) | (F.col("_hoodie_rn") == 1))
            .drop("_hoodie_has_new", "_hoodie_rn", flag_col))

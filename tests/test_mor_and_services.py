@@ -209,3 +209,30 @@ def test_mor_skip_merge_concatenates(spark, tmp_table_path, lineitem):
     assert merged.count() == n
     assert skipped.count() == n + n_upd
     assert skipped.filter("l_quantity = 777").count() == n_upd
+
+
+def test_mor_delete_then_reinsert_survives(spark, tmp_table_path, lineitem):
+    """Regression: an old delete row in a MOR log must lose to a NEWER
+    re-insert of the same key on merged reads (API-delete ranks as a
+    tie-break below commit time, not above it)."""
+    from incubator_hudi_spark import HudiTable, MERGE_ON_READ
+    from pyspark.sql import functions as F
+    t = HudiTable.create(
+        spark, tmp_table_path, name="t",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate", table_type=MERGE_ON_READ)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+    t.upsert(lineitem)
+    victims = lineitem.filter("l_orderkey % 25 = 7")
+    t.delete(victims)
+    assert t.read().filter("l_orderkey % 25 = 7").count() == 0
+    t.upsert(victims.withColumn("l_quantity", F.lit(42.0)))
+    back = t.read().filter("l_orderkey % 25 = 7")
+    n_exp = victims.selectExpr("l_orderkey", "l_linenumber",
+                               "date_format(l_shipdate,'yyyy-MM')") \
+                   .distinct().count()
+    assert back.count() == n_exp
+    assert back.filter("l_quantity != 42.0").count() == 0
+    t.run_compaction()
+    assert t.read().filter("l_orderkey % 25 = 7").count() == n_exp

@@ -134,3 +134,28 @@ def test_partial_update_respects_event_time_guard(spark, tmp_table_path):
     t.upsert(late)
     row = t.read().filter("k = 1").collect()[0]
     assert row.price == 100.0 and row.tag == "A"
+
+
+def test_partial_update_never_resurrects_deleted_values_mor(
+        spark, tmp_table_path):
+    """Finding from review: the coalesce fill must treat a delete as a merge
+    barrier — a partial update AFTER a delete must NOT pull field values
+    from versions below the delete on the MOR read path, and COW / MOR /
+    post-compaction answers must agree."""
+    o = _orders(spark)
+    t = _make(spark, tmp_table_path, MERGE_ON_READ)
+    t.upsert(o)                                       # full rows (c1)
+    victims = o.filter("o_orderkey % 10 = 2")
+    t.delete(victims)                                 # delete (c2)
+    back = _null_update(o, "o_orderkey % 20 = 2", 1.0)
+    t.upsert(back)                                    # partial re-insert (c3)
+    snap = t.read().filter("o_orderkey % 20 = 2")
+    assert snap.count() == o.filter("o_orderkey % 20 = 2").count()
+    # pre-delete o_orderstatus must NOT come back on the merged MOR read
+    assert snap.filter("o_orderstatus IS NOT NULL").count() == 0
+    before = sorted(map(tuple, snap.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus").collect()))
+    t.run_compaction()
+    after = sorted(map(tuple, t.read().filter("o_orderkey % 20 = 2").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus").collect()))
+    assert before == after                            # compaction-neutral

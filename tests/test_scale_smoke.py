@@ -153,10 +153,12 @@ def test_column_stats_data_skipping(spark, tmp_table_path):
     assert sorted(map(tuple, hit.collect())) == sorted(map(tuple, exp.collect()))
     n_hit, n_full = len(hit.inputFiles()), len(t.read().inputFiles())
     assert n_hit < n_full, (n_hit, n_full)
-    # a conjunct over a column without stats must not skip (conservative)
-    all_rows = t.read_filtered([("l_comment_missing_col", ">", "z")]) \
-        if False else t.read_filtered([("l_quantity", ">=", 0.0)])
-    assert all_rows.count() == t.read().count()
+    # conjuncts over columns without collected stats must not skip
+    # (conservative): l_quantity is not in stats_columns
+    assert t.read_filtered([("l_quantity", ">=", 0.0)]).count() \
+        == t.read().count()
+    assert len(t.read_filtered([("l_quantity", "<", -1.0)]).inputFiles()) \
+        == len(t.read().inputFiles())   # no pruning without stats
 
 
 def test_zorder_clustering_skips_on_both_columns(spark, tmp_table_path):
