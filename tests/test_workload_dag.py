@@ -68,9 +68,11 @@ def test_random_workload_dag(spark, tmp_table_path, table_type, seed):
     def commit_model(instant):
         history.append((instant, dict(model)))
 
-    ops = ["upsert", "upsert", "upsert", "delete", "insert_overwrite",
+    ops = ["upsert", "upsert", "upsert", "delete", "reinsert",
+           "insert_overwrite",
            "delete_partitions", "rollback", "compact_or_cluster", "clean",
            "savepoint", "restore"]
+    recently_deleted: list[tuple[str, str]] = []
     savepoints: list[tuple[str, str, dict]] = []  # (sp_time, at_inst, model)
     # first op must populate the table
     seq += 1
@@ -100,6 +102,21 @@ def test_random_workload_dag(spark, tmp_table_path, table_type, seed):
             inst = t.delete(_df(spark, keys))
             for k, p in targets:
                 model.pop((k, p), None)
+            recently_deleted.extend(targets)
+            commit_model(inst)
+        elif op == "reinsert":
+            # deliberately resurrect deleted keys: a delete row in a MOR log
+            # must lose to this NEWER version on merged reads (regression:
+            # delete ranked above commit time made these keys vanish)
+            if not recently_deleted:
+                continue
+            targets = recently_deleted[-rng.randint(1, len(recently_deleted)):]
+            rows = [dict(k=k, p=p, v=seq, payload=f"re{seq}-{k}")
+                    for k, p in targets]
+            inst = t.upsert(_df(spark, rows))
+            for r in rows:
+                model[(r["k"], r["p"])] = (r["v"], r["payload"])
+            recently_deleted.clear()
             commit_model(inst)
         elif op == "insert_overwrite":
             rows = _batch(rng, seq)
