@@ -561,7 +561,8 @@ class HudiTable:
                             fg = op["file_group"]
                             pending_compaction[fg] = max(
                                 pending_compaction.get(fg, ""), p.time)
-            view = self.view()
+            with _stage("upsert.view"):
+                view = self.view()
             if not is_delete and not view.latest_slices():
                 # first commit into an empty table: every record is an
                 # insert — skip index load, tagging, and the merge window
@@ -588,6 +589,47 @@ class HudiTable:
                     self._invalidate_key_index()
                 self._post_commit()
                 return instant.time
+            # ---- COW fast-update lane: one pre-write action total --------
+            from .config import PAYLOAD_OVERWRITE_NON_DEFAULTS
+            from .indexing import is_global as _is_global
+            new_wins = not ((self.tc.payload == PAYLOAD_DEFAULT
+                             and self.tc.precombine_field)
+                            or self.tc.payload == PAYLOAD_OVERWRITE_NON_DEFAULTS)
+            has_ext_cow = any(f.external for sl in view.latest_slices()
+                              for f in sl.base_files)
+            fast_lane = (self.tc.table_type == COPY_ON_WRITE
+                         and not _is_global(self.cfg.index_type)
+                         and new_wins and self.cfg.combine_before_upsert
+                         and self.cfg.cow_broadcast_merge is not False
+                         and not has_ext_cow)
+            if fast_lane:
+                with _stage("upsert.profile"):
+                    prof = profile_src.groupBy(META_PARTITION_PATH).agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.min(META_RECORD_KEY).alias("mn"),
+                        F.max(META_RECORD_KEY).alias("mx")).collect()
+                if sum(r[1] for r in prof) <= self.cfg.index_broadcast_max_rows:
+                    prepared = prepared.persist()
+                    persisted = True
+                    with _stage("upsert.write"):
+                        stats, fg_map, schema, wrote_inserts = \
+                            self._upsert_cow_fast(view, instant.time,
+                                                  prepared, prof, is_delete)
+                    with _stage("upsert.complete"):
+                        self._complete(instant, operation, stats, schema)
+                    if self.cfg.index_type == INDEX_INMEMORY:
+                        if (not is_delete and not wrote_inserts
+                                and self._key_index is not None):
+                            self._key_index_valid_at = instant.time
+                        else:
+                            self._invalidate_key_index()
+                    prepared.unpersist()
+                    persisted = False
+                    with _stage("upsert.post_commit"):
+                        self._post_commit()
+                    return instant.time
+                # batch too large to broadcast — fall through to the general
+                # lanes (the window merge handles table-sized batches)
             # fast lane: a warm INMEMORY index covering every table partition
             # makes the pre-tag workload profile redundant — any batch
             # partition is either covered or brand-new (no stored records →
@@ -605,7 +647,8 @@ class HudiTable:
                 # after cap+1 rows, so it never scans a big batch
                 cap = self.cfg.index_broadcast_max_rows
                 index_df = self._key_index
-                bc = prepared.limit(cap + 1).count() <= cap
+                with _stage("upsert.bc_probe"):
+                    bc = prepared.limit(cap + 1).count() <= cap
             elif self.cfg.index_type == INDEX_INMEMORY:
                 # cold INMEMORY: load the whole-table key index in one go —
                 # it gets pinned for every later batch anyway, so the
@@ -724,6 +767,106 @@ class HudiTable:
             self._post_commit()
         return instant.time
 
+    def _upsert_cow_fast(self, view: FileSystemView, instant_time: str,
+                         prepared: DataFrame, prof: list, is_delete: bool):
+        """COW fast-update lane: ONE pre-write Spark action total (the
+        per-partition batch profile the caller already ran).
+
+        The general lane pays a per-batch index-join action
+        (``tagged.groupBy(fg).count()``) just to learn which file groups to
+        rewrite.  Here the rewrite set comes from driver-side key-range
+        pruning of the manifest stats instead (the BLOOM index's min/max
+        ranges, fsview.base_key_range — a superset of the touched groups by
+        construction: a stored key is always inside its file's key range).
+        Exact key→file-group routing still happens through the index join,
+        but lazily, fused into the single write job.
+
+        Inserts open new hash-bucketed file groups planned from the raw
+        per-partition counts (an upper bound — over-planned buckets stay
+        empty and write no files); small-file packing is skipped in this
+        lane (clustering restores layout), which keeps the plan free of
+        phantom rewrites.
+
+        At 100 TB this is the steady-state writer shape: scan only the
+        stats-pruned slice set, broadcast the (small) batch key set for the
+        anti-join, zero full-table shuffles, one file per touched group.
+        """
+        from .fsview import base_key_range
+        by_part = {r[0]: (r[2], r[3]) for r in prof}
+        rewrite: list[FileSlice] = []
+        for sl in view.latest_slices():
+            rng_b = by_part.get(sl.partition)
+            if rng_b is None:
+                continue
+            lo, hi = rng_b
+            rng = base_key_range(sl)
+            if rng is None or lo is None \
+                    or not (hi < rng[0] or lo > rng[1]):
+                rewrite.append(sl)
+        rewrite_fgs = {sl.file_group for sl in rewrite}
+        fg_map = {sl.file_group: sl.partition for sl in rewrite}
+
+        partitions = sorted(by_part)
+        mns = [r[2] for r in prof if r[2] is not None]
+        mxs = [r[3] for r in prof if r[3] is not None]
+        key_range = (min(mns), max(mxs)) if mns else None
+        index_df = self._load_index(view, partitions, key_range)
+        tagged = tag_locations(prepared, index_df, self.cfg.index_type,
+                               broadcast_incoming=True).persist()
+        try:
+            updates = tagged.filter(F.col(FG_COL).isNotNull()) \
+                            .withColumn(FG, F.col(FG_COL)).drop(FG_COL)
+            inserts = tagged.filter(F.col(FG_COL).isNull()).drop(FG_COL)
+            if is_delete:
+                plan = []
+                fresh = drop_deleted(updates)
+            else:
+                rec_size = avg_record_size(self.meta, self.timeline,
+                                           self.cfg.record_size_estimate)
+                plan = plan_insert_buckets(
+                    {r[0]: r[1] for r in prof}, view, self.cfg, rec_size,
+                    pack_small_files=False)
+                assigned = assign_insert_buckets(
+                    self.spark, inserts, plan,
+                    META_PARTITION_PATH, META_RECORD_KEY, FG)
+                for b in plan:
+                    fg_map[b.file_group] = b.partition
+                fresh = drop_deleted(
+                    updates.unionByName(assigned, allowMissingColumns=True))
+            if API_DELETE in fresh.columns:
+                fresh = fresh.drop(API_DELETE)
+
+            batch_keys = prepared.select(*MERGE_KEY).dropDuplicates(MERGE_KEY)
+            parts = []
+            if rewrite_fgs:
+                old = self._read_fg_files(view, rewrite_fgs)
+                parts.append(drop_deleted(
+                    old.join(F.broadcast(batch_keys), on=MERGE_KEY,
+                             how="left_anti")))
+            # write-parallelism guard — see _upsert_cow's fast path
+            rewrite_bytes = sum(sl.base_size + sl.log_size for sl in rewrite)
+            par = self.spark.sparkContext.defaultParallelism
+            respread = rewrite_bytes < par * 24 * 1024 * 1024
+            n_buckets = max(1, min(len(fg_map) or 1, par))
+            if not respread:
+                fresh = fresh.repartition(n_buckets, F.col(FG))
+            merged = fresh
+            for p in parts:
+                merged = p.unionByName(merged, allowMissingColumns=True)
+            if respread:
+                merged = merged.repartition(n_buckets, F.col(FG))
+            merged = merged.withColumn(META_FILE_NAME, F.col(FG))
+            schema = self._commit_schema(merged)
+            stats = write_instant_files(merged, self.meta, instant_time,
+                                        fg_map, self.cfg,
+                                        sort_cols=[FG, META_RECORD_KEY],
+                                        pre_partitioned=True,
+                                        ensure_fgs=rewrite_fgs)
+            wrote_inserts = any(s.file_group not in rewrite_fgs for s in stats)
+            return stats, fg_map, schema, wrote_inserts
+        finally:
+            tagged.unpersist()
+
     def _upsert_cow(self, view: FileSystemView, instant_time: str,
                     updates: DataFrame, inserts: DataFrame,
                     update_fgs: dict[str, str], insert_profile: dict[str, int],
@@ -745,10 +888,11 @@ class HudiTable:
           per-file-group latest-wins window → write, one shuffle keyed by
           file group.
         """
-        rec_size = avg_record_size(self.meta, self.timeline,
-                                   self.cfg.record_size_estimate)
-        plan = plan_insert_buckets(insert_profile, view, self.cfg, rec_size,
-                                   pack_small_files=True)
+        with _stage("cow.plan"):
+            rec_size = avg_record_size(self.meta, self.timeline,
+                                       self.cfg.record_size_estimate)
+            plan = plan_insert_buckets(insert_profile, view, self.cfg, rec_size,
+                                       pack_small_files=True)
         assigned = assign_insert_buckets(self.spark, inserts, plan,
                                          META_PARTITION_PATH, META_RECORD_KEY, FG)
         new_raw = updates.unionByName(assigned, allowMissingColumns=True)

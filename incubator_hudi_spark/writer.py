@@ -323,10 +323,16 @@ def write_instant_files(
                 d = os.path.join(out_dir, f"{FG}={fg}")
                 os.makedirs(d, exist_ok=True)
                 pq.write_table(empty, os.path.join(d, "part-empty-00000.parquet"))
-    return collect_write_stats(meta, out_dir, fg_to_partition, log=log,
-                               fg_base_instant=fg_base_instant,
-                               default_base_instant=instant_time,
-                               stats_columns=cfg.stats_columns)
+    _t0 = _time.time()
+    stats = collect_write_stats(meta, out_dir, fg_to_partition, log=log,
+                                fg_base_instant=fg_base_instant,
+                                default_base_instant=instant_time,
+                                stats_columns=cfg.stats_columns)
+    if os.environ.get("HUDI_SPARK_TIMING") == "1":
+        import sys as _sys
+        print(f"[timing] write.stats: {_time.time() - _t0:.3f}s",
+              file=_sys.stderr)
+    return stats
 
 
 def _stat_value(v):
