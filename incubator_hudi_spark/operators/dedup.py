@@ -95,6 +95,8 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
     ``hash_family``: "xxhash64" (fast path, long signatures) or "md5"
     (portable path — hex-string signatures any ANSI-SQL engine reproduces;
     identical plan shape, used by the oracle-checked query)."""
+    from ._util import ensure_min_parallelism
+    df = ensure_min_parallelism(df, key=id_col)
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(
@@ -117,10 +119,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       hash_family: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    shingle → k minhashes → ``bands`` band-hashes → bucket self-join on slim
-    (id, band, hash) rows → distinct candidate pairs → signature-similarity
-    verify (sig join reuses the aggregate exchange).  Scale: the self-join is
-    per (band, band_hash) bucket; skewed buckets (boilerplate content) are
+    shingle → k minhashes → ``bands`` band-hashes → bucket self-join carrying
+    the signature ARRAY → similarity computed in place → distinct pairs.
+
+    Single-pass design: the (expensive) shingle-explode + k-min aggregation
+    runs exactly once — Spark has no cross-subtree exchange reuse for the
+    sig table, so the slim-rows-then-verify-join alternative recomputes it
+    three times.  Carrying the k-element signature array fattens the banding
+    shuffle by ~8×k bytes/doc, but deletes two sig-table joins (each of
+    which would shuffle the sig table again) — strictly fewer bytes moved
+    and one aggregation instead of three.  The self-join is per
+    (band, band_hash) bucket; skewed buckets (boilerplate content) are
     handled by AQE skew-join.  Returns (id_a, id_b, sig_similarity)."""
     r = k // bands
     sigs = minhash_signatures_df(df, text_col, id_col, k, shingle_w,
@@ -132,22 +141,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     else:
         def band_hash(b):
             return F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)])
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
     banded = sigs.select(
-        "_id",
+        "_id", sig_arr.alias("_sig"),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
             for b in range(bands)])).alias("bk")
-    ).select("_id", "bk.band", "bk.bh")
-    cand = (banded.alias("a")
-            .join(banded.alias("b"), on=["band", "bh"])
-            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    sim = sum(F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
-              for i in range(k)) / F.lit(float(k))
-    out = (cand.join(sigs.alias("a"), cand["id_a"] == F.col("a._id"))
-               .join(sigs.alias("b"), cand["id_b"] == F.col("b._id"))
-               .select("id_a", "id_b", sim.alias("sig_similarity")))
+    ).select("_id", "_sig", "bk.band", "bk.bh")
+    sim = (F.aggregate(
+        F.zip_with(F.col("a._sig"), F.col("b._sig"),
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(float(k)))
+    out = (banded.alias("a")
+           .join(banded.alias("b"), on=["band", "bh"])
+           .filter(F.col("a._id") < F.col("b._id"))
+           .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                   sim.alias("sig_similarity"))
+           .dropDuplicates(["id_a", "id_b"]))
     if verify_threshold is not None:
         out = out.filter(F.col("sig_similarity") >= verify_threshold)
     return out
@@ -181,6 +191,8 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``hash_family`` "md5": 60-bit token hashes from the md5 hex prefix —
     reproducible in any ANSI-SQL engine (the oracle-checked path); caps
     ``bits`` at 60 so every mask stays positive."""
+    from ._util import ensure_min_parallelism
+    df = ensure_min_parallelism(df, key=id_col)
     ex = df.select(F.col(id_col).alias("_id"),
                    F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                                      r"\s+")).alias("_t"))
@@ -262,6 +274,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """Exact Jaccard similarity of word n-gram sets for candidate pairs within
     a blocking group (cross product *within* blocks only — supply a cheap
     block like language or LSH bucket at scale).  Returns (id_a, id_b, jaccard)."""
+    from ._util import ensure_min_parallelism
+    df = ensure_min_parallelism(df, key=id_col)
     sh = F.array_distinct(word_shingles(F.col(text_col), n))
     docs = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"),
                      (F.col(block_col) if block_col else F.lit(1)).alias("_blk"))

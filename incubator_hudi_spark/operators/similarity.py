@@ -43,6 +43,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     100 TB when the query batch fits in a broadcast (norms precomputed once
     per side).  Ties broken by id for determinism.
     Returns (query_id, vec_id, cosine_sim, rank)."""
+    from ._util import ensure_min_parallelism
+    corpus = ensure_min_parallelism(corpus)
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("_cv"),
                       l2_norm(F.col(vec_col)).alias("_cn"))
@@ -198,6 +200,8 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     float determinism for oracle checking)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    from ._util import ensure_min_parallelism
+    df = ensure_min_parallelism(df)
     hp = _hyperplanes(dim, planes, seed)
     d = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                   l2_norm(F.col(vec_col)).alias("_n"),

@@ -60,6 +60,8 @@ def detect_language(text: Column) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features + composite score (heuristics in the
     C4/Gopher-rules tradition, all closed-form)."""
+    from ._util import ensure_min_parallelism
+    df = ensure_min_parallelism(df)
     t = F.col(text_col)
     toks = _tokens(t)
     n_chars = F.length(t)
@@ -133,6 +135,8 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text",
     aggregated vocabulary.
     """
     from pyspark.sql.window import Window
+    from ._util import ensure_min_parallelism
+    df = ensure_min_parallelism(df)
     toks = (df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
               .filter(F.col("token") != "")
               .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
@@ -155,6 +159,8 @@ def repetition_features(df: DataFrame, doc_id_col: str = "doc_id",
     corpus size.  The in-row alternative (array_distinct × filter count) is
     O(tokens²) per doc and melts on long documents.
     """
+    from ._util import ensure_min_parallelism
+    df = ensure_min_parallelism(df, key=doc_id_col)
     toks = _tokens(F.col(text_col))
     grams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -182,6 +188,8 @@ def tf_idf(df: DataFrame, doc_id_col: str = "doc_id",
     the aggregated vocabulary only), then a token-keyed join the optimizer
     can broadcast when the vocabulary is small.  No Python in the row path.
     """
+    from ._util import ensure_min_parallelism
+    df = ensure_min_parallelism(df)
     toks = (df.select(F.col(doc_id_col).alias("doc_id"),
                       F.explode(_tokens(F.col(text_col))).alias("token"))
               .filter(F.col("token") != ""))
@@ -211,7 +219,10 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
               phone_token: str = "<PHONE>") -> DataFrame:
     """Redact emails / IPv4s / international phone numbers and count the
     redactions.  Whole-stage-codegen regexp chain — no Python in the row
-    path; at 100 TB this is a pure map stage (zero shuffles)."""
+    path; at 100 TB this is a pure map stage (zero shuffles; the
+    min-parallelism respread only fires on degenerate narrow inputs)."""
+    from ._util import ensure_min_parallelism
+    df = ensure_min_parallelism(df)
     t = F.col(text_col)
     return (df
             .withColumn("n_emails", F.regexp_count(t, F.lit(PII_EMAIL)))
