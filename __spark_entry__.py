@@ -1158,6 +1158,39 @@ def embedding_cosine_pairs_q(spark, sf_dir):
              .select("id_a", "id_b"))
 
 
+@q("semantic_dedup_survivors", """
+WITH cents AS (
+  SELECT embedding AS c, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+ac AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cell,
+         round(list_cosine_similarity(e.embedding, c.c), 9) AS sim
+  FROM embeddings e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell ASC) AS rn
+    FROM ac) WHERE rn = 1),
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.30)
+SELECT e.vec_id FROM embeddings e
+LEFT JOIN losers l ON e.vec_id = l.vec_id WHERE l.vec_id IS NULL
+""")
+def semantic_dedup_survivors_q(spark, sf_dir):
+    """SemDeDup-style semantic dedup: k-means-cell self-join, drop members
+    near a lower-id cell-mate.  Centroids = the 8 lowest-id vectors
+    (sample_centroids) so DuckDB reproduces assignment and pruning."""
+    from incubator_hudi_spark.operators import similarity as S
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = S.sample_centroids(emb, n=8)
+    return (S.semantic_dedup(emb, cents, threshold=0.30,
+                             round_to=6, assign_round_to=9)
+            .select("vec_id"))
+
+
 @q("doc_fingerprint", """
 SELECT doc_id,
        list_min([md5(lower(substring(text, i, 8)))

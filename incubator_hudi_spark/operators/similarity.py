@@ -218,3 +218,76 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
            else F.col("cosine_sim"))
     return (out.filter(cmp >= threshold)
                .select("id_a", "id_b", "cosine_sim"))
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style) + k-means coarse quantizer
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(corpus: DataFrame, k: int = 16, iters: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_to: Optional[int] = None) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column — the "sampled k-means job"
+    the IVF/semantic-dedup operators take their centroids from.
+
+    Deterministic: init = the ``k`` lowest-id vectors; fixed ``iters``
+    rounds.  Each round is ONE Spark job: assign (broadcast centroid
+    literals, pure expressions) → per-(cell, dim) mean via posexplode +
+    hash aggregate (map-side combine; shuffle is k×dim rows per task, never
+    corpus-sized).  Driver holds only the k×dim centroid matrix.  Empty
+    cells keep their previous centroid."""
+    cents = sample_centroids(corpus, n=k, id_col=id_col, vec_col=vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, vec_col, round_to=round_to)
+        means = (assigned
+                 .select("_ivf_cell", F.posexplode(F.col(vec_col))
+                         .alias("_pos", "_val"))
+                 .groupBy("_ivf_cell", "_pos")
+                 .agg(F.avg("_val").alias("_m"))
+                 .collect())
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r[0], {})[r[1]] = r[2]
+        cents = [
+            [by_cell[ci][p] for p in sorted(by_cell[ci])]
+            if ci in by_cell else cents[ci]
+            for ci in range(k)
+        ]
+    return cents
+
+
+def semantic_dedup(df: DataFrame, centroids: Sequence[Sequence[float]],
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   threshold: float = 0.95,
+                   round_to: Optional[int] = None,
+                   assign_round_to: Optional[int] = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023: cluster
+    embeddings, drop near-identical members within each cluster): assign
+    every vector to its nearest centroid (deterministic rounded argmax,
+    ties → lowest cell), self-join WITHIN cells only, and drop any vector
+    whose cosine to a lower-id cell-mate reaches ``threshold``.
+
+    Scale shape: the self-join is per cell (k centroids bound the quadratic
+    blow-up to cell sizes; at 100 TB the assignment is a write-time
+    partition column and each cell joins co-partitioned), centroids are
+    broadcast literals, everything JVM expressions.  Returns the surviving
+    rows of ``df`` unchanged."""
+    from ._util import ensure_min_parallelism
+    d = ivf_assign(ensure_min_parallelism(df), centroids, vec_col,
+                   round_to=(assign_round_to if assign_round_to is not None
+                             else round_to))
+    d = d.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                 l2_norm(F.col(vec_col)).alias("_n"), "_ivf_cell")
+    a = d.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                 F.col("_n").alias("na"), "_ivf_cell")
+    b = d.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                 F.col("_n").alias("nb"), "_ivf_cell")
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    losers = (a.join(b, on="_ivf_cell")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .filter(cos >= F.lit(threshold))
+               .select(F.col("id_b").alias(id_col))
+               .distinct())
+    return df.join(losers, on=id_col, how="left_anti")

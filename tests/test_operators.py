@@ -291,3 +291,36 @@ def test_decontaminate_drops_probe_overlap(spark):
     # dropping is an anti-join: survivors' rows are byte-identical
     kept = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
     assert kept.count() == clean.count()
+
+
+def test_kmeans_centroids_converge(spark):
+    from incubator_hudi_spark.operators import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = 4
+    c0 = S.sample_centroids(emb, n=k)
+    c5 = S.kmeans_centroids(emb, k=k, iters=4, round_to=9)
+    assert len(c5) == k and all(len(c) == len(c0[0]) for c in c5)
+    # Lloyd iterations must not increase the mean distance to the assigned
+    # centroid (monotone objective)
+    def objective(cents):
+        a = S.ivf_assign(emb, cents, round_to=9)
+        sims = []
+        for ci, cent in enumerate(cents):
+            arr = F.array(*[F.lit(x) for x in cent])
+            sims.append(F.when(F.col("_ivf_cell") == ci,
+                               S.cosine(F.col("embedding"), arr)))
+        return a.select(F.avg(F.coalesce(*sims)).alias("o")).first()[0]
+    assert objective(c5) >= objective(c0) - 1e-9
+
+
+def test_semantic_dedup_drops_twins(spark):
+    from incubator_hudi_spark.operators import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    twins = emb.withColumn("vec_id", F.col("vec_id") + 100_000)
+    both = emb.unionByName(twins)
+    cents = S.kmeans_centroids(emb, k=4, iters=2, round_to=9)
+    kept = S.semantic_dedup(both, cents, threshold=0.999999,
+                            round_to=6, assign_round_to=9)
+    # every twin is cosine-identical to its original (same cell) → dropped
+    assert kept.filter("vec_id >= 100000").count() == 0
+    assert kept.count() == emb.count()
