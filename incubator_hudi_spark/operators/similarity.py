@@ -237,6 +237,9 @@ def kmeans_centroids(corpus: DataFrame, k: int = 16, iters: int = 5,
     corpus-sized).  Driver holds only the k×dim centroid matrix.  Empty
     cells keep their previous centroid."""
     cents = sample_centroids(corpus, n=k, id_col=id_col, vec_col=vec_col)
+    k = len(cents)              # corpus smaller than k → fewer centroids
+    if k == 0:
+        return []
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, vec_col, round_to=round_to)
         means = (assigned

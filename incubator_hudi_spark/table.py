@@ -50,27 +50,7 @@ from .writer import (API_DELETE, FG, MERGE_KEY, NEW_FLAG, collect_write_stats,
                      precombine_dedup, with_commit_meta, with_key_columns,
                      write_instant_files)
 
-_TIMING = os.environ.get("HUDI_SPARK_TIMING") == "1"
-
-
-class _stage:
-    """Env-gated wall-clock probe for write-path stages (HUDI_SPARK_TIMING=1)."""
-
-    def __init__(self, label: str):
-        self.label = label
-
-    def __enter__(self):
-        if _TIMING:
-            import time
-            self.t0 = time.time()
-        return self
-
-    def __exit__(self, *a):
-        if _TIMING:
-            import sys
-            import time
-            print(f"[timing] {self.label}: {time.time() - self.t0:.3f}s",
-                  file=sys.stderr)
+from .timing import _stage
 
 
 class HudiTable:
@@ -590,18 +570,16 @@ class HudiTable:
                 self._post_commit()
                 return instant.time
             # ---- COW fast-update lane: one pre-write action total --------
-            from .config import PAYLOAD_OVERWRITE_NON_DEFAULTS
             from .indexing import is_global as _is_global
-            new_wins = not ((self.tc.payload == PAYLOAD_DEFAULT
-                             and self.tc.precombine_field)
-                            or self.tc.payload == PAYLOAD_OVERWRITE_NON_DEFAULTS)
-            has_ext_cow = any(f.external for sl in view.latest_slices()
-                              for f in sl.base_files)
             fast_lane = (self.tc.table_type == COPY_ON_WRITE
                          and not _is_global(self.cfg.index_type)
-                         and new_wins and self.cfg.combine_before_upsert
-                         and self.cfg.cow_broadcast_merge is not False
-                         and not has_ext_cow)
+                         and self._new_version_wins()
+                         and self.cfg.combine_before_upsert
+                         and self.cfg.cow_broadcast_merge is not False)
+            if fast_lane and any(f.external for sl in view.latest_slices()
+                                 for f in sl.base_files):
+                fast_lane = False       # bootstrap groups need the general lane
+            prof = None
             if fast_lane:
                 with _stage("upsert.profile"):
                     prof = profile_src.groupBy(META_PARTITION_PATH).agg(
@@ -647,8 +625,11 @@ class HudiTable:
                 # after cap+1 rows, so it never scans a big batch
                 cap = self.cfg.index_broadcast_max_rows
                 index_df = self._key_index
-                with _stage("upsert.bc_probe"):
-                    bc = prepared.limit(cap + 1).count() <= cap
+                if prof is not None:    # fast-lane fall-through: size known
+                    bc = sum(r[1] for r in prof) <= cap
+                else:
+                    with _stage("upsert.bc_probe"):
+                        bc = prepared.limit(cap + 1).count() <= cap
             elif self.cfg.index_type == INDEX_INMEMORY:
                 # cold INMEMORY: load the whole-table key index in one go —
                 # it gets pinned for every later batch anyway, so the
@@ -661,16 +642,21 @@ class HudiTable:
                     index_df = self._load_index(
                         view, sorted(view.partitions()), None)
                 cap = self.cfg.index_broadcast_max_rows
-                bc = prepared.limit(cap + 1).count() <= cap
+                if prof is not None:    # fast-lane fall-through: size known
+                    bc = sum(r[1] for r in prof) <= cap
+                else:
+                    bc = prepared.limit(cap + 1).count() <= cap
             else:
                 # workload profile (BaseSparkCommitActionExecutor.java:122-127)
                 # + key range for BLOOM-style pruning — one Spark action over
-                # the raw keyed batch (no dedup shuffle)
-                with _stage("upsert.profile"):
-                    prof = profile_src.groupBy(META_PARTITION_PATH).agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.min(META_RECORD_KEY).alias("mn"),
-                        F.max(META_RECORD_KEY).alias("mx")).collect()
+                # the raw keyed batch (no dedup shuffle); reused from the
+                # fast-lane gate when that already ran it
+                if prof is None:
+                    with _stage("upsert.profile"):
+                        prof = profile_src.groupBy(META_PARTITION_PATH).agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.min(META_RECORD_KEY).alias("mn"),
+                            F.max(META_RECORD_KEY).alias("mx")).collect()
                 partitions = [r[0] for r in prof]
                 key_range = (min(r[2] for r in prof), max(r[3] for r in prof)) if prof else None
 
@@ -767,6 +753,58 @@ class HudiTable:
             self._post_commit()
         return instant.time
 
+    def _new_version_wins(self) -> bool:
+        """True when the arriving batch's version wins unconditionally per
+        key (OVERWRITE_LATEST semantics) — the payloads that need old-vs-new
+        comparison (DEFAULT's event-time guard, OverwriteNonDefaults' field
+        fills) disqualify the anti-join rewrite lanes."""
+        from .config import PAYLOAD_OVERWRITE_NON_DEFAULTS
+        return not ((self.tc.payload == PAYLOAD_DEFAULT
+                     and self.tc.precombine_field)
+                    or self.tc.payload == PAYLOAD_OVERWRITE_NON_DEFAULTS)
+
+    def _anti_join_rewrite(self, view: FileSystemView, instant_time: str,
+                           fresh: DataFrame, batch_keys: DataFrame,
+                           rewrite_fgs: set, fg_map: dict):
+        """Shared COW broadcast anti-join rewrite kernel: stored rows of the
+        rewrite set pass through IN THEIR SCAN PARTITIONS minus the batch's
+        keys (broadcast LEFT ANTI — the table side never shuffles); only the
+        small ``fresh`` side is clustered by file group.  The write-
+        parallelism guard re-spreads tiny rewrite sets so encoding stays
+        parallel early in table life; at scale groups approach target size
+        and the table side streams untouched.  Exactly one exchange."""
+        if API_DELETE in fresh.columns:
+            fresh = fresh.drop(API_DELETE)
+        parts = []
+        if rewrite_fgs:
+            old = self._read_fg_files(view, rewrite_fgs)
+            parts.append(drop_deleted(
+                old.join(F.broadcast(batch_keys), on=MERGE_KEY,
+                         how="left_anti")))
+        rewrite_bytes = sum(sl.base_size + sl.log_size
+                            for sl in view.latest_slices()
+                            if sl.file_group in rewrite_fgs)
+        par = self.spark.sparkContext.defaultParallelism
+        n_buckets = max(1, min(len(fg_map) or 1, par))
+        if self.cfg.write_parallelism:
+            n_buckets = min(n_buckets, self.cfg.write_parallelism)
+        respread = rewrite_bytes < par * 24 * 1024 * 1024
+        if not respread:
+            fresh = fresh.repartition(n_buckets, F.col(FG))
+        merged = fresh
+        for p in parts:
+            merged = p.unionByName(merged, allowMissingColumns=True)
+        if respread:
+            merged = merged.repartition(n_buckets, F.col(FG))
+        merged = merged.withColumn(META_FILE_NAME, F.col(FG))
+        schema = self._commit_schema(merged)
+        stats = write_instant_files(merged, self.meta, instant_time, fg_map,
+                                    self.cfg,
+                                    sort_cols=[FG, META_RECORD_KEY],
+                                    pre_partitioned=True,
+                                    ensure_fgs=rewrite_fgs)
+        return stats, schema
+
     def _upsert_cow_fast(self, view: FileSystemView, instant_time: str,
                          prepared: DataFrame, prof: list, is_delete: bool):
         """COW fast-update lane: ONE pre-write Spark action total (the
@@ -833,35 +871,9 @@ class HudiTable:
                     fg_map[b.file_group] = b.partition
                 fresh = drop_deleted(
                     updates.unionByName(assigned, allowMissingColumns=True))
-            if API_DELETE in fresh.columns:
-                fresh = fresh.drop(API_DELETE)
-
             batch_keys = prepared.select(*MERGE_KEY).dropDuplicates(MERGE_KEY)
-            parts = []
-            if rewrite_fgs:
-                old = self._read_fg_files(view, rewrite_fgs)
-                parts.append(drop_deleted(
-                    old.join(F.broadcast(batch_keys), on=MERGE_KEY,
-                             how="left_anti")))
-            # write-parallelism guard — see _upsert_cow's fast path
-            rewrite_bytes = sum(sl.base_size + sl.log_size for sl in rewrite)
-            par = self.spark.sparkContext.defaultParallelism
-            respread = rewrite_bytes < par * 24 * 1024 * 1024
-            n_buckets = max(1, min(len(fg_map) or 1, par))
-            if not respread:
-                fresh = fresh.repartition(n_buckets, F.col(FG))
-            merged = fresh
-            for p in parts:
-                merged = p.unionByName(merged, allowMissingColumns=True)
-            if respread:
-                merged = merged.repartition(n_buckets, F.col(FG))
-            merged = merged.withColumn(META_FILE_NAME, F.col(FG))
-            schema = self._commit_schema(merged)
-            stats = write_instant_files(merged, self.meta, instant_time,
-                                        fg_map, self.cfg,
-                                        sort_cols=[FG, META_RECORD_KEY],
-                                        pre_partitioned=True,
-                                        ensure_fgs=rewrite_fgs)
+            stats, schema = self._anti_join_rewrite(
+                view, instant_time, fresh, batch_keys, rewrite_fgs, fg_map)
             wrote_inserts = any(s.file_group not in rewrite_fgs for s in stats)
             return stats, fg_map, schema, wrote_inserts
         finally:
@@ -905,11 +917,7 @@ class HudiTable:
         # without comparing against stored rows (merge_order_columns puts the
         # precombine guard first only for PAYLOAD_DEFAULT; the partial-update
         # payload must read stored values to fill null fields)
-        from .config import PAYLOAD_OVERWRITE_NON_DEFAULTS
-        new_wins = not ((self.tc.payload == PAYLOAD_DEFAULT
-                         and self.tc.precombine_field)
-                        or self.tc.payload == PAYLOAD_OVERWRITE_NON_DEFAULTS)
-        semantically_ok = (bool(rewrite_fgs) and new_wins
+        semantically_ok = (bool(rewrite_fgs) and self._new_version_wins()
                            and self.cfg.combine_before_upsert)  # 1 row/key
         if self.cfg.cow_broadcast_merge is None:      # auto: add size guard
             fast = (semantically_ok and n_new_rows is not None
@@ -919,48 +927,15 @@ class HudiTable:
         else:
             fast = False
         if fast:
-            old = self._read_fg_files(view, rewrite_fgs)
             # every stored version of a batch key dies (incl. duplicate-key
             # twins from insert/bulk_insert) — the preCombined batch row is
-            # the slice's single new version
+            # the slice's single new version; the anti-join kernel also drops
+            # tombstoned-at-rest rows on rewrite (matching the window path's
+            # global drop_deleted)
             batch_keys = new_raw.select(*MERGE_KEY).dropDuplicates(MERGE_KEY)
-            survivors = old.join(F.broadcast(batch_keys), on=MERGE_KEY,
-                                 how="left_anti")
-            # rewrite also drops tombstoned-at-rest rows (insert/bulk_insert
-            # can store DELETE_MARKER=true rows; the window path's global
-            # drop_deleted removes them on rewrite — match that)
-            survivors = drop_deleted(survivors)
-            fresh = drop_deleted(new_raw).drop(API_DELETE)
-            # write-parallelism guard: the survivors side passes through in
-            # its SCAN partitions, and Spark packs files up to
-            # maxPartitionBytes per partition — with many small file groups
-            # (early table life / small SF) the whole rewrite can collapse
-            # into 1-2 encode tasks.  The manifest knows the rewrite set's
-            # bytes, so when it's small enough that a shuffle is ~free,
-            # re-spread by file group for parallel encoding.  At scale file
-            # groups approach the 120 MB target, scan partitions ≈ one file
-            # each, and this branch stays off — the table side still never
-            # shuffles on the 100 TB path; only the (tiny) fresh side is
-            # clustered by file group so each group gets one new file, not
-            # one per upstream task.  Exactly one exchange either way.
-            rewrite_bytes = sum(sl.base_size + sl.log_size
-                                for sl in view.latest_slices()
-                                if sl.file_group in rewrite_fgs)
-            par = self.spark.sparkContext.defaultParallelism
-            respread = rewrite_bytes < par * 24 * 1024 * 1024
-            if not respread:
-                n_small = max(1, min(len(fg_map), par))
-                fresh = fresh.repartition(n_small, F.col(FG))
-            merged = survivors.unionByName(fresh, allowMissingColumns=True)
-            if respread:
-                merged = merged.repartition(min(len(fg_map), par), F.col(FG))
-            merged = merged.withColumn(META_FILE_NAME, F.col(FG))
-            schema = self._commit_schema(merged)
-            stats = write_instant_files(merged, self.meta, instant_time,
-                                        fg_map, self.cfg,
-                                        sort_cols=[FG, META_RECORD_KEY],
-                                        pre_partitioned=True,
-                                        ensure_fgs=rewrite_fgs)
+            stats, schema = self._anti_join_rewrite(
+                view, instant_time, drop_deleted(new_raw), batch_keys,
+                rewrite_fgs, fg_map)
             return stats, fg_map, schema
 
         new_rows = new_raw.withColumn(NEW_FLAG, F.lit(True))

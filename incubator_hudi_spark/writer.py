@@ -34,6 +34,7 @@ from .config import (DELETE_MARKER, META_COLUMNS, META_COMMIT_SEQNO,
 from .fsview import WriteStat
 from .keygen import add_key_columns
 from .metaclient import TableMetaClient
+from .timing import _stage
 
 FG = "_fg"                       # transient bucket column, becomes the dir name
 API_DELETE = "_hoodie_api_delete"  # hard delete (EmptyPayload semantics)
@@ -296,17 +297,12 @@ def write_instant_files(
         import sys as _sys
         print(out._jdf.queryExecution().executedPlan().toString(),
               file=_sys.stderr)
-    import time as _time
-    _t0 = _time.time()
-    (out.write
-        .option("compression", cfg.parquet_compression)
-        .partitionBy(FG)
-        .mode("append")          # dir is unique per instant; append avoids pre-listing
-        .parquet(out_dir))
-    if os.environ.get("HUDI_SPARK_TIMING") == "1":
-        import sys as _sys
-        print(f"[timing] write.files: {_time.time() - _t0:.3f}s",
-              file=_sys.stderr)
+    with _stage("write.files"):
+        (out.write
+            .option("compression", cfg.parquet_compression)
+            .partitionBy(FG)
+            .mode("append")      # dir is unique per instant; append avoids pre-listing
+            .parquet(out_dir))
     if ensure_fgs:
         written = {d.split("=", 1)[1] for d in os.listdir(out_dir)
                    if d.startswith(f"{FG}=")}
@@ -323,16 +319,11 @@ def write_instant_files(
                 d = os.path.join(out_dir, f"{FG}={fg}")
                 os.makedirs(d, exist_ok=True)
                 pq.write_table(empty, os.path.join(d, "part-empty-00000.parquet"))
-    _t0 = _time.time()
-    stats = collect_write_stats(meta, out_dir, fg_to_partition, log=log,
-                                fg_base_instant=fg_base_instant,
-                                default_base_instant=instant_time,
-                                stats_columns=cfg.stats_columns)
-    if os.environ.get("HUDI_SPARK_TIMING") == "1":
-        import sys as _sys
-        print(f"[timing] write.stats: {_time.time() - _t0:.3f}s",
-              file=_sys.stderr)
-    return stats
+    with _stage("write.stats"):
+        return collect_write_stats(meta, out_dir, fg_to_partition, log=log,
+                                   fg_base_instant=fg_base_instant,
+                                   default_base_instant=instant_time,
+                                   stats_columns=cfg.stats_columns)
 
 
 def _stat_value(v):

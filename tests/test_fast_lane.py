@@ -116,13 +116,17 @@ def test_delete_emptying_group_writes_empty_base(spark, tmp_table_path, lineitem
     part = (lineitem.select(F.date_format("l_shipdate", "yyyy-MM").alias("p"))
             .groupBy("p").count().orderBy("p").first()[0])
     t.upsert(lineitem)
+    n_before = t.read().count()
+    n_in_part = t.read().filter(
+        F.col("_hoodie_partition_path") == part).count()
+    assert n_in_part > 0
     victims = lineitem.filter(F.date_format("l_shipdate", "yyyy-MM") == part)
     c = t.delete(victims)
     # the emptied group has a new (empty) version at c — reads don't fall
     # back to the pre-delete file
     snap = t.read()
     assert snap.filter(F.col("_hoodie_partition_path") == part).count() == 0
-    assert snap.count() == t.read().count() > 0
+    assert snap.count() == n_before - n_in_part > 0
     files = _instant_files(t, c)
     assert files, "delete commit must materialize versions for emptied groups"
 
@@ -141,10 +145,11 @@ def test_missing_stats_fall_back_to_rewrite(spark, tmp_table_path, lineitem):
         st["max_key"] = None
     with open(t.timeline._path(inst), "w") as f:
         json.dump(md, f)
+    n_before = t.read().count()
     t2 = HudiTable.load(spark, tmp_table_path)
     one = (lineitem.orderBy("l_orderkey", "l_linenumber").limit(1)
            .withColumn("l_quantity", F.lit(7777.0)))
     t2.upsert(one)
     snap = t2.read()
     assert snap.filter("l_quantity = 7777.0").count() == 1
-    assert snap.count() == t.read().count()
+    assert snap.count() == n_before
