@@ -149,3 +149,50 @@ def _instant_seconds(instant_time: str) -> float:
     import time as _time
     base = calendar.timegm(_time.strptime(instant_time[:14], "%Y%m%d%H%M%S"))
     return base + int(instant_time[14:17] or 0) / 1000.0
+
+
+# ---------------------------------------------------------------------------
+# compaction admin (CompactionAdminTool / hudi-cli compaction commands)
+# ---------------------------------------------------------------------------
+
+def validate_compaction_plan(table, instant_time: str) -> list[dict]:
+    """CompactionAdminTool VALIDATE: every planned operation must reference a
+    file group whose latest slice still exists (and matches the planned base
+    instant).  Returns one {partition, file_group, ok, error} per op."""
+    req = tl.Instant(instant_time, tl.COMPACTION, tl.REQUESTED)
+    plan = table.timeline.read_metadata(req)
+    view = table.view()
+    latest = {sl.file_group: sl for sl in view.latest_slices()}
+    out = []
+    for op in plan.get("operations", []):
+        sl = latest.get(op["file_group"])
+        if sl is None:
+            err = "file group has no live slice (replaced or cleaned)"
+        elif sl.base_instant != op.get("base_instant", sl.base_instant):
+            err = (f"base instant moved: planned {op['base_instant']}, "
+                   f"now {sl.base_instant}")
+        else:
+            err = None
+        out.append({"partition": op["partition"],
+                    "file_group": op["file_group"],
+                    "ok": err is None, "error": err})
+    return out
+
+
+def unschedule_compaction(table, instant_time: str) -> bool:
+    """CompactionAdminTool UNSCHEDULE: drop a REQUESTED compaction.  Safe by
+    construction: delta writers that tagged log files with the pending
+    instant re-resolve to the newest existing slice at read time (the
+    fsview's pending-tag fallback), so no log record is orphaned."""
+    req = tl.Instant(instant_time, tl.COMPACTION, tl.REQUESTED)
+    pend = {i.time: i for i in table.timeline.pending()
+            if i.action == tl.COMPACTION}
+    ins = pend.get(instant_time)
+    if ins is None:
+        return False
+    if ins.state != tl.REQUESTED:
+        raise ValueError(
+            f"compaction {instant_time} is {ins.state}; only a requested "
+            "plan can be unscheduled (roll back an inflight run instead)")
+    table.timeline.delete_instant(req)
+    return True

@@ -1587,6 +1587,14 @@ class HudiTable:
         from .services.compaction import schedule_compaction
         return schedule_compaction(self, **kw)
 
+    def validate_compaction_plan(self, instant_time: str) -> list:
+        from .services.compaction import validate_compaction_plan
+        return validate_compaction_plan(self, instant_time)
+
+    def unschedule_compaction(self, instant_time: str) -> bool:
+        from .services.compaction import unschedule_compaction
+        return unschedule_compaction(self, instant_time)
+
     def run_compaction(self, instant_time: Optional[str] = None) -> Optional[str]:
         from .services.compaction import run_compaction
         return run_compaction(self, instant_time)

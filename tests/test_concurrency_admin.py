@@ -161,3 +161,35 @@ def test_prepped_variants(spark, tmp_path, orders):
     assert t.read().filter("o_totalprice = -3.0").count() == 100
     t.delete_prepped(orders.limit(40))
     assert t.read().count() == n - 40
+
+
+def test_compaction_admin_validate_and_unschedule(spark, tmp_table_path, lineitem):
+    from incubator_hudi_spark import HudiTable, MERGE_ON_READ
+    from pyspark.sql import functions as F
+    t = HudiTable.create(spark, tmp_table_path, name="li",
+                         recordkey_fields=["l_orderkey", "l_linenumber"],
+                         partition_expr="date_format(l_shipdate,'yyyy-MM')",
+                         precombine_field="l_shipdate",
+                         table_type=MERGE_ON_READ)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+    li = lineitem
+    t.upsert(li)
+    t.upsert(li.filter("l_linenumber = 1")
+               .withColumn("l_quantity", F.col("l_quantity") + 1.0))
+    c = t.schedule_compaction()
+    assert c is not None
+    rep = t.validate_compaction_plan(c)
+    assert rep and all(r["ok"] for r in rep)
+    n = t.read().count()
+    # a delta landing AFTER the pending plan tags its logs with the plan's
+    # instant; unscheduling must leave those logs readable
+    t.upsert(li.filter("l_linenumber = 2")
+               .withColumn("l_quantity", F.col("l_quantity") + 2.0))
+    assert t.unschedule_compaction(c) is True
+    assert t.unschedule_compaction(c) is False          # already gone
+    assert not [i for i in t.timeline.pending()]
+    assert t.read().count() == n
+    assert t.read().filter("l_linenumber = 2 and l_quantity > 2").count() > 0
+    # compaction can be rescheduled and run after the unschedule
+    assert t.run_compaction() is not None
+    assert t.read().count() == n
