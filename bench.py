@@ -113,6 +113,19 @@ def main():
         for i in range(10):
             last = t.upsert(upd.withColumn("l_extendedprice",
                                            F.col("l_extendedprice") + i))
+    # partition-local update: write amplification must be bounded by the
+    # touched partition, not the table (the 100 TB property — a 1-partition
+    # update of a 1000-partition table rewrites ~1/1000th of the files)
+    month = (li.select(F.date_format("l_shipdate", "yyyy-MM").alias("m"))
+             .groupBy("m").count().orderBy(F.desc("count")).first()[0])
+    loc = (li.filter(F.date_format("l_shipdate", "yyyy-MM") == month)
+           .filter("l_orderkey % 10 = 3")
+           .withColumn("l_quantity", F.col("l_quantity") + 2.0))
+    loc.persist().count()
+    with timed("upsert_partition_local"):
+        t.upsert(loc)
+    loc.unpersist()
+
     with timed("delete_batch"):
         t.delete(li.filter("l_orderkey % 100 = 13"))
 
