@@ -113,6 +113,16 @@ def main():
         for i in range(10):
             last = t.upsert(upd.withColumn("l_extendedprice",
                                            F.col("l_extendedprice") + i))
+    # SIMPLE-index steady state: the 100 TB-realistic path — no driver-cached
+    # index; tagging scans the key columns of the stats-pruned slice set
+    # lazily inside the write job
+    ts = make_table("cow_simple")
+    ts.bulk_insert(li)
+    ts.upsert(upd)                        # warm the plan shape
+    with timed("upsert_simple_index_batch"):
+        ts.upsert(upd.withColumn("l_extendedprice",
+                                 F.col("l_extendedprice") + 99))
+
     # partition-local update: write amplification must be bounded by the
     # touched partition, not the table (the 100 TB property — a 1-partition
     # update of a 1000-partition table rewrites ~1/1000th of the files)
