@@ -226,3 +226,37 @@ def test_crash_recovery_on_next_write(spark, tmp_table_path, lineitem):
     rb = t2.timeline.completed([tl.ROLLBACK])
     assert rb, "rollback instant should record the recovery"
     assert t2.read().filter("l_quantity = -1.0").count() == 100
+
+
+def test_bulk_insert_sort_modes(spark, tmp_table_path, lineitem):
+    """BulkInsertSortMode parity (GlobalSortPartitioner / RDDPartitionSort /
+    NonSort): identical logical content; GLOBAL_SORT must yield (mostly)
+    disjoint per-file key ranges inside each partition — that's the layout
+    property the stats-pruned index trades on."""
+    from incubator_hudi_spark.config import (SORT_GLOBAL, SORT_NONE,
+                                             SORT_PARTITION)
+    from incubator_hudi_spark import WriteConfig
+    snaps = {}
+    for mode in (SORT_GLOBAL, SORT_PARTITION, SORT_NONE):
+        t = make_lineitem_table(
+            spark, f"{tmp_table_path}_{mode}",
+            write_config=WriteConfig(target_file_size_bytes=16 * 1024))
+        t.bulk_insert(lineitem, sort_mode=mode)
+        snaps[mode] = t.read().select(*lineitem.columns)
+        if mode == SORT_GLOBAL:
+            by_part = {}
+            for sl in t.view().latest_slices():
+                for f in sl.base_files:
+                    if f.min_key is not None:
+                        by_part.setdefault(sl.partition, []).append(
+                            (f.min_key, f.max_key))
+            multi = {p: rs for p, rs in by_part.items() if len(rs) > 1}
+            assert multi, "tiny target size should split partitions"
+            for rs in multi.values():
+                rs.sort()
+                for (lo1, hi1), (lo2, hi2) in zip(rs, rs[1:]):
+                    assert hi1 <= lo2, "GLOBAL_SORT ranges must not interleave"
+    a = snaps[SORT_GLOBAL]
+    for mode in (SORT_PARTITION, SORT_NONE):
+        assert a.exceptAll(snaps[mode]).count() == 0
+        assert snaps[mode].exceptAll(a).count() == 0
