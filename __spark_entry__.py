@@ -1158,6 +1158,107 @@ def embedding_cosine_pairs_q(spark, sf_dir):
              .select("id_a", "id_b"))
 
 
+def _pipeline_oracle() -> str:
+    """RefinedWeb/CCNet-style pipeline mirrored end-to-end in SQL: quality
+    gate → language filter → MinHash dedup (md5 family) → PII seed+scrub →
+    corpus stats."""
+    from incubator_hudi_spark.operators.text import LANG_MARKERS
+    langs = sorted(LANG_MARKERS)
+    toks = "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))"
+    hits = ", ".join(
+        "len(list_intersect({}, [{}])) AS h_{}".format(
+            toks, ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang)
+        for lang in langs)
+    mx = "greatest({})".format(", ".join(f"h_{lang}" for lang in langs))
+    case = "CASE WHEN {m} = 0 THEN 'unknown' {whens} END".format(
+        m=mx, whens=" ".join(
+            "WHEN h_{lang} = {m} THEN '{lang}'".format(lang=lang, m=mx)
+            for lang in langs))
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}"
+    ip = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    return rf"""
+WITH q AS (
+  SELECT doc_id, text,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9_\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, n_tokens FROM q
+  WHERE n_tokens >= 30 AND punct_ratio <= 0.2),
+h AS (SELECT doc_id, text, n_tokens, {hits} FROM kept),
+en AS (SELECT doc_id, text, n_tokens FROM h WHERE {case} = 'en'),
+shing AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(lower(trim(text)),'\s+')) - 2, 1) + 1),
+      i -> array_to_string(string_split_regex(lower(trim(text)),'\s+')[i:i+2], ' '))) AS sh
+  FROM en),
+sigs AS (
+  SELECT doc_id,
+    list_transform(range(0, 16),
+      i -> list_min(list_transform(sh, s -> md5(i::varchar || md5(s))))) AS sig
+  FROM shing),
+banded AS (
+  SELECT doc_id, b AS band, md5(sig[b*2+1] || sig[b*2+2]) AS bh
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+losers AS (
+  SELECT DISTINCT cand.id_b AS doc_id
+  FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id
+            JOIN sigs sb ON cand.id_b = sb.doc_id
+  WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.7),
+surv AS (
+  SELECT en.doc_id, en.text, en.n_tokens FROM en
+  LEFT JOIN losers l ON en.doc_id = l.doc_id WHERE l.doc_id IS NULL),
+seeded AS (
+  SELECT doc_id, n_tokens,
+         text || ' u' || doc_id || '@ex.com 10.0.0.' || (doc_id % 256) AS t
+  FROM surv)
+SELECT count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       sum(len(regexp_extract_all(t, '{email}'))) AS n_emails,
+       sum(length(regexp_replace(regexp_replace(
+             regexp_replace(t, '{email}', '<EMAIL>', 'g'),
+             '{phone}', '<PHONE>', 'g'),
+             '{ip}', '<IP>', 'g'))) AS clean_chars
+FROM seeded
+"""
+
+
+@q("pipeline_training_corpus", _pipeline_oracle())
+def pipeline_training_corpus(spark, sf_dir):
+    """Flagship composed pipeline (RefinedWeb/CCNet shape): quality gate →
+    language filter → MinHash-LSH dedup (keep lowest id) → synthetic-PII
+    seed + scrub → corpus stats.  Every stage is one of the engine's
+    operators; the oracle mirrors the whole chain in a single SQL query.
+    At 100 TB the chain is: codegen'd map stages (quality, lang, scrub) +
+    one dedup (shingle agg + banded self-join + anti-join) — no Python in
+    the row path anywhere."""
+    from incubator_hudi_spark.operators import dedup as D
+    from incubator_hudi_spark.operators import text as T
+    docs = _load(spark, sf_dir, "documents")
+    q_feats = T.quality_features(docs)
+    kept = q_feats.filter("n_tokens >= 30 AND punct_ratio <= 0.2")
+    en = (kept.withColumn("pred", T.detect_language(F.col("text")))
+          .filter("pred = 'en'"))
+    surv = D.dedup_minhash(en, threshold=0.7, hash_family="md5")
+    seeded = surv.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" u"), F.col("doc_id"),
+                         F.lit("@ex.com 10.0.0."),
+                         F.pmod(F.col("doc_id"), F.lit(256))))
+    scrubbed = T.pii_scrub(seeded)
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum(F.length("text_clean")).alias("clean_chars"))
+
+
 @q("semantic_dedup_survivors", """
 WITH cents AS (
   SELECT embedding AS c, row_number() OVER (ORDER BY vec_id) - 1 AS cell
