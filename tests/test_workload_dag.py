@@ -188,3 +188,84 @@ def test_random_workload_dag(spark, tmp_table_path, table_type, seed):
                for r in t.read(QUERY_INCREMENTAL, begin=a, end=b)
                .select("k", "p", "v", "payload").collect()}
         assert got == expect, f"incremental ({a}, {b}] diverged"
+
+
+@pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+def test_random_workload_event_time_guard(spark, tmp_table_path, table_type):
+    """DEFAULT-payload DAG: random LATE-ARRIVING updates (precombine `v` may
+    be lower than stored) must lose to the stored version — the event-time
+    ordering guard (DefaultHoodieRecordPayload.java:41,93).  This payload
+    disables the COW anti-join fast lane, so the randomized sequence drives
+    the general window-merge lane.
+
+    Model: absent key → insert; present key → replace iff v_new >= v_stored
+    (ties: newer commit wins).  Deletes and re-inserts always carry the
+    current max ordering value so COW and MOR agree (a lower-ordered delete
+    or post-delete update is reference-ambiguous between table types)."""
+    from incubator_hudi_spark.config import PAYLOAD_DEFAULT
+    rng = random.Random(20260814)
+    t = HudiTable.create(spark, tmp_table_path, name="dag_guard",
+                         recordkey_fields=["k"], partition_expr="p",
+                         precombine_field="v", table_type=table_type,
+                         payload=PAYLOAD_DEFAULT)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+
+    model: dict = {}
+    seq = 100            # strictly above any random v
+    recently_deleted: list[tuple[str, str]] = []
+
+    def apply_upsert(rows):
+        inst = t.upsert(_df(spark, rows))
+        for r in rows:
+            kp = (r["k"], r["p"])
+            if kp not in model or r["v"] >= model[kp][0]:
+                model[kp] = (r["v"], r["payload"])
+        return inst
+
+    # seed
+    seq += 1
+    rows = [dict(k=k, p=p, v=seq, payload=f"s{seq}-{k}")
+            for k, p in rng.sample([(k, p) for k in KEYS for p in PARTS], 12)]
+    apply_upsert(rows)
+    assert _snapshot(t) == model
+
+    for step in range(12):
+        op = rng.choice(["late", "late", "fresh", "delete", "reinsert",
+                         "compact_or_cluster", "clean"])
+        seq += 1
+        if op in ("late", "fresh"):
+            picked = rng.sample([(k, p) for k in KEYS for p in PARTS],
+                                rng.randint(1, 12))
+            rows = []
+            for k, p in picked:
+                if (k, p) in model and op == "late":
+                    v = rng.randint(0, 50)      # may lose to stored
+                else:
+                    v = seq                     # inserts always win
+                rows.append(dict(k=k, p=p, v=v, payload=f"s{seq}-{k}-{v}"))
+            apply_upsert(rows)
+        elif op == "delete":
+            if not model:
+                continue
+            targets = rng.sample(sorted(model),
+                                 min(len(model), rng.randint(1, 5)))
+            t.delete(_df(spark, [dict(k=k, p=p, v=seq, payload=None)
+                                 for k, p in targets]))
+            for kp in targets:
+                model.pop(kp, None)
+            recently_deleted.extend(targets)
+        elif op == "reinsert":
+            if not recently_deleted:
+                continue
+            rows = [dict(k=k, p=p, v=seq, payload=f"re{seq}-{k}")
+                    for k, p in recently_deleted]
+            recently_deleted.clear()
+            apply_upsert(rows)
+        elif op == "compact_or_cluster":
+            if table_type == "MERGE_ON_READ" and rng.random() < 0.7:
+                t.run_compaction()
+            else:
+                t.cluster(sort_columns=["k"])
+        elif op == "clean":
+            t.clean()
+        assert _snapshot(t) == model, f"step {step} op {op} diverged"
