@@ -269,3 +269,70 @@ def test_random_workload_event_time_guard(spark, tmp_table_path, table_type):
         elif op == "clean":
             t.clean()
         assert _snapshot(t) == model, f"step {step} op {op} diverged"
+
+
+@pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+def test_random_workload_partial_update(spark, tmp_table_path, table_type):
+    """OverwriteNonDefaults-payload DAG: a null field in the newest version
+    is filled from the newest stored non-null value; a delete is a merge
+    barrier (fills never resurrect pre-delete state).  Model: newest batch
+    wins per key, None payload inherits the stored payload."""
+    from incubator_hudi_spark.config import PAYLOAD_OVERWRITE_NON_DEFAULTS
+    rng = random.Random(474747)
+    t = HudiTable.create(spark, tmp_table_path, name="dag_partial",
+                         recordkey_fields=["k"], partition_expr="p",
+                         precombine_field="v", table_type=table_type,
+                         payload=PAYLOAD_OVERWRITE_NON_DEFAULTS)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+
+    model: dict = {}
+    seq = 0
+
+    def upsert(rows):
+        t.upsert(_df(spark, rows))
+        for r in rows:
+            kp = (r["k"], r["p"])
+            pay = r["payload"]
+            if pay is None and kp in model:
+                pay = model[kp][1]          # fill from stored
+            model[kp] = (r["v"], pay)
+
+    seq += 1
+    upsert([dict(k=k, p=p, v=seq, payload=f"s{seq}-{k}")
+            for k, p in rng.sample([(k, p) for k in KEYS for p in PARTS], 12)])
+    assert _snapshot(t) == model
+
+    for step in range(10):
+        op = rng.choice(["partial", "partial", "full", "delete",
+                         "compact_or_cluster"])
+        seq += 1
+        if op in ("partial", "full"):
+            picked = rng.sample([(k, p) for k in KEYS for p in PARTS],
+                                rng.randint(1, 10))
+            upsert([dict(k=k, p=p, v=seq,
+                         payload=(None if op == "partial"
+                                  and rng.random() < 0.7
+                                  else f"s{seq}-{k}"))
+                    for k, p in picked])
+        elif op == "delete":
+            if not model:
+                continue
+            targets = rng.sample(sorted(model),
+                                 min(len(model), rng.randint(1, 4)))
+            t.delete(_df(spark, [dict(k=k, p=p, v=seq, payload=None)
+                                 for k, p in targets]))
+            for kp in targets:
+                model.pop(kp, None)
+            # delete barrier: a later partial update must NOT refill from
+            # the pre-delete payload
+            seq += 1
+            refill = [dict(k=k, p=p, v=seq, payload=None)
+                      for k, p in targets[:2]]
+            if refill:
+                upsert(refill)   # model fills None → None (key was gone)
+        elif op == "compact_or_cluster":
+            if table_type == "MERGE_ON_READ" and rng.random() < 0.7:
+                t.run_compaction()
+            else:
+                t.cluster(sort_columns=["k"])
+        assert _snapshot(t) == model, f"step {step} op {op} diverged"
