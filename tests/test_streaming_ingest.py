@@ -233,3 +233,35 @@ def test_windowed_agg_stream_matches_batch(spark, tmp_path, events):
     closed_ref = ref.filter(
         F.col("window_end").cast("long") <= mx - 10 * 60)
     assert got.count() >= closed_ref.count()
+
+
+def test_dfs_source_csv_and_json(spark, tmp_path, events):
+    """CsvDFSSource / JsonDFSSource parity: the same checkpointed listing
+    source reads csv and json drops with an explicit schema."""
+    from incubator_hudi_spark import HudiTable
+    sub = events.select("event_id", "user_id", "value")
+    for fmt, writer in (("csv", lambda df, p: df.write.option("header", True).csv(p)),
+                        ("json", lambda df, p: df.write.json(p))):
+        src_dir = str(tmp_path / f"src_{fmt}")
+        writer(sub.filter("event_id % 2 = 0"), src_dir)
+        t = HudiTable.create(spark, str(tmp_path / f"t_{fmt}"), name=f"ev_{fmt}",
+                             recordkey_fields=["event_id"],
+                             partition_expr=None, precombine_field="event_id")
+        opts = {"header": "true"} if fmt == "csv" else {}
+        job = IngestJob(t, DFSSource(spark, src_dir, fmt,
+                                     schema=sub.schema, options=opts))
+        assert job.sync_once() is not None
+        assert t.read().count() == sub.filter("event_id % 2 = 0").count()
+        # second drop → only the new files are ingested
+        import time as _t
+        _t.sleep(1.1)          # mtime granularity
+        writer(sub.filter("event_id % 2 = 1"), src_dir + "_b")
+        for root, _d, files in __import__("os").walk(src_dir + "_b"):
+            for fn in files:
+                if not fn.startswith(("_", ".")):
+                    __import__("shutil").copy(
+                        __import__("os").path.join(root, fn),
+                        __import__("os").path.join(src_dir, "b_" + fn))
+        assert job.sync_once() is not None
+        assert t.read().count() == sub.count()
+        assert job.sync_once() is None      # drained
