@@ -126,11 +126,9 @@ def main():
     # partition-local update: write amplification must be bounded by the
     # touched partition, not the table (the 100 TB property — a 1-partition
     # update of a 1000-partition table rewrites ~1/1000th of the files)
-    month = (li.select(F.date_format("l_shipdate", "yyyy-MM").alias("m"))
-             .groupBy("m").count().orderBy(F.desc("count")).first()[0])
-    loc = (li.filter(F.date_format("l_shipdate", "yyyy-MM") == month)
-           .filter("l_orderkey % 10 = 3")
-           .withColumn("l_quantity", F.col("l_quantity") + 2.0))
+    from incubator_hudi_spark.functions.workloads import \
+        partition_local_update_batch
+    loc = partition_local_update_batch(li)
     loc.persist().count()
     with timed("upsert_partition_local"):
         t.upsert(loc)

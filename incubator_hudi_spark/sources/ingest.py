@@ -60,8 +60,13 @@ class DFSSource:
             reader = reader.schema(self.schema)
         for k, v in self.options.items():
             reader = reader.option(k, v)
-        if hasattr(reader, self.fmt):
-            df = getattr(reader, self.fmt)(*sorted(new_files))
+        if self.fmt == "parquet":
+            df = reader.parquet(*sorted(new_files))
+        elif hasattr(reader, self.fmt):
+            # csv/json/orc/text take (path, schema=None, ...) — pass the
+            # file list as ONE argument; *args would bind the 2nd path to
+            # the schema parameter
+            df = getattr(reader, self.fmt)(sorted(new_files))
         else:   # avro & other format-plugin sources
             df = reader.format(self.fmt).load(sorted(new_files))
         return df, repr(max_mtime)

@@ -237,13 +237,19 @@ def test_windowed_agg_stream_matches_batch(spark, tmp_path, events):
 
 def test_dfs_source_csv_and_json(spark, tmp_path, events):
     """CsvDFSSource / JsonDFSSource parity: the same checkpointed listing
-    source reads csv and json drops with an explicit schema."""
+    source reads MULTI-FILE csv and json drops with an explicit schema
+    (multi-file pins the path-list calling convention — *args would bind
+    the 2nd path to DataFrameReader's schema parameter)."""
+    import os
+    import shutil
+    import time
+
     from incubator_hudi_spark import HudiTable
     sub = events.select("event_id", "user_id", "value")
     for fmt, writer in (("csv", lambda df, p: df.write.option("header", True).csv(p)),
                         ("json", lambda df, p: df.write.json(p))):
         src_dir = str(tmp_path / f"src_{fmt}")
-        writer(sub.filter("event_id % 2 = 0"), src_dir)
+        writer(sub.filter("event_id % 2 = 0").repartition(3), src_dir)
         t = HudiTable.create(spark, str(tmp_path / f"t_{fmt}"), name=f"ev_{fmt}",
                              recordkey_fields=["event_id"],
                              partition_expr=None, precombine_field="event_id")
@@ -252,16 +258,14 @@ def test_dfs_source_csv_and_json(spark, tmp_path, events):
                                      schema=sub.schema, options=opts))
         assert job.sync_once() is not None
         assert t.read().count() == sub.filter("event_id % 2 = 0").count()
-        # second drop → only the new files are ingested
-        import time as _t
-        _t.sleep(1.1)          # mtime granularity
-        writer(sub.filter("event_id % 2 = 1"), src_dir + "_b")
-        for root, _d, files in __import__("os").walk(src_dir + "_b"):
+        # second multi-file drop → only the new files are ingested
+        time.sleep(1.1)        # mtime granularity
+        writer(sub.filter("event_id % 2 = 1").repartition(2), src_dir + "_b")
+        for root, _d, files in os.walk(src_dir + "_b"):
             for fn in files:
                 if not fn.startswith(("_", ".")):
-                    __import__("shutil").copy(
-                        __import__("os").path.join(root, fn),
-                        __import__("os").path.join(src_dir, "b_" + fn))
+                    shutil.copy(os.path.join(root, fn),
+                                os.path.join(src_dir, "b_" + fn))
         assert job.sync_once() is not None
         assert t.read().count() == sub.count()
         assert job.sync_once() is None      # drained

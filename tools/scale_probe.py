@@ -1,9 +1,10 @@
 """Scaling probe: how do the engine's core ops scale with table size?
 
-Builds the same lineitem table at 1x / 2x / 4x sf0.1 volume (key-shifted
-copies — partition count and layout held constant so only DATA volume grows)
-and times: bulk_insert, a full-spread 1% upsert, a partition-local upsert,
-a 100-key point lookup (stats-pruned), and a snapshot aggregate.
+Builds the same lineitem table at 1x / 2x / 4x sf0.1 volume via date+key-
+shifted copies — i.e. 1x/2x/4x PARTITION COUNT at constant per-partition
+size, which is how a real table grows — and times: bulk_insert, a
+full-spread 1% upsert, a partition-local upsert, a 100-key point lookup
+(stats-pruned), and a snapshot aggregate.
 
 What the numbers must show for the 100 TB claim:
   - bulk_insert, full-spread upsert, snapshot agg: ~linear in volume (they
@@ -99,26 +100,26 @@ def main():
         r["upsert_full_spread_1pct"] = round(time.time() - t0, 2)
         upd.unpersist()
 
-        month = (src.select(F.date_format("l_shipdate", "yyyy-MM").alias("m"))
-                 .groupBy("m").count().orderBy(F.desc("count")).first()[0])
-        loc = (src.filter(F.date_format("l_shipdate", "yyyy-MM") == month)
-               .filter("l_orderkey % 10 = 3")
-               .withColumn("l_quantity", F.col("l_quantity") + 2.0))
+        from incubator_hudi_spark.functions.workloads import \
+            partition_local_update_batch
+        loc = partition_local_update_batch(src)
         loc.persist().count()
         t0 = time.time()
         t.upsert(loc)
         r["upsert_partition_local"] = round(time.time() - t0, 2)
         loc.unpersist()
 
-        keys = [r2[0] for r2 in src.select("_c" if False else "l_orderkey")
-                .distinct().limit(100).collect()]
-        some = (src.filter(F.col("l_orderkey").isin(keys[:100]))
-                .selectExpr("concat_ws(',', l_orderkey, l_linenumber) AS k")
-                .distinct().limit(100).collect())
-        key_list = [r2[0] for r2 in some]
+        # 100 REAL stored record keys (engine key format), collected from
+        # the table itself so the lookup provably returns 100 rows
+        key_list = [r2[0] for r2 in
+                    t.read().select("_hoodie_record_key")
+                    .distinct().limit(100).collect()]
         t0 = time.time()
-        t.read_keys(key_list).count()
+        n_hit = t.read_keys(key_list).select("_hoodie_record_key") \
+                 .distinct().count()
         r["point_lookup_100_keys"] = round(time.time() - t0, 2)
+        assert n_hit == len(key_list), \
+            f"point lookup must hit every key ({n_hit}/{len(key_list)})"
 
         t0 = time.time()
         (t.read().groupBy("l_returnflag", "l_linestatus")
@@ -146,8 +147,10 @@ def main():
     ]
     for c in cols:
         lines.append(f"| {c} | " + " | ".join(str(rows[m][c]) for m in rows) + " |")
-    flat = all(rows[4]["upsert_partition_local"]
-               <= 2.0 * rows[1]["upsert_partition_local"] + 0.5 for _ in [0])
+    flat = (rows[4]["upsert_partition_local"]
+            <= 2.0 * rows[1]["upsert_partition_local"] + 0.5) and \
+           (rows[4]["point_lookup_100_keys"]
+            <= 2.0 * rows[1]["point_lookup_100_keys"] + 0.5)
     lines += [
         "",
         "Observed: partition-local upsert and point lookup are bounded by the",
