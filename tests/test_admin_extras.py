@@ -88,3 +88,27 @@ def test_export_snapshot_roundtrip(spark, tmp_path, li):
     dest2 = str(tmp_path / "out2")
     admin.export_snapshot(t, dest2, as_of=first)
     assert spark.read.parquet(dest2).filter("l_quantity = -7.0").count() == 0
+
+
+def test_cleans_rollbacks_wa_frames(spark, tmp_table_path, lineitem):
+    from incubator_hudi_spark import HudiTable, WriteConfig, admin
+    from pyspark.sql import functions as F
+    t = HudiTable.create(spark, tmp_table_path, name="adm2",
+                         recordkey_fields=["l_orderkey", "l_linenumber"],
+                         partition_expr="date_format(l_shipdate,'yyyy-MM')",
+                         precombine_field="l_shipdate",
+                         write_config=WriteConfig(clean_retain_commits=1))
+    li = lineitem
+    t.upsert(li)
+    bad = t.upsert(li.limit(100).withColumn("l_quantity", F.lit(-1.0)))
+    t.rollback(bad)
+    t.upsert(li.limit(200).withColumn("l_quantity", F.lit(5.0)))
+    t.upsert(li.limit(200).withColumn("l_quantity", F.lit(6.0)))
+    t.clean()
+    rb = admin.rollbacks_df(t).collect()
+    assert len(rb) == 1 and rb[0]["rolled_back_instant"] == bad
+    cl = admin.cleans_df(t).collect()
+    assert len(cl) >= 1 and sum(r["files_deleted"] for r in cl) > 0
+    wa = admin.write_amplification_df(t)
+    assert wa.filter("operation = 'upsert'").count() >= 3
+    assert wa.agg(F.sum("records_written")).first()[0] > 0
