@@ -106,8 +106,28 @@ class HudiSqlSession:
             return self._create(s)
         if head == "ALTER":
             return self._alter(s)
+        if head == "SHOW":
+            return self._show(s)
         # reads: expose snapshots as views, let Spark SQL do the rest
         return self._passthrough(s)
+
+    def _show(self, s: str) -> DataFrame:
+        """SHOW PARTITIONS / COMMITS / SAVEPOINTS / CLEANS / ROLLBACKS /
+        FILES <table> — hudi-cli inspection commands surfaced as SQL
+        (CommitsCommand, FileSystemViewCommand, SavepointsCommand, ...)."""
+        m = re.match(r"SHOW\s+(PARTITIONS|COMMITS|SAVEPOINTS|CLEANS|"
+                     r"ROLLBACKS|FILES)\s+(?:FROM\s+|IN\s+)?(\S+)$", s, re.I)
+        if not m:
+            raise ValueError(f"cannot parse SHOW: {s[:120]}")
+        what, tname = m.group(1).upper(), m.group(2)
+        from . import admin
+        t = self._table(tname)
+        return {"PARTITIONS": admin.partitions_df,
+                "COMMITS": admin.commits_df,
+                "SAVEPOINTS": admin.savepoints_df,
+                "CLEANS": admin.cleans_df,
+                "ROLLBACKS": admin.rollbacks_df,
+                "FILES": admin.files_df}[what](t)
 
     # -----------------------------------------------------------------
     def _table(self, name: str) -> HudiTable:

@@ -92,3 +92,20 @@ def test_insert_values_and_overwrite(spark, tmp_path, hs):
 def test_truncate(spark, hs):
     hs.sql("TRUNCATE TABLE trips")
     assert hs.sql("SELECT count(*) AS n FROM trips").collect()[0]["n"] == 0
+
+
+def test_show_commands(spark, tmp_table_path, orders):
+    from incubator_hudi_spark.sql import HudiSqlSession
+    hs = HudiSqlSession(spark)
+    hs.sql(f"""CREATE TABLE showt USING hudi OPTIONS (
+                 primaryKey = 'o_orderkey', preCombineField = 'o_orderdate',
+                 partitionExpr = \"date_format(o_orderdate,'yyyy')\"
+               ) LOCATION '{tmp_table_path}'""")
+    t = hs.tables["showt"]
+    t.upsert(orders)
+    t.savepoint()
+    assert hs.sql("SHOW PARTITIONS showt").count() > 0
+    assert hs.sql("SHOW COMMITS FROM showt").count() == 1
+    assert hs.sql("SHOW SAVEPOINTS showt").count() == 1
+    assert hs.sql("SHOW FILES showt").count() > 0
+    assert hs.sql("SHOW CLEANS showt").count() == 0
