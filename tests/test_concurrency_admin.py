@@ -193,3 +193,43 @@ def test_compaction_admin_validate_and_unschedule(spark, tmp_table_path, lineite
     # compaction can be rescheduled and run after the unschedule
     assert t.run_compaction() is not None
     assert t.read().count() == n
+
+
+def test_occ_threaded_disjoint_writers(spark, tmp_table_path, orders):
+    """Two ACTUAL concurrent writer threads (shared SparkSession, separate
+    HudiTable handles + OccWriter scopes + the filesystem lock provider)
+    upserting disjoint partitions: both must commit, and the snapshot is
+    the union of both updates."""
+    import threading
+
+    t0 = make_orders(spark, tmp_table_path)
+    t0.upsert(orders)
+    n_before = t0.read().count()
+    parts = sorted(t0.view().partitions())
+    assert len(parts) >= 2
+    halves = [parts[:len(parts) // 2], parts[len(parts) // 2:]]
+    errs = []
+
+    def work(i):
+        try:
+            t = HudiTable.load(spark, tmp_table_path)
+            batch = (orders.filter(
+                F.date_format("o_orderdate", "yyyy").isin(halves[i]))
+                .withColumn("o_totalprice", F.lit(100.0 + i)))
+            with OccWriter(t):
+                t.upsert(batch)
+        except Exception as ex:        # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errs, errs
+    snap = HudiTable.load(spark, tmp_table_path).read()
+    # both writers only UPDATE existing rows → row count is unchanged
+    assert snap.count() == n_before
+    assert snap.filter("o_totalprice = 100.0").count() > 0
+    assert snap.filter("o_totalprice = 101.0").count() > 0
+    assert snap.filter("o_totalprice NOT IN (100.0, 101.0)").count() == 0
