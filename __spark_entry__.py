@@ -2344,6 +2344,38 @@ def point_lookup_pruned(spark, sf_dir):
         "o_orderkey", "o_totalprice", "o_orderstatus")
 
 
+@q("point_lookup_bloom", """
+WITH pick AS (
+  SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+  ORDER BY l_orderkey, l_linenumber LIMIT 5)
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+FROM lineitem l JOIN pick USING (l_orderkey, l_linenumber)
+""")
+def point_lookup_bloom(spark, sf_dir):
+    """Bloom-sidecar point lookup on a hash (SORT_NONE) layout where every
+    file's key RANGE overlaps — the bloom second stage (table.bloom, the
+    reference's footer blooms) prunes what ranges cannot."""
+    from incubator_hudi_spark import HudiTable, WriteConfig
+    from incubator_hudi_spark.config import SORT_NONE
+
+    def build():
+        t = HudiTable.create(
+            spark, _new_path("li_hash", sf_dir), name="li_hash",
+            recordkey_fields=["l_orderkey", "l_linenumber"],
+            partition_expr=None, precombine_field="l_shipdate",
+            write_config=WriteConfig(target_file_size_bytes=64 * 1024))
+        t.bulk_insert(_load(spark, sf_dir, "lineitem"), sort_mode=SORT_NONE)
+        t.build_bloom_index()
+        return {"t": t}
+    t = _recipe("li_hash", sf_dir, build)["t"]
+    pairs = (_load(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_linenumber").distinct()
+             .orderBy("l_orderkey", "l_linenumber").limit(5).collect())
+    keys = [f"l_orderkey:{r[0]},l_linenumber:{r[1]}" for r in pairs]
+    return t.read_keys(keys).select("l_orderkey", "l_linenumber",
+                                    "l_quantity")
+
+
 @q("timestamp_keygen_epoch", """
 SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
 FROM events GROUP BY 1

@@ -1316,6 +1316,12 @@ class HudiTable:
             i = bisect.bisect_left(ks, lo)
             if i < len(ks) and ks[i] <= hi:
                 cand.append(sl)
+        # second-stage pruning: bloom sidecars (build_bloom_index) catch the
+        # range-overlap cases a hash/unsorted layout leaves behind
+        from .bloom import load_blooms, prune_slices_by_bloom
+        blooms = load_blooms(self.meta)
+        if blooms:
+            cand = prune_slices_by_bloom(cand, blooms, ks)
         df = self._read_slices(cand, read_optimized=False)
         return df.filter(F.col(META_RECORD_KEY).isin(ks))
 
@@ -1586,6 +1592,14 @@ class HudiTable:
     def schedule_compaction(self, **kw) -> Optional[str]:
         from .services.compaction import schedule_compaction
         return schedule_compaction(self, **kw)
+
+    def build_bloom_index(self, instant_time: Optional[str] = None,
+                          bits_per_key: int = 10, k: int = 7) -> Optional[str]:
+        """Build/refresh the per-file-group bloom sidecar (the reference
+        BLOOM index's footer blooms, SURVEY §2.2) used by ``read_keys`` as
+        a second pruning stage after min/max ranges."""
+        from .bloom import build_bloom_sidecar
+        return build_bloom_sidecar(self, instant_time, bits_per_key, k)
 
     def validate_compaction_plan(self, instant_time: str) -> list:
         from .services.compaction import validate_compaction_plan
