@@ -159,6 +159,10 @@ class WriteConfig:
     # batches up to this many rows broadcast their key set to prune the index
     # scan (indexing.tag_locations) instead of shuffling/building it
     index_broadcast_max_rows: int = 1_000_000
+    # batches up to this many rows may collect their key set driver-side to
+    # bloom-prune the COW rewrite set (bloom.py sidecar; the reference BLOOM
+    # index's second pruning stage after min/max ranges)
+    bloom_prune_max_batch_keys: int = 5_000
     # global indexes: when an update's partition expression maps to a new
     # partition, False (reference default) routes it to the record's EXISTING
     # partition; True MOVES the record — delete in the old partition + insert

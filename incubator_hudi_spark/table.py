@@ -841,6 +841,21 @@ class HudiTable:
             if rng is None or lo is None \
                     or not (hi < rng[0] or lo > rng[1]):
                 rewrite.append(sl)
+        # bloom second stage (write side): for SMALL batches on tables with
+        # a bloom sidecar, collect the batch's keys and drop range-surviving
+        # slices whose bloom proves none present — on hash/unsorted layouts
+        # ranges all overlap and this is what bounds the rewrite set.  A
+        # fresh bloom has no false negatives (stale/logged slices are kept),
+        # so the set stays a superset of the touched groups.
+        n_batch = sum(r[1] for r in prof)
+        if (len(rewrite) > 8
+                and n_batch <= self.cfg.bloom_prune_max_batch_keys):
+            from .bloom import load_blooms, prune_slices_by_bloom
+            blooms = load_blooms(self.meta)
+            if blooms:
+                ks = [r[0] for r in
+                      prepared.select(META_RECORD_KEY).distinct().collect()]
+                rewrite = prune_slices_by_bloom(rewrite, blooms, ks)
         rewrite_fgs = {sl.file_group for sl in rewrite}
         fg_map = {sl.file_group: sl.partition for sl in rewrite}
 

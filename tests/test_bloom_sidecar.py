@@ -18,7 +18,9 @@ def make_hash_layout_table(spark, path, lineitem):
         recordkey_fields=["l_orderkey", "l_linenumber"],
         partition_expr=None, precombine_field="l_shipdate",
         write_config=WriteConfig(target_file_size_bytes=16 * 1024))
-    t.bulk_insert(lineitem, sort_mode=SORT_NONE)
+    # round-robin shuffle first: the source parquet is key-ordered, so even
+    # SORT_NONE would otherwise produce chunked (prunable) ranges
+    t.bulk_insert(lineitem.repartition(24), sort_mode=SORT_NONE)
     return t
 
 
@@ -83,3 +85,42 @@ def test_positions_deterministic():
     assert a == positions_py("k1", 1 << 12, 7)
     assert a != positions_py("k2", 1 << 12, 7)
     assert all(0 <= p < (1 << 12) for p in a)
+
+
+def test_bloom_bounds_small_upsert_rewrite_set(spark, tmp_table_path, lineitem):
+    """On the hash layout, a 3-key delete with blooms must rewrite far fewer
+    file groups than range pruning alone allows (ranges all overlap)."""
+    import os
+    t = make_hash_layout_table(spark, tmp_table_path, lineitem)
+    n_groups = len(t.view().latest_slices())
+    # MID-RANGE keys: almost every file's random-key range spans the median,
+    # so range pruning alone cannot help (extreme-low/high keys it could)
+    from pyspark.sql.window import Window
+    ranked = (lineitem.select("l_orderkey", "l_linenumber").distinct()
+              .withColumn("_rn", F.row_number().over(
+                  Window.orderBy("l_orderkey", "l_linenumber"))))
+    n_keys = ranked.count()
+    victims = ranked.filter(F.col("_rn").between(n_keys // 2, n_keys // 2 + 2))
+
+    def n_rewritten(inst):
+        d = t.meta.instant_data_dir(inst)
+        return sum(1 for x in os.listdir(d) if x.startswith("_fg="))
+
+    # without blooms: ranges overlap → nearly the whole table rewrites
+    c1 = t.delete(lineitem.join(victims.select("l_orderkey", "l_linenumber"),
+                                ["l_orderkey", "l_linenumber"], "left_semi"))
+    wide = n_rewritten(c1)
+    assert wide > n_groups // 2
+    t.build_bloom_index()
+    more = ranked.filter(F.col("_rn").between(n_keys // 3, n_keys // 3 + 2))
+    c2 = t.delete(lineitem.join(more.select("l_orderkey", "l_linenumber"),
+                                ["l_orderkey", "l_linenumber"], "left_semi"))
+    narrow = n_rewritten(c2)
+    assert narrow < max(8, wide // 4), f"bloom should bound rewrites ({narrow} vs {wide})"
+    # and nothing was lost
+    assert t.read().join(more.select("l_orderkey", "l_linenumber"),
+                         ["l_orderkey", "l_linenumber"], "left_semi").count() == 0
+    n_exp = (lineitem.join(victims.unionByName(more)
+                           .select("l_orderkey", "l_linenumber").distinct(),
+                           ["l_orderkey", "l_linenumber"], "left_anti").count())
+    assert t.read().count() == n_exp
