@@ -77,7 +77,9 @@ def build_bloom_sidecar(table, instant_time: Optional[str] = None,
         n = sum(f.num_records for f in sl.base_files)
         paths = [table.meta.abs_path(f.path) for f in sl.base_files
                  if not f.external]
-        if n > 0 and paths:
+        # a slice with ANY external (bootstrap) base file gets no bloom: a
+        # bitset missing that file's keys would be a false negative
+        if n > 0 and paths and len(paths) == len(sl.base_files):
             m_of[sl.file_group] = 1 << max(8, (n * bits_per_key).bit_length())
             base_of[sl.file_group] = sl.base_instant
             all_paths += paths

@@ -68,7 +68,7 @@ def load_key_index(spark: SparkSession, meta: TableMetaClient, view: FileSystemV
                    index_type: str = INDEX_SIMPLE,
                    partitions: Optional[list[str]] = None,
                    key_range: Optional[tuple[str, str]] = None,
-                   tc=None) -> DataFrame:
+                   tc=None, only_fgs: Optional[set] = None) -> DataFrame:
     """DataFrame(key, partition, fg) of all live records in candidate slices.
 
     MOR: records first inserted into log files don't exist in base files; we
@@ -82,6 +82,9 @@ def load_key_index(spark: SparkSession, meta: TableMetaClient, view: FileSystemV
     such files exist) — still a column-pruned scan of just the key fields.
     """
     slices = _candidate_slices(view, index_type, partitions, key_range)
+    if only_fgs is not None:
+        # caller proved (bloom second stage) batch keys live only here
+        slices = [sl for sl in slices if sl.file_group in only_fgs]
     paths = []
     ext: list[tuple[str, str]] = []   # (abs path, fg)
     for sl in slices:

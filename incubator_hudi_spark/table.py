@@ -129,7 +129,8 @@ class HudiTable:
 
     def _load_index(self, view: FileSystemView,
                     partitions: Optional[list],
-                    key_range: Optional[tuple]) -> DataFrame:
+                    key_range: Optional[tuple],
+                    only_fgs: Optional[set] = None) -> DataFrame:
         """Key→location index for tagging.  INMEMORY keeps the scan result
         persisted across batches (valid while no commit has changed any
         key→file-group mapping; update-only upserts extend validity), loading
@@ -138,7 +139,8 @@ class HudiTable:
         it = self.cfg.index_type
         if it != INDEX_INMEMORY:
             return load_key_index(self.spark, self.meta, view, it,
-                                  partitions, key_range, tc=self.tc)
+                                  partitions, key_range, tc=self.tc,
+                                  only_fgs=only_fgs)
         last = self.timeline.last_completed(tl.DATA_ACTIONS)
         last_t = last.time if last else None
         if self._key_index is not None and self._key_index_valid_at != last_t:
@@ -848,6 +850,7 @@ class HudiTable:
         # fresh bloom has no false negatives (stale/logged slices are kept),
         # so the set stays a superset of the touched groups.
         n_batch = sum(r[1] for r in prof)
+        bloom_fgs = None
         if (len(rewrite) > 8
                 and n_batch <= self.cfg.bloom_prune_max_batch_keys):
             from .bloom import load_blooms, prune_slices_by_bloom
@@ -856,6 +859,9 @@ class HudiTable:
                 ks = [r[0] for r in
                       prepared.select(META_RECORD_KEY).distinct().collect()]
                 rewrite = prune_slices_by_bloom(rewrite, blooms, ks)
+                # every stored location of a batch (key, partition) is in a
+                # bloom-positive slice — the tagging scan can skip the rest
+                bloom_fgs = {sl.file_group for sl in rewrite}
         rewrite_fgs = {sl.file_group for sl in rewrite}
         fg_map = {sl.file_group: sl.partition for sl in rewrite}
 
@@ -863,7 +869,8 @@ class HudiTable:
         mns = [r[2] for r in prof if r[2] is not None]
         mxs = [r[3] for r in prof if r[3] is not None]
         key_range = (min(mns), max(mxs)) if mns else None
-        index_df = self._load_index(view, partitions, key_range)
+        index_df = self._load_index(view, partitions, key_range,
+                                    only_fgs=bloom_fgs)
         tagged = tag_locations(prepared, index_df, self.cfg.index_type,
                                broadcast_incoming=True).persist()
         try:
