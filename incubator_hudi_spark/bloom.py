@@ -116,6 +116,20 @@ def build_bloom_sidecar(table, instant_time: Optional[str] = None,
                "bloom binary")
     d = sidecar_dir(table.meta)
     os.makedirs(d, exist_ok=True)
+    # incremental refresh: carry forward previous blooms that are still
+    # valid for their slice (same base instant) and weren't rebuilt — a
+    # partial rebuild must not silently drop coverage of untouched groups
+    if instant_time is not None:
+        prev = load_blooms(table.meta)
+        cur_base = {sl.file_group: sl.base_instant
+                    for sl in view.latest_slices()}
+        carry = [(fg, bi, m, kk, bl) for fg, (bi, m, kk, bl) in prev.items()
+                 if fg not in m_of and cur_base.get(fg) == bi]
+        if carry:
+            carry_df = table.spark.createDataFrame(
+                carry, schema="file_group string, base_instant string, "
+                              "m long, k int, bloom binary")
+            built = built.unionByName(carry_df)
     last = table.timeline.last_completed()
     tag = last.time if last else "0"
     out = os.path.join(d, f"{tag}.parquet")

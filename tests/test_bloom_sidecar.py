@@ -124,3 +124,23 @@ def test_bloom_bounds_small_upsert_rewrite_set(spark, tmp_table_path, lineitem):
                            .select("l_orderkey", "l_linenumber").distinct(),
                            ["l_orderkey", "l_linenumber"], "left_anti").count())
     assert t.read().count() == n_exp
+
+
+def test_incremental_sidecar_refresh_carries_valid_blooms(spark, tmp_table_path, lineitem):
+    """Rebuilding blooms for ONE commit's slices must keep still-valid
+    blooms of untouched groups (partial refresh never drops coverage)."""
+    t = make_hash_layout_table(spark, tmp_table_path, lineitem)
+    t.build_bloom_index()
+    n_before = len(load_blooms(t.meta))
+    assert n_before > 5
+    # touch a few groups
+    one = (lineitem.orderBy("l_orderkey", "l_linenumber").limit(5)
+           .withColumn("l_quantity", F.lit(77.0)))
+    c = t.upsert(one)
+    # refresh only the slices rebased at c
+    t.build_bloom_index(instant_time=c)
+    blooms = load_blooms(t.meta)
+    cur = {sl.file_group: sl.base_instant for sl in t.view().latest_slices()}
+    fresh = [fg for fg, (bi, *_rest) in blooms.items() if cur.get(fg) == bi]
+    # every live group is covered by a FRESH bloom again
+    assert set(fresh) == set(cur)
