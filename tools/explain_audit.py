@@ -232,6 +232,33 @@ def main():
          n_exchanges(tagged_df) <= 1),
     ])
 
+    # 2c — bloom-pruned point lookup: second-stage pruning on a shuffled
+    # SORT_NONE layout (ranges all overlap → range pruning alone is blind)
+    from incubator_hudi_spark.config import SORT_NONE
+    tbl = HudiTable.create(
+        spark, tmp + "/bloomt", "bloomt",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr=None, precombine_field="l_shipdate",
+        write_config=__import__(
+            "incubator_hudi_spark.config", fromlist=["WriteConfig"]
+        ).WriteConfig(target_file_size_bytes=16 * 1024))
+    tbl.bulk_insert(li.repartition(24), sort_mode=SORT_NONE)
+    mid_key = (tbl.read().select("_hoodie_record_key")
+               .orderBy("_hoodie_record_key")
+               .offset(li.count() // 2).limit(1).first()[0])
+    n_range = len(tbl.read_keys([mid_key]).inputFiles())
+    tbl.build_bloom_index()
+    blq = tbl.read_keys([mid_key])
+    n_bloom = len(blq.inputFiles())
+    p = explain(blq)
+    check("bloom point lookup: sidecar prunes overlap-range files", p, [
+        (f"bloom opens fewer files than ranges alone ({n_bloom} < {n_range})",
+         n_bloom < n_range),
+        (f"a handful of files of {len(tbl.view().latest_slices())} groups "
+         f"({n_bloom})", n_bloom <= 8),
+        ("no exchange introduced", n_exchanges(blq) == 0),
+    ])
+
     # 4 — MOR snapshot merge: one shuffle window
     m = HudiTable.create(spark, tmp + "/mor", "mor",
                          recordkey_fields=["l_orderkey", "l_linenumber"],
