@@ -197,10 +197,11 @@ def cleans_df(table) -> DataFrame:
         md = table.timeline.read_metadata(ins)
         deleted = md.get("deleted_paths", [])
         rows.append((ins.time, len(deleted),
-                     md.get("policy"), md.get("retained")))
+                     md.get("policy"), md.get("retained"),
+                     md.get("earliest_retained")))
     return table.spark.createDataFrame(
         rows, "instant string, files_deleted int, policy string, "
-              "retained string")
+              "retained string, earliest_retained string")
 
 
 def rollbacks_df(table) -> DataFrame:
@@ -218,17 +219,23 @@ def write_amplification_df(table) -> DataFrame:
     """StatsCommand write-amplification: per commit, records written vs the
     batch's unique-record upper bound (for COW a 1%-update batch rewrites
     whole file groups, so WA >> 1 is expected and this is the visibility
-    tool for it).  ``records_updated`` is taken from the commit's update
-    file-group row counts when present."""
+    tool for it).  ``records_updated`` is the row count written into file
+    groups that pre-existed the commit (for COW that is the rewritten group's
+    full row count; for MOR it is the delta-log rows) — the denominator of
+    the write-amplification ratio."""
     rows = []
+    seen_fgs: set = set()
     for ins in table.timeline.completed(tl.DATA_ACTIONS):
         md = table.timeline.read_metadata(ins)
         written = md.get("num_records_written", 0)
         stats = md.get("write_stats", [])
         n_files = len(stats)
         log_records = sum(s.get("num_records", 0) for s in stats if s.get("log"))
+        updated = sum(s.get("num_records", 0) for s in stats
+                      if (s.get("partition"), s.get("file_group")) in seen_fgs)
+        seen_fgs.update((s.get("partition"), s.get("file_group")) for s in stats)
         rows.append((ins.time, md.get("operation"), written, n_files,
-                     log_records))
+                     log_records, updated))
     return table.spark.createDataFrame(
         rows, "instant string, operation string, records_written long, "
-              "files int, log_records long")
+              "files int, log_records long, records_updated long")

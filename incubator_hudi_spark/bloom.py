@@ -44,8 +44,18 @@ def positions_py(key: str, m: int, k: int) -> list[int]:
     return out
 
 
-def might_contain(bloom: bytes, m: int, k: int, key: str) -> bool:
-    for pos in positions_py(key, m, k):
+def might_contain(bloom: bytes, m: int, k: int, key: str,
+                  _pos_cache: Optional[dict] = None) -> bool:
+    """``_pos_cache``: optional {(key, m, k): positions} memo — positions
+    depend only on (key, m, k), so callers probing many file groups with the
+    same key set should share one cache (avoids re-hashing per group)."""
+    if _pos_cache is None:
+        positions = positions_py(key, m, k)
+    else:
+        positions = _pos_cache.get((key, m, k))
+        if positions is None:
+            positions = _pos_cache[(key, m, k)] = positions_py(key, m, k)
+    for pos in positions:
         if not (bloom[pos >> 3] >> (pos & 7)) & 1:
             return False
     return True
@@ -134,7 +144,17 @@ def build_bloom_sidecar(table, instant_time: Optional[str] = None,
     tag = last.time if last else "0"
     out = os.path.join(d, f"{tag}.parquet")
     built.coalesce(1).write.mode("overwrite").parquet(out)
+    # superseded snapshots are dead weight (load_blooms only reads the
+    # newest); retire them now that the refresh is durable
+    _prune_old_snapshots(d, keep=1)
     return out
+
+
+def _prune_old_snapshots(d: str, keep: int = 1) -> None:
+    import shutil
+    snaps = sorted(x for x in os.listdir(d) if x.endswith(".parquet"))
+    for stale in snaps[:-keep] if keep else snaps:
+        shutil.rmtree(os.path.join(d, stale), ignore_errors=True)
 
 
 def load_blooms(meta) -> dict[str, tuple[str, int, int, bytes]]:
@@ -162,12 +182,13 @@ def prune_slices_by_bloom(slices, blooms: dict, keys: Iterable[str]):
     built (stale)."""
     keep = []
     ks = list(keys)
+    pos_cache: dict = {}  # (key, m, k) → positions, shared across slices
     for sl in slices:
         b = blooms.get(sl.file_group)
         if b is None or sl.log_files or b[0] != sl.base_instant:
             keep.append(sl)
             continue
         _bi, m, k, bits = b
-        if any(might_contain(bits, m, k, key) for key in ks):
+        if any(might_contain(bits, m, k, key, pos_cache) for key in ks):
             keep.append(sl)
     return keep

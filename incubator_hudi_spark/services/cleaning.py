@@ -90,7 +90,12 @@ def run_clean(table) -> dict:
         if os.path.exists(p):
             os.remove(p)
         deleted.append(rel)
+    retained_setting = (str(table.cfg.clean_retain_commits)
+                        if table.cfg.clean_policy == CLEAN_KEEP_LATEST_COMMITS
+                        else str(table.cfg.clean_retain_file_versions))
     table.timeline.transition_to_completed(
         instant, {"instant": instant.time, "deleted_paths": deleted,
-                  "earliest_retained": earliest_retained})
+                  "earliest_retained": earliest_retained,
+                  "policy": table.cfg.clean_policy,
+                  "retained": retained_setting})
     return {"deleted": len(deleted), "instant": instant.time}

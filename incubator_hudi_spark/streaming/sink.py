@@ -58,20 +58,21 @@ class HudiStreamingSink:
         err: Optional[Exception] = None
         for _ in range(self.retries + 1):
             try:
+                # The batch id rides inside the commit metadata written by
+                # _complete() — atomic with the commit, so a crash either
+                # leaves no commit (batch replays cleanly) or a commit that
+                # already carries the stamp (replay is skipped).  Mirrors the
+                # reference, which records the checkpoint in the same commit
+                # (HoodieStreamingSink.scala:92-94, DeltaSync.java:311-360).
+                self.table.set_commit_extras({
+                    BATCH_ID_KEY: int(batch_id),
+                    QUERY_ID_KEY: self.query_id,
+                })
                 op = getattr(self.table, self.operation)
-                instant = op(batch_df)
-                self._stamp(instant, batch_id)
-                return instant
+                return op(batch_df)
             except Exception as e:  # retry (HoodieStreamingSink retry loop)
                 err = e
+        # all retries failed: drop the pending stamp so it cannot attach to
+        # an unrelated later commit
+        self.table._pending_commit_extras = None
         raise err
-
-    def _stamp(self, instant_time: str, batch_id: int) -> None:
-        timeline = self.table.timeline
-        for ins in timeline.completed(tl.DATA_ACTIONS):
-            if ins.time == instant_time:
-                md = timeline.read_metadata(ins)
-                md.setdefault("extra", {})[BATCH_ID_KEY] = int(batch_id)
-                md["extra"][QUERY_ID_KEY] = self.query_id
-                timeline._write_json(timeline._path(ins), md)
-                return

@@ -68,6 +68,17 @@ class HudiTable:
         self._key_index: Optional[DataFrame] = None
         self._key_index_parts: set = set()
         self._key_index_valid_at: Optional[str] = None
+        # One-shot extras merged into the NEXT completed commit's metadata by
+        # _complete() (and cleared there).  Lets callers that go through the
+        # public write ops (e.g. the streaming sink's batch-id stamp,
+        # HoodieStreamingSink.scala:92-94 / DeltaSync.java:311-360) land
+        # their bookkeeping atomically with the commit JSON instead of
+        # mutating a completed instant afterwards.
+        self._pending_commit_extras: Optional[dict] = None
+
+    def set_commit_extras(self, extras: dict) -> None:
+        """Attach `extras` to the next completed commit (one-shot)."""
+        self._pending_commit_extras = dict(extras)
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -282,8 +293,9 @@ class HudiTable:
             "replaced_file_groups": [list(x) for x in (replaced or [])],
             "num_records_written": sum(s.num_records for s in stats),
             "total_bytes_written": sum(s.size for s in stats),
-            "extra": extra or {},
+            "extra": {**(self._pending_commit_extras or {}), **(extra or {})},
         }
+        self._pending_commit_extras = None
         if self._pre_commit_hook is not None:
             touched = {(s.partition, s.file_group) for s in stats}
             touched |= {tuple(x) for x in (replaced or [])}
@@ -809,8 +821,10 @@ class HudiTable:
 
     def _upsert_cow_fast(self, view: FileSystemView, instant_time: str,
                          prepared: DataFrame, prof: list, is_delete: bool):
-        """COW fast-update lane: ONE pre-write Spark action total (the
-        per-partition batch profile the caller already ran).
+        """COW fast-update lane: one pre-write Spark action in the common
+        case (the per-partition batch profile the caller already ran); the
+        bloom-prune branch below adds a second, bounded action (a distinct
+        key-collect gated to ≤ ``bloom_prune_max_batch_keys`` batch rows).
 
         The general lane pays a per-batch index-join action
         (``tagged.groupBy(fg).count()``) just to learn which file groups to

@@ -38,6 +38,49 @@ def test_sink_micro_batches_exactly_once(spark, tmp_table_path, events):
     assert sink.last_committed_batch() == 1
 
 
+def test_sink_insert_crash_replay_no_duplicates(spark, tmp_table_path, events):
+    """Atomic batch-id stamping (HoodieStreamingSink.scala:92-94): the stamp
+    lands inside the commit JSON itself, so a crash AFTER the commit but
+    before any post-commit work leaves a stamped commit and the replayed
+    batch is skipped — even for operation='insert', where a re-run would
+    duplicate rows."""
+    from incubator_hudi_spark import timeline as tl
+    t = make_events(spark, tmp_table_path)
+    sink = HudiStreamingSink(t, operation="insert", query_id="qi")
+    b0 = events.filter("event_id % 4 = 0")
+    instant = sink(b0, 0)
+    n = t.read().count()
+    assert n == b0.count()
+    # the stamp is IN the completed commit metadata — no post-hoc rewrite
+    ins = [i for i in t.timeline.completed(tl.DATA_ACTIONS) if i.time == instant]
+    extra = t.timeline.read_metadata(ins[0]).get("extra", {})
+    assert extra.get("streaming.batch_id") == 0
+    assert extra.get("streaming.query_id") == "qi"
+    # simulate a driver crash + restart: a brand-new sink replays batch 0
+    sink2 = HudiStreamingSink(t, operation="insert", query_id="qi")
+    assert sink2.last_committed_batch() == 0
+    assert sink2(b0, 0) is None
+    assert t.read().count() == n  # insert replay did NOT duplicate
+
+
+def test_sink_failed_batch_leaves_no_pending_stamp(spark, tmp_table_path, events):
+    """A batch whose write fails all retries must not leak its batch-id
+    extras into a later unrelated commit."""
+    t = make_events(spark, tmp_table_path)
+    sink = HudiStreamingSink(t, operation="no_such_op", query_id="qf", retries=0)
+    try:
+        sink(events.limit(5), 3)
+        assert False, "expected failure"
+    except AttributeError:
+        pass
+    assert t._pending_commit_extras is None
+    instant = t.upsert(events.filter("event_id % 7 = 0"))
+    from incubator_hudi_spark import timeline as tl
+    ins = [i for i in t.timeline.completed(tl.DATA_ACTIONS) if i.time == instant]
+    extra = t.timeline.read_metadata(ins[0]).get("extra", {})
+    assert "streaming.batch_id" not in extra
+
+
 def test_stream_reader_incremental_batches(spark, tmp_table_path, events):
     t = make_events(spark, tmp_table_path)
     t.upsert(events.filter("event_id % 2 = 0"))
