@@ -31,45 +31,180 @@ from .table import HudiTable
 
 _WS = re.compile(r"\s+")
 
+_MASK = "\x00"
 
-def _split_top(s: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` at paren/quote depth 0."""
-    out, depth, cur, quote = [], 0, [], None
-    for ch in s:
-        if quote:
-            cur.append(ch)
-            if ch == quote:
-                quote = None
-            continue
-        if ch in "'\"":
-            quote = ch
-        elif ch in "([":
+
+def _mask_top(s: str) -> str:
+    """Return an equal-length copy of ``s`` where every character inside a
+    string literal ('' escapes honored), double-quote/backtick identifier,
+    SQL comment (``--`` / ``/* */``), or nested parens/brackets is replaced
+    by NUL.  Statement-shape keywords (WHEN/THEN/ON/SET/WHERE/...) can then
+    be located with plain regex on the mask while slicing the ORIGINAL text
+    — this is what makes the router robust to ``'... WHEN MATCHED ...'``
+    inside a literal or a subquery source with arbitrary nesting (the cases
+    the reference handles via a real Catalyst parser,
+    HoodieSparkSessionExtension.scala:29-46)."""
+    out: list[str] = []
+    depth = 0
+    for ch in _mask_literals_only(s):
+        if ch in "([":
+            out.append(ch if depth == 0 else _MASK)
             depth += 1
         elif ch in ")]":
             depth -= 1
-        elif ch == sep and depth == 0:
-            out.append("".join(cur).strip())
-            cur = []
-            continue
-        cur.append(ch)
-    if cur:
-        out.append("".join(cur).strip())
+            out.append(ch if depth == 0 else _MASK)
+        else:
+            out.append(ch if depth == 0 else _MASK)
+    return "".join(out)
+
+
+def _find_kw(masked: str, kw: str, start: int = 0):
+    """First top-level occurrence of keyword ``kw`` (word-bounded, any case)
+    in the masked text at/after ``start``; None if absent."""
+    return re.compile(rf"\b{kw}\b", re.I).search(masked, start)
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0, outside literals/comments."""
+    masked = _mask_top(s)
+    out, prev = [], 0
+    for i, ch in enumerate(masked):
+        if ch == sep:
+            out.append(s[prev:i].strip())
+            prev = i + 1
+    out.append(s[prev:].strip())
     return [x for x in out if x]
+
+
+def _name_alias(seg: str) -> tuple[str, Optional[str]]:
+    """Parse ``<name-or-(subquery)> [AS] [alias]`` → (source_text, alias)."""
+    seg = seg.strip()
+    if seg.startswith("("):
+        # the paren group is intact at top level of the segment's own mask
+        m = re.match(r"(\(.*\))\s*(?:AS\s+)?(\w+)?\s*$", _mask_top(seg),
+                     re.I | re.S)
+        if not m:
+            raise ValueError(f"cannot parse source: {seg[:80]}")
+        return seg[m.start(1):m.end(1)], m.group(2)
+    parts = _WS.split(seg)
+    if len(parts) >= 2 and parts[-2].upper() == "AS":
+        return " ".join(parts[:-2]), parts[-1]
+    if len(parts) >= 2:
+        return " ".join(parts[:-1]), parts[-1]
+    return parts[0], None
 
 
 def _assignments(s: str) -> dict[str, str]:
     out = {}
     for part in _split_top(s):
-        k, v = part.split("=", 1)
-        k = k.strip()
-        out[k.split(".")[-1]] = v.strip()   # strip target alias from lhs
+        i = _mask_literals_only(part).index("=")  # first = outside literals
+        k = part[:i].strip()
+        out[k.split(".")[-1]] = part[i + 1:].strip()  # strip lhs alias
     return out
 
 
 def _realias(expr: str, alias: Optional[str], to: str) -> str:
+    """Rewrite ``alias.`` → ``to.`` outside string literals/comments."""
     if not alias or alias == to:
         return expr
-    return re.sub(rf"\b{re.escape(alias)}\.", f"{to}.", expr)
+    # alias refs inside parens are real SQL — hide only literals/comments
+    masked = _mask_literals_only(expr)
+    pat = re.compile(rf"\b{re.escape(alias)}\.")
+    out, prev = [], 0
+    for m in pat.finditer(masked):
+        out.append(expr[prev:m.start()])
+        out.append(f"{to}.")
+        prev = m.end()
+    out.append(expr[prev:])
+    return "".join(out)
+
+
+def _mask_literals_only(s: str) -> str:
+    """Like _mask_top but parens stay visible (only literals/quoted
+    identifiers/comments are hidden)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            out.append(_MASK)
+            i += 1
+            while i < n:
+                if s[i] == "'" and i + 1 < n and s[i + 1] == "'":
+                    out.append(_MASK * 2)
+                    i += 2
+                    continue
+                out.append(_MASK)
+                i += 1
+                if s[i - 1] == "'":
+                    break
+            continue
+        if ch in ('"', "`"):
+            q = ch
+            out.append(_MASK)
+            i += 1
+            while i < n and s[i] != q:
+                out.append(_MASK)
+                i += 1
+            if i < n:
+                out.append(_MASK)
+                i += 1
+            continue
+        if ch == "-" and s[i:i + 2] == "--":
+            while i < n and s[i] != "\n":
+                out.append(_MASK)
+                i += 1
+            continue
+        if ch == "/" and s[i:i + 2] == "/*":
+            j = s.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            out.append(_MASK * (j - i))
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _strip_comments(s: str) -> str:
+    """Remove ``--`` and ``/* */`` comments (outside string literals) so the
+    statement routers never see them; comments carry no semantics and would
+    otherwise corrupt whitespace-split name/alias segments."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":   # '' escape
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(s[i:j])
+            i = j
+            continue
+        if ch in ('"', "`"):
+            j = s.find(ch, i + 1)
+            j = n if j < 0 else j + 1
+            out.append(s[i:j])
+            i = j
+            continue
+        if ch == "-" and s[i:i + 2] == "--":
+            j = s.find("\n", i)
+            i = n if j < 0 else j   # keep the newline itself
+            out.append(" ")
+            continue
+        if ch == "/" and s[i:i + 2] == "/*":
+            j = s.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            out.append(" ")
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 class HudiSqlSession:
@@ -90,7 +225,7 @@ class HudiSqlSession:
     def sql(self, statement: str) -> Union[DataFrame, str, None]:
         """Execute one statement.  DML returns the commit instant time;
         SELECT returns a DataFrame."""
-        s = statement.strip().rstrip(";").strip()
+        s = _strip_comments(statement).strip().rstrip(";").strip()
         head = _WS.split(s, 1)[0].upper()
         if head == "MERGE":
             return self._merge(s)
@@ -152,74 +287,107 @@ class HudiSqlSession:
 
     # -----------------------------------------------------------------
     def _merge(self, s: str) -> str:
-        m = re.match(
-            r"MERGE\s+INTO\s+(\S+)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+"
-            r"(\(.*?\)|\S+)(?:\s+AS)?(?:\s+(\w+))?\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
-            s, re.I | re.S)
-        if not m:
+        """Statement-shape keywords (USING/ON/WHEN/THEN) are located on the
+        masked text (_mask_top), so string literals containing 'WHEN MATCHED'
+        and subquery sources with arbitrary nesting parse correctly —
+        semantics per MergeIntoHoodieTableCommand.scala:56-217."""
+        masked = _mask_top(s)
+        mu = _find_kw(masked, "USING")
+        mon = _find_kw(masked, "ON", mu.end()) if mu else None
+        mw = _find_kw(masked, "WHEN", mon.end()) if mon else None
+        mhead = re.match(r"MERGE\s+INTO\s+", masked, re.I)
+        if not (mhead and mu and mon and mw):
             raise ValueError(f"cannot parse MERGE statement: {s[:120]}...")
-        tname, talias, src, salias, on, rest = m.groups()
+        tname, talias = _name_alias(s[mhead.end():mu.start()])
+        src, salias = _name_alias(s[mu.end():mon.start()])
+        on = s[mon.end():mw.start()].strip()
+        rest, rest_masked = s[mw.start():], masked[mw.start():]
         table = self._table(tname)
         source = self._source_df(src)
 
         def ra(e: str) -> str:
             return _realias(_realias(e, talias, "t"), salias, "s")
 
+        # split the WHEN ... clauses at top-level WHEN boundaries
+        starts = [m.start() for m in re.finditer(r"\bWHEN\b", rest_masked,
+                                                 re.I)]
+        bounds = list(zip(starts, starts[1:] + [len(rest)]))
         when_matched, when_not_matched = [], []
-        for cm in re.finditer(
-                r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
-                r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)(?=\s+WHEN\s+|\s*$)",
-                rest, re.I | re.S):
-            neg, cond, act = cm.groups()
-            cond = ra(cond.strip()) if cond else None
-            act_s = act.strip()
-            up = re.match(r"UPDATE\s+SET\s+(.*)$", act_s, re.I | re.S)
-            ins = re.match(r"INSERT\s+(.*)$", act_s, re.I | re.S)
+        for lo, hi in bounds:
+            clause, cmask = rest[lo:hi], rest_masked[lo:hi]
+            hm = re.match(r"WHEN\s+(NOT\s+)?MATCHED\b", cmask, re.I)
+            mt = _find_kw(cmask, "THEN")
+            if not (hm and mt):
+                raise ValueError(f"bad MERGE clause: {clause[:80]}")
+            neg = bool(hm.group(1))
+            between = clause[hm.end():mt.start()].strip()
+            cond = None
+            if between:
+                ba = re.match(r"AND\b", between, re.I)
+                if not ba:
+                    raise ValueError(f"bad MERGE clause condition: "
+                                     f"{between[:80]}")
+                cond = ra(between[ba.end():].strip())
+            act_s = clause[mt.end():].strip()
+            amask = _mask_top(act_s)
+            up = re.match(r"UPDATE\s+SET\s+", amask, re.I)
+            ins = re.match(r"INSERT\b\s*", amask, re.I)
             if not neg:
                 if act_s.upper() == "DELETE":
                     when_matched.append((cond, DELETE_ACTION))
                 elif up:
-                    body = up.group(1).strip()
+                    body = act_s[up.end():].strip()
                     if body == "*":
                         assigns = {c: f"s.{c}" for c in source.columns}
                     else:
-                        assigns = {k: ra(v) for k, v in _assignments(body).items()}
+                        assigns = {k: ra(v)
+                                   for k, v in _assignments(body).items()}
                     when_matched.append((cond, assigns))
                 else:
                     raise ValueError(f"bad WHEN MATCHED action: {act_s[:60]}")
             else:
                 if not ins:
-                    raise ValueError(f"bad WHEN NOT MATCHED action: {act_s[:60]}")
-                body = ins.group(1).strip()
+                    raise ValueError(f"bad WHEN NOT MATCHED action: "
+                                     f"{act_s[:60]}")
+                body = act_s[ins.end():].strip()
                 if body == "*":
                     when_not_matched.append((cond, None))
                 else:
-                    im = re.match(r"\((.*?)\)\s+VALUES\s+\((.*)\)$", body,
-                                  re.I | re.S)
-                    if not im:
+                    bmask = _mask_top(body)
+                    vm = re.match(r"(\(.*?\))\s*VALUES\s*(\(.*\))\s*$",
+                                  bmask, re.I | re.S)
+                    if not vm:
                         raise ValueError(f"bad INSERT clause: {body[:60]}")
+                    cols_s = body[vm.start(1) + 1:vm.end(1) - 1]
+                    vals_s = body[vm.start(2) + 1:vm.end(2) - 1]
                     cols = [c.strip().split(".")[-1]
-                            for c in _split_top(im.group(1))]
-                    vals = [ra(v) for v in _split_top(im.group(2))]
+                            for c in _split_top(cols_s)]
+                    vals = [ra(v) for v in _split_top(vals_s)]
                     when_not_matched.append((cond, dict(zip(cols, vals))))
-        return table.merge(source, on=ra(on.strip()),
+        return table.merge(source, on=ra(on),
                            when_matched=when_matched or None,
                            when_not_matched=when_not_matched or None)
 
     def _update(self, s: str) -> str:
-        m = re.match(r"UPDATE\s+(\S+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
-                     s, re.I | re.S)
-        if not m:
+        masked = _mask_top(s)
+        mh = re.match(r"UPDATE\s+(\S+)\s+", masked, re.I)
+        ms = _find_kw(masked, "SET", mh.end() if mh else 0) if mh else None
+        if not (mh and ms):
             raise ValueError(f"cannot parse UPDATE: {s[:120]}")
-        tname, sets, where = m.groups()
-        return self._table(tname).update(_assignments(sets), where=where)
+        mw = _find_kw(masked, "WHERE", ms.end())
+        sets = s[ms.end():mw.start() if mw else len(s)]
+        where = s[mw.end():].strip() if mw else None
+        return self._table(mh.group(1)).update(_assignments(sets),
+                                               where=where)
 
     def _delete(self, s: str) -> str:
-        m = re.match(r"DELETE\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*))?$", s, re.I | re.S)
-        if not m:
+        masked = _mask_top(s)
+        mh = re.match(r"DELETE\s+FROM\s+(\S+)\s*", masked, re.I)
+        if not mh:
             raise ValueError(f"cannot parse DELETE: {s[:120]}")
-        tname, where = m.groups()
-        return self._table(tname).delete_where(where or "true")
+        mw = _find_kw(masked, "WHERE", mh.end())
+        where = s[mw.end():].strip() if mw else None
+        return self._table(mh.group(1)).delete_where(where or "true")
 
     def _truncate(self, s: str) -> str:
         m = re.match(r"TRUNCATE\s+TABLE\s+(\S+)$", s, re.I)

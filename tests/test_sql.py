@@ -109,3 +109,83 @@ def test_show_commands(spark, tmp_table_path, orders):
     assert hs.sql("SHOW SAVEPOINTS showt").count() == 1
     assert hs.sql("SHOW FILES showt").count() > 0
     assert hs.sql("SHOW CLEANS showt").count() == 0
+
+
+def test_merge_literal_containing_keywords(spark, hs):
+    """A string literal containing ' WHEN MATCHED THEN ' must not split the
+    clause list; literals containing WHERE/SET must not split UPDATE."""
+    hs.sql("""MERGE INTO trips t
+              USING (SELECT 888888 AS k, 1 AS ln, DATE'1995-06-01' AS d) s
+              ON t.l_orderkey = s.k AND t.l_linenumber = s.ln
+              WHEN NOT MATCHED THEN
+                INSERT (l_orderkey, l_linenumber, l_shipdate, l_returnflag)
+                VALUES (s.k, s.ln, s.d, 'x WHEN MATCHED THEN DELETE y')""")
+    row = hs.sql("SELECT l_returnflag FROM trips WHERE l_orderkey = 888888") \
+            .collect()
+    assert len(row) == 1
+    assert row[0][0] == "x WHEN MATCHED THEN DELETE y"
+    # UPDATE with keyword-bearing literal in SET and a real WHERE
+    hs.sql("""UPDATE trips SET l_returnflag = 'a WHERE b = c SET d'
+              WHERE l_orderkey = 888888""")
+    row = hs.sql("SELECT l_returnflag FROM trips WHERE l_orderkey = 888888") \
+            .collect()
+    assert row[0][0] == "a WHERE b = c SET d"
+    # DELETE with a literal containing WHERE inside the predicate
+    hs.sql("""DELETE FROM trips
+              WHERE l_orderkey = 888888 AND l_returnflag != 'no WHERE here'""")
+    assert hs.sql("SELECT count(*) AS n FROM trips WHERE l_orderkey = 888888") \
+             .collect()[0]["n"] == 0
+
+
+def test_merge_subquery_source_nested_parens(spark, hs):
+    """USING (subquery with nested parens + IN-list + CASE) parses and the
+    clause conditions with nested function calls route correctly."""
+    hs.sql("""MERGE INTO trips t
+              USING (SELECT l_orderkey, l_linenumber, l_shipdate,
+                            CASE WHEN l_quantity IN (1, 2, 3)
+                                 THEN l_quantity * 10 ELSE 0 END AS bonus
+                     FROM trips
+                     WHERE l_orderkey IN (SELECT l_orderkey FROM trips
+                                          WHERE l_orderkey % 13 = 5)) s
+              ON t.l_orderkey = s.l_orderkey
+                 AND t.l_linenumber = s.l_linenumber
+                 AND t._hoodie_partition_path = date_format(s.l_shipdate, 'yyyy-MM')
+              WHEN MATCHED AND coalesce(s.bonus, 0) > 0
+                THEN UPDATE SET l_quantity = s.bonus
+              WHEN MATCHED THEN UPDATE SET l_quantity = -1""")
+    # every key with l_orderkey % 13 = 5 got either bonus or -1
+    assert hs.sql("""SELECT count(*) AS n FROM trips
+                     WHERE l_orderkey % 13 = 5
+                       AND NOT (l_quantity = -1 OR l_quantity >= 10)""") \
+             .collect()[0]["n"] == 0
+    assert hs.sql("""SELECT count(*) AS n FROM trips
+                     WHERE l_orderkey % 13 = 5 AND l_quantity = -1""") \
+             .collect()[0]["n"] > 0
+
+
+def test_sql_comments_stripped_outside_literals(spark, hs):
+    """-- and /* */ comments anywhere in the statement are inert, but the
+    same character sequences inside string literals are preserved."""
+    hs.sql("""MERGE INTO trips t
+              -- comment with WHEN MATCHED THEN inside
+              USING (SELECT 777777 AS k, 1 AS ln, DATE'1995-06-01' AS d,
+                            'keep -- this /* and */ this' AS flag) s
+              ON t.l_orderkey = s.k AND t.l_linenumber = s.ln /* on-comment */
+              WHEN NOT MATCHED THEN
+                INSERT (l_orderkey, l_linenumber, l_shipdate, l_returnflag)
+                VALUES (s.k, s.ln, s.d, s.flag)""")
+    row = hs.sql("SELECT l_returnflag FROM trips WHERE l_orderkey = 777777") \
+            .collect()
+    assert row[0][0] == "keep -- this /* and */ this"
+    hs.sql("DELETE FROM trips WHERE l_orderkey = 777777 -- trailing comment")
+    assert hs.sql("SELECT count(*) AS n FROM trips WHERE l_orderkey = 777777") \
+             .collect()[0]["n"] == 0
+
+
+def test_merge_unparseable_raises(spark, hs):
+    import pytest as _pt
+    with _pt.raises(ValueError, match="cannot parse MERGE"):
+        hs.sql("MERGE INTO trips t SET x = 1")
+    with _pt.raises(ValueError, match="bad MERGE clause"):
+        hs.sql("""MERGE INTO trips t USING trips s ON t.l_orderkey = s.l_orderkey
+                  WHEN MATCHED UPDATE SET l_quantity = 1""")
