@@ -159,6 +159,16 @@ class WriteConfig:
     # batches up to this many rows broadcast their key set to prune the index
     # scan (indexing.tag_locations) instead of shuffling/building it
     index_broadcast_max_rows: int = 1_000_000
+    # SIMPLE index: pin the scanned key→file-group index as a persisted
+    # DataFrame on the table object across batches (same machinery as
+    # INMEMORY), invalidated whenever the last completed data instant
+    # differs from the one the cache was built at — multi-writer safe, any
+    # out-of-band commit bumps the timeline and drops the cache.  The
+    # reference's SparkSimpleIndex re-scans base files per batch
+    # (HoodieSimpleIndex.java fetchRecordLocations); caching trades executor
+    # memory (key+partition+fg columns, spilled to disk past memory) for
+    # skipping that table-sized scan on every steady-state batch.
+    cache_simple_index: bool = True
     # batches up to this many rows may collect their key set driver-side to
     # bloom-prune the COW rewrite set (bloom.py sidecar; the reference BLOOM
     # index's second pruning stage after min/max ranges)

@@ -138,17 +138,28 @@ class HudiTable:
         self._key_index_parts = set()
         self._key_index_valid_at = None
 
+    @property
+    def _index_cache_on(self) -> bool:
+        """Session key-index cache applies to INMEMORY (always — that IS the
+        index) and to SIMPLE when cfg.cache_simple_index (an optimization
+        over the reference's per-batch re-scan; timeline-validated, so
+        semantics are identical)."""
+        return (self.cfg.index_type == INDEX_INMEMORY
+                or (self.cfg.index_type == INDEX_SIMPLE
+                    and self.cfg.cache_simple_index))
+
     def _load_index(self, view: FileSystemView,
                     partitions: Optional[list],
                     key_range: Optional[tuple],
                     only_fgs: Optional[set] = None) -> DataFrame:
-        """Key→location index for tagging.  INMEMORY keeps the scan result
-        persisted across batches (valid while no commit has changed any
-        key→file-group mapping; update-only upserts extend validity), loading
-        only partitions not yet covered — repeated upserts into hot
-        partitions skip the table-sized key-column scan entirely."""
+        """Key→location index for tagging.  INMEMORY (and SIMPLE with
+        cache_simple_index) keeps the scan result persisted across batches
+        (valid while no commit has changed any key→file-group mapping;
+        update-only upserts extend validity), loading only partitions not
+        yet covered — repeated upserts into hot partitions skip the
+        table-sized key-column scan entirely."""
         it = self.cfg.index_type
-        if it != INDEX_INMEMORY:
+        if not self._index_cache_on:
             return load_key_index(self.spark, self.meta, view, it,
                                   partitions, key_range, tc=self.tc,
                                   only_fgs=only_fgs)
@@ -436,7 +447,7 @@ class HudiTable:
         # job, which pays off on upsert-style ingests (the next op is almost
         # certainly another upsert) but not on one-shot bulk loads.
         seed_index = (seed_key_index
-                      and self.cfg.index_type == INDEX_INMEMORY
+                      and self._index_cache_on
                       and not view.latest_slices())
         if seed_index:
             assigned = assigned.persist()
@@ -576,7 +587,7 @@ class HudiTable:
                     profile_df=profile_src, combine_in_write=fuse,
                     seed_key_index=True)
                 self._complete(instant, operation, stats, schema)
-                if (self.cfg.index_type == INDEX_INMEMORY
+                if (self._index_cache_on
                         and self._key_index_valid_at != instant.time):
                     # drop a stale cache — but keep the index _write_inserts
                     # just seeded from this very commit's write frame
@@ -609,7 +620,7 @@ class HudiTable:
                                                   prepared, prof, is_delete)
                     with _stage("upsert.complete"):
                         self._complete(instant, operation, stats, schema)
-                    if self.cfg.index_type == INDEX_INMEMORY:
+                    if self._index_cache_on:
                         if (not is_delete and not wrote_inserts
                                 and self._key_index is not None):
                             self._key_index_valid_at = instant.time
@@ -622,15 +633,16 @@ class HudiTable:
                     return instant.time
                 # batch too large to broadcast — fall through to the general
                 # lanes (the window merge handles table-sized batches)
-            # fast lane: a warm INMEMORY index covering every table partition
-            # makes the pre-tag workload profile redundant — any batch
-            # partition is either covered or brand-new (no stored records →
-            # a null-fg tag is already the correct routing).  Saves the
-            # full-scan profile action per steady-state batch; only the
-            # short-circuiting broadcast-size probe below remains.
+            # fast lane: a warm cached index (INMEMORY, or SIMPLE with
+            # cache_simple_index) covering every table partition makes the
+            # pre-tag workload profile redundant — any batch partition is
+            # either covered or brand-new (no stored records → a null-fg tag
+            # is already the correct routing).  Saves the full-scan profile
+            # action per steady-state batch; only the short-circuiting
+            # broadcast-size probe below remains.
             last_data = self.timeline.last_completed(tl.DATA_ACTIONS)
             cache_covers = (
-                self.cfg.index_type == INDEX_INMEMORY
+                self._index_cache_on
                 and self._key_index is not None
                 and self._key_index_valid_at == (last_data.time if last_data else None)
                 and set(view.partitions()) <= self._key_index_parts)
@@ -644,8 +656,8 @@ class HudiTable:
                 else:
                     with _stage("upsert.bc_probe"):
                         bc = prepared.limit(cap + 1).count() <= cap
-            elif self.cfg.index_type == INDEX_INMEMORY:
-                # cold INMEMORY: load the whole-table key index in one go —
+            elif self._index_cache_on:
+                # cold cached index: load the whole-table key index in one go —
                 # it gets pinned for every later batch anyway, so the
                 # pre-tag workload-profile action (whose only INMEMORY use
                 # is picking which partitions to load) is pure overhead.
@@ -749,7 +761,7 @@ class HudiTable:
                             update_fgs, insert_profile, n_new_rows=n_new)
             with _stage("upsert.complete"):
                 self._complete(instant, operation, stats, schema)
-            if self.cfg.index_type == INDEX_INMEMORY:
+            if self._index_cache_on:
                 update_only = not is_delete and not wrote_inserts
                 if update_only and self._key_index is not None:
                     # an update-only commit rewrites/appends WITHIN existing
