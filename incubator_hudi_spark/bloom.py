@@ -96,11 +96,12 @@ def build_bloom_sidecar(table, instant_time: Optional[str] = None,
     if not m_of:
         return None
 
+    from .scan import scan_parquet
     spark = table.spark
     m_map = F.create_map(*[x for fg, m in m_of.items()
                            for x in (F.lit(fg), F.lit(m))])
     key_c = F.col(META_RECORD_KEY)
-    pos = (spark.read.parquet(*all_paths)
+    pos = (scan_parquet(spark, all_paths)
            .select(F.col("_hoodie_file_name").alias(FG),
                    F.explode(F.array(*[
                        F.pmod(F.conv(F.substring(

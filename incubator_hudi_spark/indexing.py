@@ -29,6 +29,7 @@ from .config import (INDEX_BLOOM, INDEX_GLOBAL_BLOOM, INDEX_GLOBAL_SIMPLE,
                      INDEX_SIMPLE, META_FILE_NAME, META_PARTITION_PATH,
                      META_RECORD_KEY)
 from .fsview import FileSystemView
+from .scan import scan_parquet
 from .metaclient import TableMetaClient
 
 FG_COL = "_hoodie_index_fg"
@@ -96,7 +97,7 @@ def load_key_index(spark: SparkSession, meta: TableMetaClient, view: FileSystemV
         paths.extend(meta.abs_path(l.path) for l in sl.log_files)
     dfs = []
     if paths:
-        dfs.append(spark.read.schema(_KEY_SCAN_SCHEMA).parquet(*paths)
+        dfs.append(scan_parquet(spark, paths, _KEY_SCAN_SCHEMA)
                    .select(META_RECORD_KEY, META_PARTITION_PATH,
                            META_FILE_NAME))
     if ext:
@@ -104,7 +105,7 @@ def load_key_index(spark: SparkSession, meta: TableMetaClient, view: FileSystemV
             raise ValueError("external base files need the table config for "
                              "key derivation")
         from .keygen import partition_path_col, record_key_col
-        src = spark.read.parquet(*[p for p, _ in ext])
+        src = scan_parquet(spark, [p for p, _ in ext])
         norm = F.regexp_replace(F.input_file_name(), "^file:/*", "/")
         fg_map = F.create_map(*[x for p, fg in ext
                                 for x in (F.lit(p), F.lit(fg))])

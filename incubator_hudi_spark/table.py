@@ -50,6 +50,7 @@ from .writer import (API_DELETE, FG, MERGE_KEY, NEW_FLAG, collect_write_stats,
                      precombine_dedup, with_commit_meta, with_key_columns,
                      write_instant_files)
 
+from .scan import scan_parquet
 from .timing import _stage
 
 
@@ -1271,7 +1272,7 @@ class HudiTable:
         # one small Spark job maps file → partition value (scans only the
         # partition-expression inputs); a file spanning two partitions cannot
         # be adopted as a single file group
-        src = self.spark.read.parquet(*files)
+        src = scan_parquet(self.spark, files)
         pcol = partition_path_col(self.tc.partition_expr)
         fp = (src.withColumn("_hoodie_src_file",
                              F.regexp_replace(F.input_file_name(), "^file:", ""))
@@ -1463,7 +1464,7 @@ class HudiTable:
         if int_clean:
             paths = [self.meta.abs_path(f.path) for sl in int_clean
                      for f in sl.base_files]
-            parts.append(self.spark.read.schema(schema).parquet(*paths))
+            parts.append(scan_parquet(self.spark, paths, schema))
         if ext_clean:
             parts.append(self._scan_external(ext_clean, schema))
         if dirty:
@@ -1474,16 +1475,32 @@ class HudiTable:
             if int_dirty:
                 base_paths = [self.meta.abs_path(f.path) for sl in int_dirty
                               for f in sl.base_files]
-                bases.append(self.spark.read.schema(dschema).parquet(*base_paths))
+                bases.append(scan_parquet(self.spark, base_paths, dschema))
             if ext_dirty:
                 bases.append(self._scan_external(ext_dirty, dschema))
             b = bases[0]
             for x in bases[1:]:
                 b = b.unionByName(x)
             log_paths = [self.meta.abs_path(l.path) for sl in dirty for l in sl.log_files]
-            logs = self.spark.read.schema(dschema).parquet(*log_paths) \
+            logs = scan_parquet(self.spark, log_paths, dschema) \
                        .withColumn(NEW_FLAG, F.lit(True))
             log_bytes = sum(l.size for sl in dirty for l in sl.log_files)
+            if log_bytes <= self.cfg.mor_merge_broadcast_max_log_bytes:
+                # the broadcast-split branch consumes the log side three
+                # times (key set in two joins + the merged union); delta
+                # files are many and tiny (one per file group per commit),
+                # so re-opening them dominates the merged read.  Persist —
+                # bounded by the branch's own ≤ max_log_bytes gate — so one
+                # scan feeds all three subtrees; a one-slot table-level
+                # cache unpersists the previous read's log block.
+                logs = logs.persist()
+                prev = getattr(self, "_mor_log_persist", None)
+                if prev is not None and prev is not logs:
+                    try:
+                        prev.unpersist()
+                    except Exception:
+                        pass
+                self._mor_log_persist = logs
             if skip_merge:
                 # REALTIME_SKIP_MERGE: plain concatenation, no key merge —
                 # the window shuffle disappears entirely
@@ -1551,7 +1568,7 @@ class HudiTable:
         the bootstrap instant, file name from a path→file-group map."""
         files = [(f.path, sl.file_group, sl.base_instant)
                  for sl in slices for f in sl.base_files]
-        src = self.spark.read.parquet(*[p for p, _, _ in files])
+        src = scan_parquet(self.spark, [p for p, _, _ in files])
         norm = F.regexp_replace(F.input_file_name(), "^file:/*", "/")
         fg_map = F.create_map(*[x for p, fg, _ in files
                                 for x in (F.lit(p), F.lit(fg))])
