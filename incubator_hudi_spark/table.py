@@ -920,7 +920,11 @@ class HudiTable:
                     fg_map[b.file_group] = b.partition
                 fresh = drop_deleted(
                     updates.unionByName(assigned, allowMissingColumns=True))
-            batch_keys = prepared.select(*MERGE_KEY).dropDuplicates(MERGE_KEY)
+            # no dropDuplicates: the fast lane requires combine_before_upsert,
+            # so prepared is already unique per MERGE_KEY — skipping the
+            # dedup drops one exchange+aggregate pair from the broadcast
+            # build (the hash build collapses duplicates anyway)
+            batch_keys = prepared.select(*MERGE_KEY)
             stats, schema = self._anti_join_rewrite(
                 view, instant_time, fresh, batch_keys, rewrite_fgs, fg_map)
             wrote_inserts = any(s.file_group not in rewrite_fgs for s in stats)
@@ -981,7 +985,11 @@ class HudiTable:
             # the slice's single new version; the anti-join kernel also drops
             # tombstoned-at-rest rows on rewrite (matching the window path's
             # global drop_deleted)
-            batch_keys = new_raw.select(*MERGE_KEY).dropDuplicates(MERGE_KEY)
+            # fast requires combine_before_upsert → new_raw (deduped updates ∪
+            # their insert complement) is already unique per MERGE_KEY; the
+            # broadcast hash build collapses any residue, so skip the
+            # dedup's exchange+aggregate pair
+            batch_keys = new_raw.select(*MERGE_KEY)
             stats, schema = self._anti_join_rewrite(
                 view, instant_time, drop_deleted(new_raw), batch_keys,
                 rewrite_fgs, fg_map)
