@@ -58,10 +58,12 @@ def plan_insert_buckets(
     cfg: WriteConfig,
     rec_size: int,
     pack_small_files: bool = True,
+    exclude_fgs: Optional[set] = None,
 ) -> list[InsertBucket]:
     """profile: partition → #insert rows.  Emits contiguous row-number ranges
     per partition: small existing file groups first (up to their remaining
-    capacity), then new file groups at target size."""
+    capacity), then new file groups at target size.  ``exclude_fgs``: never
+    pack into these groups (pending-clustering targets stay frozen)."""
     plan: list[InsertBucket] = []
     rows_per_new_file = max(1, cfg.target_file_size_bytes // rec_size)
     for partition, n in sorted(profile.items()):
@@ -72,6 +74,8 @@ def plan_insert_buckets(
             for sl in view.small_files(partition, cfg.small_file_limit_bytes):
                 if pos >= n:
                     break
+                if exclude_fgs and sl.file_group in exclude_fgs:
+                    continue
                 cap = max(0, (cfg.target_file_size_bytes - sl.base_size) // rec_size)
                 if cap <= 0:
                     continue

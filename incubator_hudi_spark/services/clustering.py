@@ -22,6 +22,13 @@ from ..plans.buckets import new_fg_id
 from ..writer import API_DELETE, FG, drop_deleted, write_instant_files
 
 
+class ClusteringUpdateConflict(Exception):
+    """An update/delete touches a file group frozen by a pending clustering
+    plan (SparkRejectUpdateStrategy.java:41-62 — the reference's default
+    update strategy under scheduled clustering).  Retry after the plan
+    executes (``run_clustering``) or roll the plan back."""
+
+
 def plan_clustering(table, partitions: Optional[Sequence[str]] = None,
                     small_file_limit: Optional[int] = None,
                     recent_partitions: Optional[int] = None) -> dict[str, list]:
@@ -80,18 +87,102 @@ def zorder_value(df, cols: Sequence[str], bits: int = 16):
     return z
 
 
-def run_clustering(table, sort_columns: Optional[Sequence[str]] = None,
-                   partitions: Optional[Sequence[str]] = None,
-                   small_file_limit: Optional[int] = None,
-                   recent_partitions: Optional[int] = None,
-                   layout: str = "linear") -> Optional[str]:
+def schedule_clustering(table, sort_columns: Optional[Sequence[str]] = None,
+                        partitions: Optional[Sequence[str]] = None,
+                        small_file_limit: Optional[int] = None,
+                        recent_partitions: Optional[int] = None,
+                        layout: str = "linear") -> Optional[str]:
+    """Persist a clustering plan as ``<t>.replacecommit.requested``
+    (BaseClusteringPlanActionExecutor — the reference likewise parks the
+    plan on the timeline so execution can run async).  While the plan is
+    pending, upserts/deletes that touch its file groups are REJECTED
+    (SparkRejectUpdateStrategy.java) and insert packing avoids them —
+    the planned groups stay frozen until ``run_clustering`` executes."""
     groups = plan_clustering(table, partitions, small_file_limit,
                              recent_partitions)
     if not groups:
         return None
+    ops = [{"partition": sl.partition, "file_group": sl.file_group,
+            "base_instant": sl.base_instant}
+           for sls in groups.values() for sl in sls]
+    t = tl.new_instant_time()
+    table.timeline.create_requested(
+        t, tl.REPLACE_COMMIT,
+        {"clustering": True, "operations": ops,
+         "sort_columns": list(sort_columns) if sort_columns else None,
+         "layout": layout})
+    return t
 
-    instant = table._start(tl.REPLACE_COMMIT)
-    slices = [sl for sls in groups.values() for sl in sls]
+
+def pending_clustering_plans(table) -> list[tuple[tl.Instant, dict]]:
+    """Pending (requested/inflight) replacecommit instants that carry a
+    clustering plan."""
+    out = []
+    for p in table.timeline.pending():
+        if p.action != tl.REPLACE_COMMIT:
+            continue
+        try:
+            md = table.timeline.read_metadata(p)
+        except FileNotFoundError:
+            continue
+        if md.get("clustering"):
+            out.append((p, md))
+    return out
+
+
+def pending_clustering_fgs(table) -> dict[str, str]:
+    """file_group → pending clustering instant time, for conflict checks."""
+    out: dict[str, str] = {}
+    for p, md in pending_clustering_plans(table):
+        for op in md.get("operations", []):
+            out[op["file_group"]] = p.time
+    return out
+
+
+def run_clustering(table, sort_columns: Optional[Sequence[str]] = None,
+                   partitions: Optional[Sequence[str]] = None,
+                   small_file_limit: Optional[int] = None,
+                   recent_partitions: Optional[int] = None,
+                   layout: str = "linear",
+                   instant_time: Optional[str] = None) -> Optional[str]:
+    """Execute a scheduled clustering plan (``instant_time`` or the oldest
+    pending one); with no pending plan, schedule + execute inline (the
+    original one-shot behavior)."""
+    plan_md = None
+    if instant_time is None:
+        pend = pending_clustering_plans(table)
+        if pend:
+            (pend_ins, plan_md) = pend[0]
+            instant_time = pend_ins.time
+        else:
+            instant_time = schedule_clustering(
+                table, sort_columns, partitions, small_file_limit,
+                recent_partitions, layout)
+            if instant_time is None:
+                return None
+    if plan_md is None:
+        req = tl.Instant(instant_time, tl.REPLACE_COMMIT, tl.REQUESTED)
+        plan_md = table.timeline.read_metadata(req)
+    req = tl.Instant(instant_time, tl.REPLACE_COMMIT, tl.REQUESTED)
+    instant = table.timeline.transition_to_inflight(req, plan_md)
+    sort_columns = plan_md.get("sort_columns") or sort_columns
+    layout = plan_md.get("layout") or layout
+
+    # resolve the planned file groups against CURRENT latest slices: updates
+    # to these groups were rejected while the plan was pending, so the only
+    # legal change since scheduling is none (COW) or nothing (MOR logs are
+    # updates too) — a vanished group (rollback) just drops out of the plan
+    plan_fgs = {op["file_group"] for op in plan_md["operations"]}
+    view = table.view()
+    slices = [sl for sl in view.latest_slices() if sl.file_group in plan_fgs]
+    groups: dict[str, list] = {}
+    for sl in slices:
+        groups.setdefault(sl.partition, []).append(sl)
+    if not groups:
+        # nothing left to rewrite — complete as an empty replacecommit
+        table._complete(instant, CLUSTER, [], table._read_schema(),
+                        replaced=[])
+        return instant.time
     replaced = [(sl.partition, sl.file_group) for sl in slices]
     df = table._read_slices(slices, read_optimized=False, raw=True)
     df = drop_deleted(df).drop(API_DELETE)

@@ -51,8 +51,14 @@ def schedule_compaction(table, max_logs_per_slice: int = 1,
     """
     if table.tc.table_type != MERGE_ON_READ:
         return None
+    from .clustering import pending_clustering_fgs
+    frozen = set(pending_clustering_fgs(table))
     view = table.view()
-    cand = [sl for sl in view.latest_slices(partitions) if sl.log_files]
+    # pending-clustering groups are excluded: the replacecommit will swap
+    # them out wholesale, so compacting them is wasted IO and a base-instant
+    # race (reference excludes fileIds in pending clustering the same way)
+    cand = [sl for sl in view.latest_slices(partitions)
+            if sl.log_files and sl.file_group not in frozen]
     if strategy == STRATEGY_UNBOUNDED:
         chosen = cand
     elif strategy == STRATEGY_DAY_BASED:

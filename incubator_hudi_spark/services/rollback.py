@@ -70,9 +70,28 @@ def rollback_instant(table, instant_time: str) -> str:
 
 def rollback_pending(table) -> list[str]:
     """Crash recovery: clear dangling inflight/requested *data* instants
-    (rollback-on-open, like the reference's eager rollback of failed writes)."""
+    (rollback-on-open, like the reference's eager rollback of failed writes).
+
+    Pending replacecommits carrying a CLUSTERING plan are live scheduled
+    work, not crash debris (the reference likewise excludes pending
+    clustering from rollback-on-start): a requested plan is kept as-is; a
+    crashed execution (inflight) is reverted to requested — its partial
+    data files are deleted and the plan re-parked for re-execution."""
     rolled = []
     for p in table.timeline.pending():
-        if p.action in tl.DATA_ACTIONS:
-            rolled.append(rollback_instant(table, p.time))
+        if p.action not in tl.DATA_ACTIONS:
+            continue
+        if p.action == tl.REPLACE_COMMIT:
+            try:
+                md = table.timeline.read_metadata(p)
+            except FileNotFoundError:
+                md = {}
+            if md.get("clustering"):
+                if p.state == tl.INFLIGHT:
+                    _delete_instant_dir(table, p.time)
+                    table.timeline.create_requested(p.time, tl.REPLACE_COMMIT,
+                                                    md)
+                    table.timeline.delete_instant(p)
+                continue
+        rolled.append(rollback_instant(table, p.time))
     return rolled

@@ -51,6 +51,7 @@ from .writer import (API_DELETE, FG, MERGE_KEY, NEW_FLAG, collect_write_stats,
                      write_instant_files)
 
 from .scan import scan_parquet
+from .services.clustering import ClusteringUpdateConflict as _ClusteringConflict
 from .timing import _stage
 
 
@@ -394,9 +395,12 @@ class HudiTable:
                        src.groupBy(META_PARTITION_PATH).count().collect()}
         rec_size = avg_record_size(self.meta, self.timeline,
                                    self.cfg.record_size_estimate)
+        from .services.clustering import pending_clustering_fgs
         plan = plan_insert_buckets(profile, view if pack_small_files else None,
                                    self.cfg, rec_size,
-                                   pack_small_files=pack_small_files)
+                                   pack_small_files=pack_small_files,
+                                   exclude_fgs=set(pending_clustering_fgs(self))
+                                   if pack_small_files else None)
         # GLOBAL_SORT into all-new buckets (bulk loads): assign by key RANGE
         # (sampled split points) instead of key hash — each written file then
         # owns a disjoint key interval, so manifest min/max stats make the
@@ -567,6 +571,11 @@ class HudiTable:
                             fg = op["file_group"]
                             pending_compaction[fg] = max(
                                 pending_compaction.get(fg, ""), p.time)
+            # file groups frozen by a scheduled clustering plan: updates/
+            # deletes that touch them are rejected (SparkRejectUpdateStrategy)
+            # — checked exactly against the tagged batch in each lane below
+            from .services.clustering import pending_clustering_fgs
+            frozen_fgs = set(pending_clustering_fgs(self))
             with _stage("upsert.view"):
                 view = self.view()
             if not is_delete and not view.latest_slices():
@@ -618,7 +627,8 @@ class HudiTable:
                     with _stage("upsert.write"):
                         stats, fg_map, schema, wrote_inserts = \
                             self._upsert_cow_fast(view, instant.time,
-                                                  prepared, prof, is_delete)
+                                                  prepared, prof, is_delete,
+                                                  frozen_fgs=frozen_fgs)
                     with _stage("upsert.complete"):
                         self._complete(instant, operation, stats, schema)
                     if self._index_cache_on:
@@ -734,6 +744,7 @@ class HudiTable:
             has_ext = self.tc.table_type == MERGE_ON_READ and any(
                 f.external for sl in view.latest_slices() for f in sl.base_files)
             if self.tc.table_type == MERGE_ON_READ and not has_ext:
+                self._check_frozen(updates, FG, frozen_fgs)
                 with _stage("upsert.write"):
                     stats, fg_map, schema = self._upsert_mor_fast(
                         view, instant.time, updates, inserts,
@@ -746,6 +757,13 @@ class HudiTable:
                 with _stage("upsert.tag_profile"):
                     fg_prof = tagged.groupBy(META_PARTITION_PATH, FG_COL).count().collect()
                 update_fgs = {r[1]: r[0] for r in fg_prof if r[1] is not None}
+                if frozen_fgs & set(update_fgs):
+                    from .services.clustering import ClusteringUpdateConflict
+                    raise ClusteringUpdateConflict(
+                        f"update touches file groups "
+                        f"{sorted(frozen_fgs & set(update_fgs))[:3]} in a "
+                        "pending clustering plan; run_clustering() first or "
+                        "roll the plan back")
                 insert_profile = {} if is_delete else \
                     {r[0]: r[2] for r in fg_prof if r[1] is None}
                 wrote_inserts = any(v > 0 for v in insert_profile.values())
@@ -771,6 +789,13 @@ class HudiTable:
                     self._key_index_valid_at = instant.time
                 else:
                     self._invalidate_key_index()
+        except _ClusteringConflict:
+            # nothing was written — drop the started instant instead of
+            # leaving crash debris for rollback-on-open
+            for st in (tl.REQUESTED, tl.INFLIGHT):
+                self.timeline.delete_instant(
+                    tl.Instant(instant.time, action, st))
+            raise
         finally:
             if persisted:
                 prepared.unpersist()
@@ -779,6 +804,24 @@ class HudiTable:
         with _stage("upsert.post_commit"):
             self._post_commit()
         return instant.time
+
+    @staticmethod
+    def _check_frozen(tagged_updates: DataFrame, fg_col: str,
+                      frozen_fgs: set) -> None:
+        """Reject updates targeting file groups frozen by a pending
+        clustering plan (SparkRejectUpdateStrategy.java:41-62).  Exact: a
+        bounded probe on the tagged batch, run only when a plan is pending."""
+        if not frozen_fgs:
+            return
+        from .services.clustering import ClusteringUpdateConflict
+        hit = (tagged_updates
+               .filter(F.col(fg_col).isin(list(frozen_fgs)))
+               .select(fg_col).limit(1).collect())
+        if hit:
+            raise ClusteringUpdateConflict(
+                f"update touches file group {hit[0][0]} which is in a "
+                "pending clustering plan; run_clustering() first or roll "
+                "the plan back")
 
     def _new_version_wins(self) -> bool:
         """True when the arriving batch's version wins unconditionally per
@@ -833,7 +876,8 @@ class HudiTable:
         return stats, schema
 
     def _upsert_cow_fast(self, view: FileSystemView, instant_time: str,
-                         prepared: DataFrame, prof: list, is_delete: bool):
+                         prepared: DataFrame, prof: list, is_delete: bool,
+                         frozen_fgs: Optional[set] = None):
         """COW fast-update lane: one pre-write Spark action in the common
         case (the per-partition batch profile the caller already ran); the
         bloom-prune branch below adds a second, bounded action (a distinct
@@ -901,6 +945,16 @@ class HudiTable:
         tagged = tag_locations(prepared, index_df, self.cfg.index_type,
                                broadcast_incoming=True).persist()
         try:
+            # the stats-pruned rewrite superset may overlap a pending
+            # clustering plan spuriously — probe the exact tagged locations;
+            # once the probe proves no batch key lives in a frozen group,
+            # the frozen groups are dropped from the rewrite set (no-op
+            # pass-through rewrites would version them and waste IO)
+            if frozen_fgs and (frozen_fgs & rewrite_fgs):
+                self._check_frozen(tagged, FG_COL, frozen_fgs)
+                rewrite_fgs -= frozen_fgs
+                for fg in frozen_fgs:
+                    fg_map.pop(fg, None)
             updates = tagged.filter(F.col(FG_COL).isNotNull()) \
                             .withColumn(FG, F.col(FG_COL)).drop(FG_COL)
             inserts = tagged.filter(F.col(FG_COL).isNull()).drop(FG_COL)
@@ -954,10 +1008,12 @@ class HudiTable:
           file group.
         """
         with _stage("cow.plan"):
+            from .services.clustering import pending_clustering_fgs
             rec_size = avg_record_size(self.meta, self.timeline,
                                        self.cfg.record_size_estimate)
             plan = plan_insert_buckets(insert_profile, view, self.cfg, rec_size,
-                                       pack_small_files=True)
+                                       pack_small_files=True,
+                                       exclude_fgs=set(pending_clustering_fgs(self)))
         assigned = assign_insert_buckets(self.spark, inserts, plan,
                                          META_PARTITION_PATH, META_RECORD_KEY, FG)
         new_raw = updates.unionByName(assigned, allowMissingColumns=True)
@@ -1694,6 +1750,21 @@ class HudiTable:
         sort column, not just the leading one."""
         from .services.clustering import run_clustering
         return run_clustering(self, sort_columns, partitions, layout=layout)
+
+    def schedule_clustering(self, sort_columns: Optional[Sequence[str]] = None,
+                            partitions: Optional[Sequence[str]] = None,
+                            layout: str = "linear", **kw) -> Optional[str]:
+        """Park a clustering plan as ``replacecommit.requested``; its file
+        groups are frozen (updates rejected, insert packing avoids them)
+        until ``cluster()`` / ``run_clustering`` executes the plan."""
+        from .services.clustering import schedule_clustering
+        return schedule_clustering(self, sort_columns, partitions,
+                                   layout=layout, **kw)
+
+    def pending_clustering(self) -> dict[str, str]:
+        """file_group → pending clustering instant time."""
+        from .services.clustering import pending_clustering_fgs
+        return pending_clustering_fgs(self)
 
     def clean(self) -> dict:
         from .services.cleaning import run_clean

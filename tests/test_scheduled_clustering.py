@@ -1,0 +1,119 @@
+"""Scheduled (async-style) clustering: plan parked on the timeline, frozen
+file groups reject updates, execution swaps groups atomically.
+
+Reference: BaseClusteringPlanActionExecutor (plan as replacecommit.requested),
+SparkRejectUpdateStrategy.java:41-62 (update rejection), rollback-on-start
+exclusion of pending clustering.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_hudi_spark import timeline as tl
+from incubator_hudi_spark.config import MERGE_ON_READ
+from incubator_hudi_spark.services.clustering import (
+    ClusteringUpdateConflict, pending_clustering_fgs)
+from incubator_hudi_spark.table import HudiTable
+
+
+def _make(spark, path, lineitem, table_type="COPY_ON_WRITE"):
+    t = HudiTable.create(
+        spark, path, name="clust",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate", table_type=table_type)
+    # several small slices per partition so a plan exists
+    t.upsert(lineitem.filter("l_orderkey % 3 = 0"))
+    t.upsert(lineitem.filter("l_orderkey % 3 = 1"))
+    t.upsert(lineitem.filter("l_orderkey % 3 = 2"))
+    return t
+
+
+def test_schedule_freezes_then_execute_unfreezes(spark, tmp_table_path,
+                                                 lineitem):
+    t = _make(spark, tmp_table_path, lineitem)
+    before = t.read().count()
+    st = t.schedule_clustering()
+    assert st is not None
+    frozen = pending_clustering_fgs(t)
+    assert frozen and all(v == st for v in frozen.values())
+
+    # an update touching a frozen group is rejected, and the aborted
+    # instant leaves no pending debris
+    upd = lineitem.limit(200).withColumn("l_quantity", F.lit(77.0))
+    with pytest.raises(ClusteringUpdateConflict):
+        t.upsert(upd)
+    assert not any(p.action in (tl.COMMIT, tl.DELTA_COMMIT)
+                   for p in t.timeline.pending())
+    assert t.read().count() == before
+
+    # executing the plan swaps the groups; snapshot content is unchanged
+    et = t.cluster()
+    assert et == st
+    assert not pending_clustering_fgs(t)
+    assert t.read().count() == before
+    live = {sl.file_group for sl in t.view().latest_slices()}
+    assert not (set(frozen) & live)
+
+    # updates flow again after execution
+    t.upsert(upd)
+    assert t.read().filter("l_quantity = 77.0").count() > 0
+
+
+def test_inserts_avoid_frozen_groups(spark, tmp_table_path, lineitem):
+    t = _make(spark, tmp_table_path, lineitem)
+    st = t.schedule_clustering()
+    frozen = set(pending_clustering_fgs(t))
+    assert st is not None and frozen
+    # brand-new keys: pure inserts — must succeed and must not pack into
+    # frozen groups
+    new = (lineitem.limit(500)
+           .withColumn("l_orderkey", F.col("l_orderkey") + 90_000_000))
+    ct = t.upsert(new)
+    md = t.timeline.read_metadata(tl.Instant(ct, tl.COMMIT))
+    written = {s["file_group"] for s in md["write_stats"]}
+    assert not (written & frozen)
+    assert t.cluster() == st
+
+
+def test_plan_survives_reopen_and_inflight_recovers(spark, tmp_table_path,
+                                                    lineitem):
+    t = _make(spark, tmp_table_path, lineitem)
+    st = t.schedule_clustering()
+    # reopen → rollback-on-start must keep the requested plan
+    t2 = HudiTable.load(spark, tmp_table_path)
+    t2.upsert(lineitem.limit(100)
+              .withColumn("l_orderkey", F.col("l_orderkey") + 80_000_000))
+    assert st in set(pending_clustering_fgs(t2).values())
+    # simulate a crashed execution: plan inflight, partial data dir
+    req = tl.Instant(st, tl.REPLACE_COMMIT, tl.REQUESTED)
+    md = t2.timeline.read_metadata(req)
+    t2.timeline.transition_to_inflight(req, md)
+    t3 = HudiTable.load(spark, tmp_table_path)
+    t3.upsert(lineitem.limit(100)
+              .withColumn("l_orderkey", F.col("l_orderkey") + 70_000_000))
+    pend = [p for p in t3.timeline.pending() if p.time == st]
+    assert pend and pend[0].state == tl.REQUESTED
+    before = t3.read().count()
+    assert t3.cluster() == st
+    assert t3.read().count() == before
+
+
+def test_mor_delta_rejected_and_compaction_skips_frozen(spark, tmp_table_path,
+                                                        lineitem):
+    t = _make(spark, tmp_table_path, lineitem, table_type=MERGE_ON_READ)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+    st = t.schedule_clustering()
+    assert st is not None
+    frozen = set(pending_clustering_fgs(t))
+    with pytest.raises(ClusteringUpdateConflict):
+        t.upsert(lineitem.limit(200).withColumn("l_quantity", F.lit(5.0)))
+    # compaction scheduling must not pick frozen groups
+    ct = t.schedule_compaction(max_logs_per_slice=1)
+    if ct is not None:
+        plan = t.timeline.read_metadata(
+            tl.Instant(ct, tl.COMPACTION, tl.REQUESTED))
+        assert not ({op["file_group"] for op in plan["operations"]} & frozen)
+    before = t.read().count()
+    assert t.cluster() == st
+    assert t.read().count() == before
