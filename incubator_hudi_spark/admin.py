@@ -99,14 +99,13 @@ def savepoints_df(table) -> DataFrame:
     return table.spark.createDataFrame(rows, "instant string, savepoint_at string")
 
 
-def upgrade_table(table, to_version: int = 1) -> int:
-    """Upgrade/downgrade hook (hudi-client/.../table/upgrade/): our layout has
-    a single version so far; bumps the persisted version field."""
-    tc = table.tc
-    if tc.version != to_version:
-        from dataclasses import replace
-        table.meta.update_config(replace(tc, version=to_version))
-    return to_version
+def upgrade_table(table, to_version: int = None) -> int:
+    """Version-gated layout migration (hudi-client/.../table/upgrade/
+    UpgradeDowngrade.java) — see services/upgrade.py for the step handlers
+    (v1 <-> v2: per-file key-range backfill/strip in commit manifests)."""
+    from .config import CURRENT_TABLE_VERSION
+    from .services.upgrade import upgrade_table as _up
+    return _up(table, CURRENT_TABLE_VERSION if to_version is None else to_version)
 
 
 def log_files_df(table) -> DataFrame:

@@ -61,6 +61,11 @@ INDEX_GLOBAL_BLOOM = "GLOBAL_BLOOM"
 # driver hashmap, so it scales past driver memory)
 INDEX_INMEMORY = "INMEMORY"
 
+# Table layout version (hudi-common/.../HoodieTableVersion.java): v1 =
+# manifests without per-file record-key ranges; v2 = ranges present
+# (stats pruning).  services/upgrade.py migrates between them.
+CURRENT_TABLE_VERSION = 2
+
 # Cleaning policies — HoodieCleaningPolicy.java:24-26
 CLEAN_KEEP_LATEST_COMMITS = "KEEP_LATEST_COMMITS"
 CLEAN_KEEP_LATEST_FILE_VERSIONS = "KEEP_LATEST_FILE_VERSIONS"
@@ -93,7 +98,7 @@ class TableConfig:
     partition_expr: Optional[str] = None
     precombine_field: Optional[str] = None
     payload: str = PAYLOAD_OVERWRITE_LATEST
-    version: int = 1
+    version: int = CURRENT_TABLE_VERSION
 
     def to_json(self) -> dict:
         return {
@@ -169,6 +174,10 @@ class WriteConfig:
     # memory (key+partition+fg columns, spilled to disk past memory) for
     # skipping that table-sized scan on every steady-state batch.
     cache_simple_index: bool = True
+    # auto-run table-version upgrade at write start when the table is from
+    # an older layout (hoodie.auto.upgrade / UpgradeDowngrade default true);
+    # False → raise TableVersionError instead
+    auto_upgrade: bool = True
     # batches up to this many rows may collect their key set driver-side to
     # bloom-prune the COW rewrite set (bloom.py sidecar; the reference BLOOM
     # index's second pruning stage after min/max ranges)

@@ -281,6 +281,11 @@ class HudiTable:
         # rollback-on-start) — single-writer mode only: with OCC another
         # writer's inflight instant is live work, not a crash (the reference
         # likewise defers to heartbeat-based lazy cleaning under OCC)
+        if action in tl.DATA_ACTIONS:
+            # refuse newer-version tables / auto-upgrade older ones BEFORE
+            # any instant exists (UpgradeDowngrade at write-client init)
+            from .services.upgrade import check_write_version
+            check_write_version(self)
         if action in tl.DATA_ACTIONS and self._pre_commit_hook is None \
                 and not getattr(self, "_recovering", False):
             self._recovering = True
