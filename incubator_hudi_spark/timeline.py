@@ -47,6 +47,13 @@ COMPLETED = "completed"
 #: actions whose completed metadata contributes data files to the file-system view
 DATA_ACTIONS = (COMMIT, DELTA_COMMIT, REPLACE_COMMIT)
 
+#: every legal instant action — parsing is restricted to these so stray
+#: dotted names in the meta dir (``table_properties.json``, editor drops)
+#: can never masquerade as instants (HoodieActiveTimeline.VALID_EXTENSIONS
+#: plays the same gatekeeper role in the reference)
+ALL_ACTIONS = frozenset({COMMIT, DELTA_COMMIT, REPLACE_COMMIT, CLEAN,
+                         ROLLBACK, SAVEPOINT, RESTORE, COMPACTION, INDEXING})
+
 _LAST_INSTANT = [""]
 
 
@@ -75,6 +82,8 @@ class Instant:
     @staticmethod
     def parse(fn: str) -> Optional["Instant"]:
         parts = fn.split(".")
+        if len(parts) >= 2 and parts[1] not in ALL_ACTIONS:
+            return None
         if len(parts) == 2:
             return Instant(parts[0], parts[1], COMPLETED)
         if len(parts) == 3 and parts[2] in (REQUESTED, INFLIGHT):

@@ -118,3 +118,20 @@ def test_timestamp_partition_expr_modes(spark):
         timestamp_partition_expr("x", TS_DATE_STRING, "yyyy")  # no input fmt
     with pytest.raises(ValueError):
         timestamp_partition_expr("x", "BOGUS", "yyyy")
+
+
+def test_instant_parse_rejects_non_action_files():
+    """table_properties.json (and any stray dotted file) must never parse as
+    a COMPLETED instant — a bogus 'table_properties' time sorts after every
+    yyyyMMddHHmmssSSS instant and would hijack unfiltered last_completed()
+    (the reference gates on VALID_EXTENSIONS_IN_ACTIVE_TIMELINE the same way)."""
+    from incubator_hudi_spark import timeline as tl
+
+    assert tl.Instant.parse("table_properties.json") is None
+    assert tl.Instant.parse("20260101000000000.commit.tmp") is None
+    assert tl.Instant.parse("notes.txt") is None
+    assert tl.Instant.parse("archived") is None
+    ok = tl.Instant.parse("20260101000000000.commit")
+    assert ok is not None and ok.state == tl.COMPLETED
+    req = tl.Instant.parse("20260101000000000.compaction.requested")
+    assert req is not None and req.state == tl.REQUESTED
