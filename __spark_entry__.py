@@ -659,6 +659,45 @@ def update_delete_where(spark, sf_dir):
     return t.read().select("o_orderkey", "o_orderpriority", "o_totalprice")
 
 
+@q("catalog_sync_external_read", """
+WITH snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice, strftime(o_orderdate, '%Y') AS yr
+  FROM orders)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_price
+FROM snap WHERE yr IN ('1995', '1996')
+GROUP BY o_orderstatus
+""")
+def catalog_sync_external_read(spark, sf_dir):
+    """Metastore-level sync (sync.py sync_ddl — HiveSyncTool parity): after
+    an upsert leaves superseded file versions on disk, the synced catalog
+    table must still read the exact snapshot (manifest layer links only the
+    latest slices), with partition pruning riding on the registered
+    partition column."""
+    from incubator_hudi_spark.sync import sync_ddl
+
+    def build():
+        t = _orders_table(spark, sf_dir, _new_path("orders_sync", sf_dir))
+        o = _load(spark, sf_dir, "orders")
+        t.upsert(o)
+        t.upsert(o.filter("o_orderkey % 7 = 0")
+                 .withColumn("o_orderstatus", F.lit("X")))
+        sync_ddl(t, name="hudi_catalog_sync_q")
+        return {"t": t}
+    _recipe("orders_catalog_sync", sf_dir, build)
+    return spark.sql("""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                   AS total_price
+        FROM hudi_catalog_sync_q
+        WHERE partition_path IN ('1995', '1996')
+        GROUP BY o_orderstatus""")
+
+
 # ---- streaming / ingest -------------------------------------------------------
 
 @q("streaming_sink_events", f"""
@@ -2514,6 +2553,8 @@ _PRIORITY = [
     "timestamp_keygen_epoch", "payload_partial_update", "aws_dms_cdc",
     # r2's sole red row — BIGINT-cast fix needs a fresh driver row
     "pipeline_training_corpus",
+    # new in r3 — needs a first driver row
+    "catalog_sync_external_read",
 ]
 
 
