@@ -856,14 +856,29 @@ class HudiTable:
             parts.append(drop_deleted(
                 old.join(F.broadcast(batch_keys), on=MERGE_KEY,
                          how="left_anti")))
+        rewrite_slices = [sl for sl in view.latest_slices()
+                          if sl.file_group in rewrite_fgs]
         rewrite_bytes = sum(sl.base_size + sl.log_size
-                            for sl in view.latest_slices()
-                            if sl.file_group in rewrite_fgs)
+                            for sl in rewrite_slices)
+        n_rewrite_files = sum(len(sl.base_files) for sl in rewrite_slices)
         par = self.spark.sparkContext.defaultParallelism
         n_buckets = max(1, min(len(fg_map) or 1, par))
         if self.cfg.write_parallelism:
             n_buckets = min(n_buckets, self.cfg.write_parallelism)
-        respread = rewrite_bytes < par * 24 * 1024 * 1024
+        # Re-spread (one exchange over old ∪ fresh) only when it buys
+        # something: (a) the rewrite set is so few files that the scan side
+        # alone can't keep the executors busy, or (b) passthrough batches
+        # have accumulated extra per-group files (each passthrough write may
+        # add ~1 file/group) and a consolidating shuffle restores the
+        # one-file-per-group layout.  Otherwise the table side passes
+        # through in its scan partitions — zero exchanges on the big side —
+        # which is also the only shape that survives 100×: at scale
+        # rewrite_bytes trips the first guard anyway and the big side never
+        # shuffles.
+        respread = (rewrite_bytes < par * 24 * 1024 * 1024
+                    and (n_rewrite_files < min(par, 2 * len(rewrite_fgs)
+                                               if rewrite_fgs else par)
+                         or n_rewrite_files >= 3 * max(1, len(rewrite_fgs))))
         if not respread:
             fresh = fresh.repartition(n_buckets, F.col(FG))
         merged = fresh
