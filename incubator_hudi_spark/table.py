@@ -1599,28 +1599,63 @@ class HudiTable:
                 # no dedup on the key set: semi/anti hash builds collapse
                 # duplicate keys anyway, and a dropDuplicates here would cost
                 # an extra (small-side) exchange
-                lk = logs.select(*MERGE_KEY)
-                untouched = b.join(F.broadcast(lk), MERGE_KEY, "left_anti")
-                touched = (b.join(F.broadcast(lk), MERGE_KEY, "left_semi")
-                            .withColumn(NEW_FLAG, F.lit(False)))
-                small = touched.unionByName(logs)
-                if cluster_by_fg:
-                    # every row carries its file group in _hoodie_file_name;
-                    # cluster just the small side so the whole output can be
-                    # written pre-partitioned (one new file per group from
-                    # this side, scan-partition passthrough from the other).
-                    # bucket_col makes the merge window's required
-                    # distribution start with the file group, so the window
-                    # reuses this exchange instead of adding a key shuffle.
-                    n = max(1, min(len(dirty),
-                                   self.spark.sparkContext.defaultParallelism))
-                    small = small.repartition(n, F.col(META_FILE_NAME))
-                # per-file-group window — the reference merges per split
-                # (RealtimeCompactedRecordReader), so a duplicate-key twin in
-                # another file group is untouched by this group's logs
-                merged_small = merge_latest(small, self.tc,
-                                            bucket_col=META_FILE_NAME)
-                d = untouched.unionByName(merged_small)
+                from .config import PAYLOAD_OVERWRITE_LATEST
+                split_key = [META_FILE_NAME, *MERGE_KEY]
+                if self.tc.payload == PAYLOAD_OVERWRITE_LATEST:
+                    # single-base-scan split (OVERWRITE_LATEST only): a log
+                    # row is always newer than its slice's base (log instants
+                    # > base_instant, and base rows' commit times never
+                    # exceed it), so the per-(group, key) log winner beats
+                    # any base twin unconditionally.  Resolve winners on the
+                    # log side alone (small window), then ONE pass over the
+                    # base drops superseded rows via broadcast anti-join —
+                    # the semi-join subtree of the general split re-scanned
+                    # the whole dirty base a second time, doubling base read
+                    # amplification; at 100 TB that second scan IS the cost.
+                    # The join keys include the file group: a duplicate-key
+                    # twin in another group is untouched by this group's
+                    # logs (reference merges per split,
+                    # RealtimeCompactedRecordReader).
+                    winners = merge_latest(logs, self.tc,
+                                           bucket_col=META_FILE_NAME)
+                    if cluster_by_fg:
+                        n = max(1, min(len(dirty),
+                                       self.spark.sparkContext
+                                       .defaultParallelism))
+                        winners = winners.repartition(n,
+                                                      F.col(META_FILE_NAME))
+                    wk = winners.select(*split_key)
+                    d = (b.join(F.broadcast(wk), split_key, "left_anti")
+                          .unionByName(winners, allowMissingColumns=True))
+                else:
+                    lk = logs.select(*MERGE_KEY)
+                    untouched = b.join(F.broadcast(lk), MERGE_KEY,
+                                       "left_anti")
+                    touched = (b.join(F.broadcast(lk), MERGE_KEY,
+                                      "left_semi")
+                                .withColumn(NEW_FLAG, F.lit(False)))
+                    small = touched.unionByName(logs)
+                    if cluster_by_fg:
+                        # every row carries its file group in
+                        # _hoodie_file_name; cluster just the small side so
+                        # the whole output can be written pre-partitioned
+                        # (one new file per group from this side,
+                        # scan-partition passthrough from the other).
+                        # bucket_col makes the merge window's required
+                        # distribution start with the file group, so the
+                        # window reuses this exchange instead of adding a
+                        # key shuffle.
+                        n = max(1, min(len(dirty),
+                                       self.spark.sparkContext
+                                       .defaultParallelism))
+                        small = small.repartition(n, F.col(META_FILE_NAME))
+                    # per-file-group window — the reference merges per split
+                    # (RealtimeCompactedRecordReader), so a duplicate-key
+                    # twin in another file group is untouched by this
+                    # group's logs
+                    merged_small = merge_latest(small, self.tc,
+                                                bucket_col=META_FILE_NAME)
+                    d = untouched.unionByName(merged_small)
             else:
                 bl = b.withColumn(NEW_FLAG, F.lit(False)).unionByName(logs)
                 if cluster_by_fg:
