@@ -31,13 +31,39 @@ STRATEGY_LOG_FILE_SIZE = "log_file_size"   # LogFileSizeBasedCompactionStrategy 
 STRATEGY_BOUNDED_IO = "bounded_io"         # BoundedIOCompactionStrategy
 STRATEGY_DAY_BASED = "day_based"           # DayBasedCompactionStrategy
 STRATEGY_UNBOUNDED = "unbounded"           # UnBoundedCompactionStrategy
+# BoundedPartitionAwareCompactionStrategy: keep only partitions inside the
+# rolling [today - N days, ∞) window (recent + future-dated partitions);
+# UnBoundedPartitionAwareCompactionStrategy: exactly the complement, so a
+# long-running unbounded job never steps on the bounded job's partitions
+STRATEGY_BOUNDED_PARTITION = "bounded_partition_aware"
+STRATEGY_UNBOUNDED_PARTITION = "unbounded_partition_aware"
+
+
+def _partition_cutoff(day_partitions: int, today: Optional[str]) -> str:
+    """``today - day_partitions`` days as a sortable yyyy-MM-dd string
+    (BoundedPartitionAwareCompactionStrategy.getDateAtOffsetFromToday).
+    ``today`` (yyyy-MM-dd) is injectable for deterministic planning/tests."""
+    import datetime
+    base = (datetime.date.fromisoformat(today) if today
+            else datetime.date.today())
+    return (base - datetime.timedelta(days=day_partitions)).isoformat()
+
+
+def _in_bounded_window(partition: str, cutoff: str) -> bool:
+    """Reference comparator semantics: normalize '/'→'-' and compare
+    lexicographically (date-like partition paths sort chronologically);
+    coarser partitions (yyyy-MM) compare against the cutoff's prefix of the
+    same length, so a month partition containing the cutoff is in-window."""
+    norm = partition.replace("/", "-")
+    return norm >= cutoff[:len(norm)]
 
 
 def schedule_compaction(table, max_logs_per_slice: int = 1,
                         partitions=None,
                         strategy: str = STRATEGY_LOG_FILE_SIZE,
                         io_budget_bytes: Optional[int] = None,
-                        day_partitions: int = 1) -> Optional[str]:
+                        day_partitions: int = 1,
+                        today: Optional[str] = None) -> Optional[str]:
     """Pick the file slices whose logs should merge into new base files.
 
     - ``log_file_size``: slices with >= N log files, biggest log volume first
@@ -48,6 +74,12 @@ def schedule_compaction(table, max_logs_per_slice: int = 1,
     - ``day_based``: restrict to the ``day_partitions`` most recent partitions
       (DayBasedCompactionStrategy — partitions sort newest-first).
     - ``unbounded``: every slice with any log file.
+    - ``bounded_partition_aware``: only partitions in the rolling
+      [``today`` − ``day_partitions`` days, ∞) date window, newest first
+      (BoundedPartitionAwareCompactionStrategy — date-like partition paths).
+    - ``unbounded_partition_aware``: the complement — partitions older than
+      that window (UnBoundedPartitionAwareCompactionStrategy), so the two
+      jobs never overlap.
     """
     if table.tc.table_type != MERGE_ON_READ:
         return None
@@ -64,6 +96,13 @@ def schedule_compaction(table, max_logs_per_slice: int = 1,
     elif strategy == STRATEGY_DAY_BASED:
         recent = sorted({sl.partition for sl in cand}, reverse=True)[:day_partitions]
         chosen = [sl for sl in cand if sl.partition in recent]
+    elif strategy in (STRATEGY_BOUNDED_PARTITION, STRATEGY_UNBOUNDED_PARTITION):
+        cutoff = _partition_cutoff(day_partitions, today)
+        want = strategy == STRATEGY_BOUNDED_PARTITION
+        chosen = sorted(
+            (sl for sl in cand
+             if _in_bounded_window(sl.partition, cutoff) == want),
+            key=lambda sl: sl.partition.replace("/", "-"), reverse=True)
     else:
         chosen = sorted(
             (sl for sl in cand if len(sl.log_files) >= max_logs_per_slice),

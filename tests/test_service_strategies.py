@@ -110,3 +110,42 @@ def test_clustering_recent_partitions(spark, tmp_path, li):
     groups_recent = plan_clustering(t, recent_partitions=1)
     assert len(groups_recent) == 1
     assert set(groups_recent) == {sorted(groups_all, reverse=True)[0]}
+
+
+def test_partition_aware_strategies_partition_and_complement(spark, tmp_path, li):
+    """Bounded keeps the rolling [today-N, inf) window; unbounded-partition-
+    aware is exactly the complement, so the two plans never share a slice
+    (BoundedPartitionAwareCompactionStrategy /
+    UnBoundedPartitionAwareCompactionStrategy)."""
+    import incubator_hudi_spark.timeline as tl
+
+    t = _mor(spark, tmp_path / "t", li)
+    dirty = {sl.partition for sl in FileSystemView(t.meta).latest_slices()
+             if sl.log_files}
+    assert len(dirty) > 2
+    today, days = "1996-01-01", 180            # cutoff = 1995-07-05
+
+    def planned(strategy):
+        ct = C.schedule_compaction(t, strategy=strategy,
+                                   day_partitions=days, today=today)
+        if ct is None:
+            return set()
+        plan = t.timeline.read_metadata(
+            tl.Instant(ct, "compaction", "requested"))
+        C.unschedule_compaction(t, ct)
+        return {op["partition"] for op in plan["operations"]}
+
+    bounded = planned(C.STRATEGY_BOUNDED_PARTITION)
+    unbounded = planned(C.STRATEGY_UNBOUNDED_PARTITION)
+    assert bounded and unbounded
+    assert bounded.isdisjoint(unbounded)
+    assert bounded | unbounded == dirty
+    assert all(p.replace("/", "-") >= "1995-07" for p in bounded)
+    assert all(p.replace("/", "-") < "1995-07" for p in unbounded)
+
+    # the bounded plan runs end-to-end and the snapshot stays exact
+    ct = C.schedule_compaction(t, strategy=C.STRATEGY_BOUNDED_PARTITION,
+                               day_partitions=days, today=today)
+    before = t.read().count()
+    C.run_compaction(t, ct)
+    assert t.read().count() == before
