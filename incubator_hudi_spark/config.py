@@ -203,6 +203,16 @@ class WriteConfig:
     # write a metadata-table view checkpoint every N data commits
     # (HoodieBackedTableMetadataWriter sync cadence; 0 disables)
     metadata_checkpoint_commits: int = 10
+    # MOR grouped delta files: a small update batch writes ONE (or a few,
+    # AQE-sized) shared delta files per commit instead of one tiny file per
+    # touched file group — the engine's answer to the reference's appendable
+    # per-group avro logs (HoodieAppendHandle rolls blocks into one growing
+    # log; parquet can't append, so grouping bounds the small-file count the
+    # same way).  Rows carry their file group in _hoodie_file_name; the
+    # manifest records exact per-(group, file) membership, reads dedupe the
+    # shared paths and filter to the selected groups, and the cleaner only
+    # deletes a shared file when no retained slice references it.
+    mor_grouped_deltas: bool = True
 
     def with_(self, **kw) -> "WriteConfig":
         return replace(self, **kw)

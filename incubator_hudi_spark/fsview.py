@@ -116,6 +116,14 @@ class FileSystemView:
         # (partition, fg) -> instant at which the group was replaced
         self._replaced: dict[tuple[str, str], str] = {}
         self._cleaned_paths: set[str] = set()
+        # log path -> every file group whose rows the file contains (grouped
+        # delta files are shared) — recorded for EVERY log WriteStat folded,
+        # including orphaned/replaced ones, so readers can prove a scanned
+        # file holds no foreign rows and skip the per-(file, group) filter.
+        # Incomplete when the fold started from a metadata-table checkpoint
+        # (pre-checkpoint stats unseen) — readers must then filter.
+        self._log_path_fgs: dict[str, set] = {}
+        self._log_refs_complete = True
         self._build()
 
     # ------------------------------------------------------------------
@@ -129,6 +137,7 @@ class FileSystemView:
         if lo is not None:
             try:
                 self._groups, self._replaced = mt.load_state(self.meta, lo)
+                self._log_refs_complete = False   # pre-checkpoint refs unseen
             except Exception:
                 self._groups, self._replaced = {}, {}
                 lo = None
@@ -155,6 +164,11 @@ class FileSystemView:
                 key = (st.partition, st.file_group)
                 slices = self._groups.setdefault(key, {})
                 if st.log:
+                    # owner registration BEFORE any attach/skip decision: an
+                    # orphaned stat's rows still sit in the (possibly shared)
+                    # file and count as foreign content for other readers
+                    self._log_path_fgs.setdefault(st.path, set()).add(
+                        st.file_group)
                     base = st.base_instant or (max(slices) if slices else None)
                     if base is None:
                         continue
@@ -218,6 +232,14 @@ class FileSystemView:
 
     def replaced_groups(self) -> dict[tuple[str, str], str]:
         return dict(self._replaced)
+
+    def log_path_owners(self, rel_path: str):
+        """Every file group with rows in ``rel_path``, or None when ownership
+        cannot be proven complete (checkpoint-based fold) — callers must then
+        apply the per-(file, group) read filter."""
+        if not self._log_refs_complete:
+            return None
+        return self._log_path_fgs.get(rel_path, set())
 
     def cleaned_paths(self) -> set[str]:
         return set(self._cleaned_paths)

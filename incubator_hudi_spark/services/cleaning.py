@@ -45,9 +45,22 @@ def run_clean(table) -> dict:
                 op["file_group"] for op in md.get("operations", []))
 
     to_delete: list[str] = []
+    # grouped delta files are shared across file groups: a path is deletable
+    # only when NO retained slice still references it, so every slice that
+    # survives this pass contributes its paths to a keep-set subtracted at
+    # the end (path-level refcount; per-group files are unaffected — their
+    # single owner decides)
+    kept_paths: set[str] = set()
+
+    def _keep(slices_kept) -> None:
+        for sl in slices_kept:
+            kept_paths.update(f.path for f in sl.base_files)
+            kept_paths.update(l.path for l in sl.log_files)
+
     replaced = view.replaced_groups()
     for (part, fg), slices in view.all_slices():
         if fg in pending_compaction_fgs:
+            _keep(slices)
             continue
         replaced_at = replaced.get((part, fg))
         if replaced_at is not None and replaced_at < earliest_retained \
@@ -72,14 +85,17 @@ def run_clean(table) -> dict:
                 if sl.base_instant not in needed:
                     to_delete += [f.path for f in sl.base_files if not f.external]
                     to_delete += [l.path for l in sl.log_files]
+                else:
+                    _keep([sl])
         else:  # KEEP_LATEST_FILE_VERSIONS
             keep = table.cfg.clean_retain_file_versions
+            _keep(slices[:keep])
             for sl in slices[keep:]:
                 to_delete += [f.path for f in sl.base_files if not f.external]
                 to_delete += [l.path for l in sl.log_files]
 
     already = view.cleaned_paths()
-    to_delete = sorted(set(to_delete) - already)
+    to_delete = sorted((set(to_delete) - kept_paths) - already)
     if not to_delete:
         return {"deleted": 0}
 

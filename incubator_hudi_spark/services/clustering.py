@@ -184,7 +184,7 @@ def run_clustering(table, sort_columns: Optional[Sequence[str]] = None,
                         replaced=[])
         return instant.time
     replaced = [(sl.partition, sl.file_group) for sl in slices]
-    df = table._read_slices(slices, read_optimized=False, raw=True)
+    df = table._read_slices(slices, read_optimized=False, raw=True, view=view)
     df = drop_deleted(df).drop(API_DELETE)
 
     # SparkSortAndSizeExecutionStrategy.java:68-87: rewrite each partition

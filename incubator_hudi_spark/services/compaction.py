@@ -150,7 +150,7 @@ def run_compaction(table, instant_time: Optional[str] = None) -> Optional[str]:
     # likewise one streaming merge task per file group), and only the
     # log-touched rows ride the small merge shuffle.
     merged = table._read_slices(slices, read_optimized=False, raw=True,
-                                cluster_by_fg=True)
+                                cluster_by_fg=True, view=view)
     merged = drop_deleted(merged).drop(API_DELETE)
     merged = merged.withColumn(META_FILE_NAME, F.col(FG))
     schema = table._read_schema()

@@ -1139,11 +1139,17 @@ class HudiTable:
                     base_of[fg] = max(base_of.get(fg) or "", ctime)
             upd = updates.withColumn(META_FILE_NAME, F.col(FG))
             schema = self._commit_schema(upd)
-            stats += write_instant_files(
-                upd, self.meta, instant_time, dict(update_fgs), self.cfg,
-                sort_cols=[META_RECORD_KEY], log=True,
-                fg_base_instant={fg: base_of.get(fg) for fg in update_fgs},
-                subdir="log")
+            if self.cfg.mor_grouped_deltas:
+                from .writer import write_grouped_log_files
+                stats += write_grouped_log_files(
+                    upd, self.meta, instant_time, dict(update_fgs),
+                    {fg: base_of.get(fg) for fg in update_fgs})
+            else:
+                stats += write_instant_files(
+                    upd, self.meta, instant_time, dict(update_fgs), self.cfg,
+                    sort_cols=[META_RECORD_KEY], log=True,
+                    fg_base_instant={fg: base_of.get(fg) for fg in update_fgs},
+                    subdir="log")
             fg_map.update(update_fgs)
 
         has_inserts = bool(insert_profile) and any(v > 0 for v in insert_profile.values())
@@ -1197,10 +1203,15 @@ class HudiTable:
             base_of[fg] = max(base_of.get(fg) or "", ctime)
         upd = updates.withColumn(META_FILE_NAME, F.col(FG))
         schema = self._commit_schema(upd)
-        stats = write_instant_files(
-            upd, self.meta, instant_time, fg_part, self.cfg,
-            sort_cols=[META_RECORD_KEY], log=True,
-            fg_base_instant=base_of, subdir="log")
+        if self.cfg.mor_grouped_deltas:
+            from .writer import write_grouped_log_files
+            stats = write_grouped_log_files(
+                upd, self.meta, instant_time, fg_part, base_of)
+        else:
+            stats = write_instant_files(
+                upd, self.meta, instant_time, fg_part, self.cfg,
+                sort_cols=[META_RECORD_KEY], log=True,
+                fg_base_instant=base_of, subdir="log")
         fg_map = {s.file_group: s.partition for s in stats}
 
         if not is_delete:
@@ -1420,7 +1431,8 @@ class HudiTable:
         slices = view.latest_slices(partitions)
         return self._read_slices(slices,
                                  read_optimized=(query_type == QUERY_READ_OPTIMIZED),
-                                 skip_merge=(merge_type == "skip_merge"))
+                                 skip_merge=(merge_type == "skip_merge"),
+                                 view=view)
 
     def read_keys(self, keys: Sequence, partitions: Optional[Sequence[str]] = None) -> DataFrame:
         """Point-lookup read with manifest-stats file skipping — the
@@ -1455,7 +1467,7 @@ class HudiTable:
         blooms = load_blooms(self.meta)
         if blooms:
             cand = prune_slices_by_bloom(cand, blooms, ks)
-        df = self._read_slices(cand, read_optimized=False)
+        df = self._read_slices(cand, read_optimized=False, view=view)
         return df.filter(F.col(META_RECORD_KEY).isin(ks))
 
     def read_filtered(self, conjuncts: Sequence[tuple],
@@ -1502,7 +1514,7 @@ class HudiTable:
                     break
             if not skip:
                 kept.append(sl)
-        df = self._read_slices(kept, read_optimized=False)
+        df = self._read_slices(kept, read_optimized=False, view=view)
         for col, op, v in conjuncts:
             c = F.col(col)
             if op == "=":
@@ -1516,11 +1528,12 @@ class HudiTable:
 
     def _read_fg_files(self, view: FileSystemView, fgs: set[str]) -> DataFrame:
         slices = [sl for sl in view.latest_slices() if sl.file_group in fgs]
-        return self._read_slices(slices, read_optimized=False, raw=True)
+        return self._read_slices(slices, read_optimized=False, raw=True,
+                                 view=view)
 
     def _read_slices(self, slices: list[FileSlice], read_optimized: bool,
                      raw: bool = False, skip_merge: bool = False,
-                     cluster_by_fg: bool = False) -> DataFrame:
+                     cluster_by_fg: bool = False, view=None) -> DataFrame:
         """Clean slices (no logs) → plain parquet scan; dirty slices →
         base ∪ deltas → latest-wins window → drop deletes
         (MergeOnReadSnapshotRelation.scala:94-138 / HoodieMergeOnReadRDD.scala
@@ -1565,9 +1578,49 @@ class HudiTable:
             b = bases[0]
             for x in bases[1:]:
                 b = b.unionByName(x)
-            log_paths = [self.meta.abs_path(l.path) for sl in dirty for l in sl.log_files]
+            log_entries = [(l.path, sl.file_group)
+                           for sl in dirty for l in sl.log_files]
+            # grouped delta files are shared across file groups: scan each
+            # path once, and when sharing is present restrict rows to the
+            # selected groups — a shared file may also hold rows of groups
+            # NOT being read (another partition, or a since-replaced group
+            # whose rows must not resurrect)
+            log_rel = list(dict.fromkeys(p for p, _ in log_entries))
+            log_paths = [self.meta.abs_path(p) for p in log_rel]
             logs = scan_parquet(self.spark, log_paths, dschema) \
                        .withColumn(NEW_FLAG, F.lit(True))
+            # validity filter: a grouped (shared) delta file may hold rows of
+            # groups that are not part of this read — a group that was since
+            # compacted or replaced, or simply not selected.  The valid unit
+            # is the (file, group) PAIR exactly as the slices reference it: a
+            # group-set filter alone would keep stale rows of a still-dirty
+            # group sitting in an old shared file.  Skipped — keeping the
+            # plan join-free — when ownership is PROVEN covered: per-group
+            # dir layout, or the view's fold-complete owner map shows every
+            # scanned file's groups are all selected.
+            uniq_pairs = sorted({(self.meta.abs_path(p), fg)
+                                 for p, fg in log_entries})
+            sel_by_path: dict[str, set] = {}
+            for p, fg in log_entries:
+                sel_by_path.setdefault(p, set()).add(fg)
+            if all(f"/{FG}=" in p for p in log_rel):
+                covered = True      # per-group files hold only their own rows
+            elif view is not None:
+                owners = [view.log_path_owners(p) for p in log_rel]
+                covered = all(o is not None and o <= sel_by_path[p]
+                              for p, o in zip(log_rel, owners))
+            else:
+                covered = False
+            if not covered:
+                pair_df = self.spark.createDataFrame(
+                    uniq_pairs, schema=f"_hoodie_log_path string, "
+                                       f"{META_FILE_NAME} string")
+                norm = F.regexp_replace(F.input_file_name(), "^file:/*", "/")
+                logs = (logs.withColumn("_hoodie_log_path", norm)
+                        .join(F.broadcast(pair_df),
+                              ["_hoodie_log_path", META_FILE_NAME],
+                              "left_semi")
+                        .drop("_hoodie_log_path"))
             log_bytes = sum(l.size for sl in dirty for l in sl.log_files)
             if log_bytes <= self.cfg.mor_merge_broadcast_max_log_bytes:
                 # the broadcast-split branch consumes the log side three
@@ -1741,7 +1794,7 @@ class HudiTable:
         view = self.view(as_of=hi)
         slices = [sl for sl in view.latest_slices(partitions)
                   if sl.file_group in touched]
-        df = self._read_slices(slices, read_optimized=False)
+        df = self._read_slices(slices, read_optimized=False, view=view)
         cond = F.col(META_COMMIT_TIME) <= F.lit(hi)
         if begin is not None:
             cond = cond & (F.col(META_COMMIT_TIME) > F.lit(begin))

@@ -248,6 +248,79 @@ def drop_deleted(df: DataFrame) -> DataFrame:
 # physical write + manifest stats
 # ---------------------------------------------------------------------------
 
+def write_grouped_log_files(
+    df: DataFrame,
+    meta: TableMetaClient,
+    instant_time: str,
+    fg_to_partition: dict[str, str],
+    fg_base_instant: dict[str, str],
+) -> list[WriteStat]:
+    """MOR delta append, grouped: the batch writes a few AQE-sized shared
+    delta files instead of one tiny file per touched file group.
+
+    The reference appends avro blocks to ONE rolling log per group
+    (HoodieAppendHandle.java:71,336-390) so a small commit never mints a
+    file per group; parquet can't append, so the engine gets the same
+    bounded-small-file property by sharing: rows already carry their file
+    group in ``_hoodie_file_name``, the shuffle hashes by group (keeping a
+    group's rows together for row-group locality) and AQE coalesces the tiny
+    batch into ~advisory-sized tasks — one output file each.  A post-write
+    scan of the (small, just-written) files records EXACT per-(group, file)
+    membership in the manifest, so subset reads (compaction of a few groups,
+    partition-pruned scans) open only files that contain their groups, and
+    the cleaner refcounts shared paths before deleting.
+    """
+    out_dir = os.path.join(meta.instant_data_dir(instant_time), "log")
+    out = (df.drop(FG)
+             .repartition(F.col(META_FILE_NAME))   # AQE coalesces small batches
+             .sortWithinPartitions(META_FILE_NAME, META_RECORD_KEY))
+    with _stage("write.files"):
+        out.write.option("compression", "snappy").mode("append").parquet(out_dir)
+    with _stage("write.stats"):
+        if not os.path.isdir(out_dir):             # empty batch wrote nothing
+            return []
+        files = [os.path.join(out_dir, fn) for fn in sorted(os.listdir(out_dir))
+                 if fn.endswith(".parquet")]
+        if not files:
+            return []
+        sizes = {p: os.path.getsize(p) for p in files}
+        # exact (file, group) membership + per-group row counts — one narrow
+        # pass over the single freshly-written column.  Small delta sets
+        # (the common steady-state batch) are counted driver-side via Arrow
+        # (no job launch); big ones via a column-pruned Spark scan.
+        pairs: list[tuple[str, str, int]] = []   # (abs_path, fg, rows)
+        if sum(sizes.values()) <= 64 * 1024 * 1024:
+            import pyarrow.parquet as pq
+            for p in files:
+                col = pq.read_table(p, columns=[META_FILE_NAME])[0]
+                vc = col.value_counts()
+                for item in vc:
+                    pairs.append((p, item["values"].as_py(),
+                                  item["counts"].as_py()))
+        else:
+            spark = df.sparkSession
+            rows = (spark.read.parquet(*files)
+                    .groupBy(F.input_file_name().alias("_f"),
+                             F.col(META_FILE_NAME).alias("_fg"))
+                    .count().collect())
+            import re as _re
+            pairs = [(_re.sub("^file:/*", "/", r["_f"]), r["_fg"], r["count"])
+                     for r in rows]
+        total_rows: dict[str, int] = {}
+        for p, _, n in pairs:
+            total_rows[p] = total_rows.get(p, 0) + n
+        stats = []
+        for p, fg, n in pairs:
+            share = n / max(1, total_rows[p])
+            stats.append(WriteStat(
+                partition=fg_to_partition.get(fg, ""), file_group=fg,
+                path=meta.rel_path(p),
+                size=int(sizes.get(p, 0) * share),       # apportioned
+                num_records=n, log=True,
+                base_instant=fg_base_instant.get(fg)))
+        return stats
+
+
 def write_instant_files(
     df: DataFrame,
     meta: TableMetaClient,

@@ -73,7 +73,13 @@ def test_mor_delta_files_bounded_by_batch(spark, tmp_table_path):
     written = _instant_files(t, c)
     dirty = {sl.file_group for sl in t.view().latest_slices()
              if sl.partition in ("3", "11")}
-    assert len(written) == len(dirty)
+    # grouped deltas: the batch writes a few AQE-sized shared files — file
+    # count is bounded by the BATCH, not the touched-group count; the
+    # manifest still carries one log reference per touched group
+    assert 1 <= len(written) <= len(dirty)
+    log_refs = sum(len(sl.log_files) for sl in t.view().latest_slices()
+                   if sl.partition in ("3", "11"))
+    assert log_refs == len(dirty)
     # snapshot still merges correctly
     got = t.read().filter(F.col("p") == "3").select(F.sum("v")).collect()[0][0]
     exp = _df(spark).filter(F.col("p") == "3") \
