@@ -1677,8 +1677,13 @@ class HudiTable:
                                        .defaultParallelism))
                         winners = winners.repartition(n,
                                                       F.col(META_FILE_NAME))
-                    wk = winners.select(*split_key)
-                    d = (b.join(F.broadcast(wk), split_key, "left_anti")
+                    # anti-join on the RAW log key set, not the winners: a
+                    # winner exists exactly when any log row does, and the
+                    # raw projection keeps the window subtree out of the
+                    # broadcast build (one log-side exchange total; the
+                    # broadcast hash build collapses duplicate keys free)
+                    lk = logs.select(*split_key)
+                    d = (b.join(F.broadcast(lk), split_key, "left_anti")
                           .unionByName(winners, allowMissingColumns=True))
                 else:
                     lk = logs.select(*MERGE_KEY)
