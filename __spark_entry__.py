@@ -2007,6 +2007,52 @@ def stratified_sample_q(spark, sf_dir):
         hash_family="md5").select("doc_id", "lang")
 
 
+@q("chunk_documents_512", """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(0, (length(text) - 1) // 448) + 1))
+           AS chunk_id
+  FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         substr(text, CAST(chunk_id AS INT) * 448 + 1, 512) AS chunk_text
+  FROM idx)
+SELECT doc_id, chunk_id, chunk_text,
+       CAST(length(chunk_text) AS INT) AS chunk_chars
+FROM chunks
+""")
+def chunk_documents_512(spark, sf_dir):
+    """Fixed-window document chunking with overlap (512 chars, 64 overlap →
+    step 448): sequence→posexplode→substring, a pure map-side explode —
+    the pre-tokenization step for context-window training and RAG
+    indexing."""
+    from incubator_hudi_spark.operators.text import chunk_documents
+    docs = _load(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_chars=512, overlap_chars=64)
+    return out.select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"),
+                      "chunk_text",
+                      F.col("chunk_chars").cast("int").alias("chunk_chars"))
+
+
+@q("cap_per_source_100", """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source FROM ranked WHERE rn <= 100
+""")
+def cap_per_source_100(spark, sf_dir):
+    """Per-source head cap (CCNet/RefinedWeb-style): keep a deterministic
+    100 documents per source so no single origin dominates the training
+    mix.  One window shuffle keyed by source; md5 selection order is
+    engine-independent, hence oracle-checkable."""
+    from incubator_hudi_spark.operators.sampling import cap_per_group
+    docs = _load(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", 100).select("doc_id", "source")
+
+
 @q("vocab_top100", r"""
 WITH toks AS (
   SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
@@ -2553,8 +2599,9 @@ _PRIORITY = [
     "timestamp_keygen_epoch", "payload_partial_update", "aws_dms_cdc",
     # r2's sole red row — BIGINT-cast fix needs a fresh driver row
     "pipeline_training_corpus",
-    # new in r3 — needs a first driver row
-    "catalog_sync_external_read",
+    # new in r3 — need a first driver row
+    "catalog_sync_external_read", "chunk_documents_512",
+    "cap_per_source_100",
 ]
 
 

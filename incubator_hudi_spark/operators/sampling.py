@@ -74,3 +74,24 @@ def split_train_eval(df: DataFrame, eval_fraction: float = 0.01,
     b = _bucket(F.col(id_col), hash_family, salt)
     cut = int(eval_fraction * DENOM)
     return df.filter(b >= cut), df.filter(b < cut)
+
+
+def cap_per_group(df: DataFrame, group_col: str, cap: int,
+                  id_col: str = "doc_id", salt: str = "cap") -> DataFrame:
+    """Keep at most ``cap`` records per group, chosen deterministically —
+    the per-domain / per-source cap every crawl-derived corpus applies so
+    one prolific source cannot dominate the training mix (the CCNet /
+    RefinedWeb-style "head cap").
+
+    Selection order is the md5 of (salt, id): stable across runs, engines,
+    and partitionings, so the kept set is reproducible and oracle-checkable.
+    One window shuffle keyed by the group column; no collect, no join —
+    at 100 TB the shuffle carries only (group, rank-key) ordering work and
+    skewed groups are bounded by the cap itself on output.
+    """
+    from pyspark.sql.window import Window
+    rank_key = F.md5(F.concat_ws("|", F.lit(salt),
+                                 F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
+    return (df.withColumn("_cap_rn", F.row_number().over(w))
+              .filter(F.col("_cap_rn") <= cap).drop("_cap_rn"))

@@ -235,3 +235,37 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
                         F.regexp_replace(t, PII_EMAIL, email_token),
                         PII_PHONE, phone_token),
                     PII_IPV4, ip_token)))
+
+
+def chunk_documents(df: DataFrame, chunk_chars: int = 512,
+                    overlap_chars: int = 64,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-size character windows with overlap — the
+    standard pre-tokenization step for context-window training and RAG
+    indexing.
+
+    Chunk ``i`` covers ``[i*step, i*step + chunk_chars)`` with
+    ``step = chunk_chars - overlap_chars``; the last chunk may be short,
+    and every character of the document is covered by at least one chunk.
+
+    Pure JVM plan: ``sequence`` → ``posexplode`` → ``substring`` — no
+    Python, no shuffle; at 100 TB this is a map-side explode whose output
+    rows are ~(len/step)× the input, which Spark pipelines straight into
+    downstream operators (tokenize, embed, write).  Expressible in ANSI
+    SQL (generate_series + substr) for oracle checking.
+    """
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be < chunk_chars")
+    step = chunk_chars - overlap_chars
+    t = F.col(text_col)
+    n_chunks = F.greatest(
+        F.lit(0), F.floor((F.length(t) - F.lit(1)) / F.lit(step))
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks))
+    out = (df.withColumn("chunk_id", idx)
+             .withColumn("chunk_text",
+                         F.substring(t, F.col("chunk_id") * step + 1,
+                                     chunk_chars))
+             .withColumn("chunk_chars", F.length("chunk_text")))
+    return out.select(id_col, "chunk_id", "chunk_text", "chunk_chars")

@@ -324,3 +324,50 @@ def test_semantic_dedup_drops_twins(spark):
     # every twin is cosine-identical to its original (same cell) → dropped
     assert kept.filter("vec_id >= 100000").count() == 0
     assert kept.count() == emb.count()
+
+
+def test_chunk_documents_coverage_and_overlap(spark, documents):
+    """Every character is covered; consecutive chunks overlap by exactly
+    overlap_chars (except a short final chunk); reassembling chunk steps
+    reproduces the document."""
+    chunks = text.chunk_documents(documents, chunk_chars=100,
+                                  overlap_chars=20)
+    docs = {r["doc_id"]: r["text"]
+            for r in documents.limit(50).collect()}
+    got = (chunks.filter(F.col("doc_id").isin(*docs.keys()))
+           .orderBy("doc_id", "chunk_id").collect())
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    step = 80
+    for doc_id, rows in by_doc.items():
+        full = docs[doc_id]
+        # chunk i starts at i*step and matches the source text
+        for r in rows:
+            start = r["chunk_id"] * step
+            assert r["chunk_text"] == full[start:start + 100]
+        # coverage: last chunk reaches the end of the document
+        last = rows[-1]
+        assert last["chunk_id"] * step + len(last["chunk_text"]) == len(full)
+        # overlap: consecutive chunks share exactly 20 chars
+        for a, b in zip(rows, rows[1:]):
+            assert a["chunk_text"][step:] == b["chunk_text"][:100 - step]
+
+    with pytest.raises(ValueError):
+        text.chunk_documents(documents, chunk_chars=64, overlap_chars=64)
+
+
+def test_cap_per_group_deterministic_and_bounded(spark, documents):
+    from incubator_hudi_spark.operators.sampling import cap_per_group
+    capped = cap_per_group(documents, "source", 7)
+    per = capped.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 7 for r in per)
+    # sources with >7 docs are capped exactly at 7
+    big = {r["source"] for r in documents.groupBy("source").count()
+           .filter("count > 7").collect()}
+    assert all(r["count"] == 7 for r in per if r["source"] in big)
+    # deterministic: same selection on re-run and under a different layout
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {r["doc_id"] for r in
+         cap_per_group(documents.repartition(13), "source", 7).collect()}
+    assert a == b
