@@ -766,6 +766,62 @@ def clustering_cleaning_archival(spark, sf_dir):
                  .cast("long").alias("sum_qty")))
 
 
+@q("scheduled_clustering_execute", f"""
+WITH {_LI_DEDUP}
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty
+FROM li_d GROUP BY l_returnflag
+""")
+def scheduled_clustering_execute(spark, sf_dir):
+    """Async-style clustering: the plan is PARKED on the timeline as a
+    replacecommit.requested (freezing its file groups against updates,
+    SparkRejectUpdateStrategy parity), then executed by a later
+    run_clustering call — the snapshot is unchanged throughout."""
+    from incubator_hudi_spark.services.clustering import (
+        pending_clustering_plans, run_clustering, schedule_clustering)
+
+    def build():
+        t = _lineitem_table(spark, sf_dir,
+                            _new_path("sched_cluster", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        # disjoint upserts → ≥2 small file groups per partition, the shape
+        # the partition-aware plan strategy targets
+        t.upsert(li.filter("l_orderkey % 2 = 0"))
+        t.upsert(li.filter("l_orderkey % 2 = 1"))
+        ct = schedule_clustering(t, sort_columns=["l_orderkey"])
+        assert ct is not None and pending_clustering_plans(t)
+        run_clustering(t, instant_time=ct)
+        assert not pending_clustering_plans(t)
+        return {"t": t}
+    t = _recipe("sched_cluster", sf_dir, build)["t"]
+    return (t.read().groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+                 .cast("long").alias("sum_qty")))
+
+
+@q("upgrade_downgrade_roundtrip", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber, l_quantity FROM li_d
+""")
+def upgrade_downgrade_roundtrip(spark, sf_dir):
+    """Real layout migration (UpgradeDowngrade parity): downgrade strips the
+    manifests' per-file key ranges (v1 layout), upgrade backfills them from
+    parquet footers — data identical before, during, and after; v2 stats
+    pruning works again post-upgrade."""
+    from incubator_hudi_spark.config import CURRENT_TABLE_VERSION
+    from incubator_hudi_spark.services.upgrade import upgrade_table
+
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("updown", sf_dir))
+        t.upsert(_load(spark, sf_dir, "lineitem"))
+        assert upgrade_table(t, 1) == 1               # downgrade
+        assert upgrade_table(t) == CURRENT_TABLE_VERSION
+        return {"t": t}
+    t = _recipe("updown", sf_dir, build)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 @q("schema_evolution", f"""
 WITH {_LI_DEDUP}
 SELECT l_orderkey, l_linenumber, l_quantity,
@@ -2601,7 +2657,8 @@ _PRIORITY = [
     "pipeline_training_corpus",
     # new in r3 — need a first driver row
     "catalog_sync_external_read", "chunk_documents_512",
-    "cap_per_source_100",
+    "cap_per_source_100", "scheduled_clustering_execute",
+    "upgrade_downgrade_roundtrip",
 ]
 
 
