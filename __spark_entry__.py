@@ -2066,7 +2066,7 @@ def stratified_sample_q(spark, sf_dir):
 @q("chunk_documents_512", """
 WITH idx AS (
   SELECT doc_id, text,
-         unnest(range(0, greatest(0, (length(text) - 1) // 448) + 1))
+         unnest(range(0, greatest(0, (length(text) - 512 + 447) // 448) + 1))
            AS chunk_id
   FROM documents),
 chunks AS (

@@ -247,7 +247,10 @@ def chunk_documents(df: DataFrame, chunk_chars: int = 512,
 
     Chunk ``i`` covers ``[i*step, i*step + chunk_chars)`` with
     ``step = chunk_chars - overlap_chars``; the last chunk may be short,
-    and every character of the document is covered by at least one chunk.
+    every character of the document is covered by at least one chunk, and
+    no chunk is fully contained in the previous one (the last index is
+    ``ceil((len - chunk_chars) / step)``, i.e. the first start whose chunk
+    reaches the end — one more would add only already-covered text).
 
     Pure JVM plan: ``sequence`` → ``posexplode`` → ``substring`` — no
     Python, no shuffle; at 100 TB this is a map-side explode whose output
@@ -259,10 +262,12 @@ def chunk_documents(df: DataFrame, chunk_chars: int = 512,
         raise ValueError("overlap_chars must be < chunk_chars")
     step = chunk_chars - overlap_chars
     t = F.col(text_col)
-    n_chunks = F.greatest(
-        F.lit(0), F.floor((F.length(t) - F.lit(1)) / F.lit(step))
+    last_idx = F.greatest(
+        F.lit(0),
+        F.floor((F.length(t) - F.lit(chunk_chars) + F.lit(step - 1))
+                / F.lit(step))
     ).cast("int")
-    idx = F.explode(F.sequence(F.lit(0), n_chunks))
+    idx = F.explode(F.sequence(F.lit(0), last_idx))
     out = (df.withColumn("chunk_id", idx)
              .withColumn("chunk_text",
                          F.substring(t, F.col("chunk_id") * step + 1,

@@ -17,6 +17,7 @@ change times (matching the reference's log-record carry-over).
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from pyspark.sql import functions as F
@@ -49,11 +50,25 @@ def _partition_cutoff(day_partitions: int, today: Optional[str]) -> str:
     return (base - datetime.timedelta(days=day_partitions)).isoformat()
 
 
+_DATE_PARTITION = re.compile(r"^\d{4}([-/]\d{1,2}){0,2}$")
+
+
 def _in_bounded_window(partition: str, cutoff: str) -> bool:
     """Reference comparator semantics: normalize '/'→'-' and compare
     lexicographically (date-like partition paths sort chronologically);
     coarser partitions (yyyy-MM) compare against the cutoff's prefix of the
-    same length, so a month partition containing the cutoff is in-window."""
+    same length, so a month partition containing the cutoff is in-window.
+
+    Non-date partition paths fail loudly: letters sort above digits, so a
+    silent lexicographic compare would put every such partition "in window"
+    and the complementary unbounded strategy would select nothing forever
+    (the reference's SimpleDateFormat.parse throws on them the same way)."""
+    if not _DATE_PARTITION.match(partition.replace("/", "-")):
+        raise ValueError(
+            f"partition path {partition!r} is not date-shaped "
+            f"(yyyy[-MM[-dd]]); the partition-aware strategies require "
+            f"date partitioning (BoundedPartitionAwareCompactionStrategy "
+            f"parses DATE_PARTITION_FORMAT the same way)")
     norm = partition.replace("/", "-")
     return norm >= cutoff[:len(norm)]
 

@@ -55,6 +55,31 @@ def _mask_top(s: str) -> str:
             out.append(ch if depth == 0 else _MASK)
         else:
             out.append(ch if depth == 0 else _MASK)
+    return _mask_case("".join(out))
+
+
+def _mask_case(masked: str) -> str:
+    """Mask the interior of top-level ``CASE ... END`` expressions (nesting
+    honored) so their WHEN/THEN/ELSE — and any commas — can never be
+    mistaken for statement structure: ``UPDATE SET x = CASE WHEN s.a > 1
+    THEN 1 ELSE 0 END`` must not split at the CASE's WHEN.  Runs on the
+    already literal/paren-masked text, so CASE inside strings or subqueries
+    is invisible here and only genuinely top-level expressions match."""
+    out = list(masked)
+    depth, span_start = 0, -1
+    for m in re.finditer(r"\b(CASE|END)\b", masked, re.I):
+        if m.group(1).upper() == "CASE":
+            if depth == 0:
+                span_start = m.start()
+            depth += 1
+        elif depth > 0:
+            depth -= 1
+            if depth == 0:
+                for i in range(span_start, m.end()):
+                    out[i] = _MASK
+    if depth > 0 and span_start >= 0:        # unterminated CASE: mask to end
+        for i in range(span_start, len(out)):
+            out[i] = _MASK
     return "".join(out)
 
 
@@ -430,6 +455,27 @@ class HudiSqlSession:
             t.rename_table(new)
             self.tables[new] = self.tables.pop(old)
             return new
+        m = re.match(r"ALTER\s+TABLE\s+(\S+)\s+DROP\s+(?:IF\s+EXISTS\s+)?"
+                     r"PARTITION\s*\((.*)\)$", s, re.I | re.S)
+        if m:
+            # ALTER TABLE t DROP PARTITION (dt='2024-01')[, PARTITION (...)]
+            # → logical delete via replacecommit, exactly the Python API's
+            # delete_partitions (AlterHoodieTableDropPartitionCommand.scala
+            # routes to the same delete_partition write operation).  Spec
+            # values join with '/' in declaration order — the engine's
+            # partition_path shape for single- and multi-level partitioning.
+            tname, spec = m.groups()
+            parts = []
+            for clause in re.split(r"\)\s*,\s*PARTITION\s*\(", spec,
+                                   flags=re.I):
+                vals = []
+                for kv in _split_top(clause):
+                    if "=" not in kv:
+                        raise ValueError(
+                            f"bad partition spec {clause[:80]!r}")
+                    vals.append(kv.split("=", 1)[1].strip().strip("'\""))
+                parts.append("/".join(vals))
+            return self._table(tname).delete_partitions(parts)
         raise ValueError(f"cannot parse ALTER TABLE: {s[:120]}")
 
     def _create(self, s: str) -> str:

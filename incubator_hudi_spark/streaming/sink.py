@@ -56,7 +56,18 @@ class HudiStreamingSink:
         if self.transform is not None:
             batch_df = self.transform(batch_df)
         err: Optional[Exception] = None
-        for _ in range(self.retries + 1):
+        for attempt in range(self.retries + 1):
+            # a failed attempt may still have COMMITTED the data — e.g. the
+            # commit landed and a post-commit service (auto-clean, sync
+            # callback) raised afterwards.  Re-probe the stamp before every
+            # retry so the batch is never written twice (the reference's
+            # retry loop re-enters its sink, whose canSkipBatch re-reads the
+            # last commit the same way, HoodieStreamingSink.scala:41-119).
+            if attempt:
+                lc = self.last_committed_batch()
+                if lc is not None and batch_id <= lc:
+                    self.table._pending_commit_extras = None
+                    return None
             try:
                 # The batch id rides inside the commit metadata written by
                 # _complete() — atomic with the commit, so a crash either

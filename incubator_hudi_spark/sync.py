@@ -104,7 +104,15 @@ def default_value_extractor(n_cols: int) -> Callable[[str], list[str]]:
 
 
 def _sanitize(seg: str) -> str:
-    return "".join(c if c.isalnum() or c in "-_." else "_" for c in seg)
+    """Filesystem-safe, collision-free directory name: readable prefix plus
+    a short content hash — plain character replacement alone would merge
+    distinct partitions ('1995/01' and '1995_01' → same dir) and their
+    symlink sets with them."""
+    import hashlib
+    safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in seg)
+    if safe == seg:
+        return seg
+    return f"{safe}-{hashlib.md5(seg.encode()).hexdigest()[:8]}"
 
 
 def _sql_str(v: str) -> str:
@@ -160,7 +168,7 @@ def _sync_one_table(table, spark, name: str,
                     partition_columns: Sequence[str],
                     extractor: Callable[[str], list[str]],
                     by_partition: dict[str, str],
-                    drop_missing: bool) -> dict:
+                    drop_missing: bool, repoint: bool = True) -> dict:
     """Create-or-evolve one catalog table + reconcile its partition set."""
     full = table.read(QUERY_READ_OPTIMIZED
                       if table.tc.table_type == MERGE_ON_READ
@@ -231,8 +239,10 @@ def _sync_one_table(table, spark, name: str,
             spark.sql(f"ALTER TABLE `{name}` ADD IF NOT EXISTS "
                       f"PARTITION ({spec}) LOCATION {_sql_str(loc)}")
             stats["added"].append("/".join(vals))
-        else:
-            # manifest dir moved to the new instant → repoint
+        elif repoint:
+            # manifest dir moved to the new instant → repoint; skipped when
+            # the last-synced instant is unchanged (locations identical) so
+            # an idempotent re-sync issues zero per-partition DDL
             spark.sql(f"ALTER TABLE `{name}` PARTITION ({spec}) "
                       f"SET LOCATION {_sql_str(loc)}")
             stats["moved"].append("/".join(vals))
@@ -268,11 +278,23 @@ def sync_ddl(table, name: Optional[str] = None,
     pcols = list(partition_columns or ["partition_path"])
     extractor = partition_value_extractor or default_value_extractor(len(pcols))
 
+    # last-synced instant marker: a re-sync at the same instant points at
+    # identical manifest dirs, so per-partition SET LOCATION is a no-op —
+    # skip it and keep idempotent re-syncs at zero per-partition DDL
+    marker_dir = os.path.join(table.meta.meta_path, SYNC_FOLDER, "_table")
+    os.makedirs(marker_dir, exist_ok=True)
+    marker = os.path.join(marker_dir, f"{base}.last_instant")
+    prev_instant = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev_instant = f.read().strip()
+    repoint = prev_instant != instant
+
     out = {"tables": {}, "instant": instant}
     if table.tc.table_type == MERGE_ON_READ:
         out["tables"][f"{base}_ro"] = _sync_one_table(
             table, spark, f"{base}_ro", pcols, extractor, by_partition,
-            drop_missing_partitions)
+            drop_missing_partitions, repoint=repoint)
         # realtime view needs the engine's merge — session view, like the
         # reference's _rt needs RealtimeInputFormat
         table.read(QUERY_SNAPSHOT).createOrReplaceTempView(f"{base}_rt")
@@ -280,7 +302,10 @@ def sync_ddl(table, name: Optional[str] = None,
     else:
         out["tables"][base] = _sync_one_table(
             table, spark, base, pcols, extractor, by_partition,
-            drop_missing_partitions)
+            drop_missing_partitions, repoint=repoint)
+    with open(marker + ".tmp", "w") as f:
+        f.write(instant)
+    os.replace(marker + ".tmp", marker)
     _prune_old_manifests(table, instant)
     return out
 

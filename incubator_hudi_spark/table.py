@@ -382,7 +382,8 @@ class HudiTable:
                        action_view: Optional[FileSystemView] = None,
                        profile_df: Optional[DataFrame] = None,
                        combine_in_write: bool = False,
-                       seed_key_index: bool = False):
+                       seed_key_index: bool = False,
+                       frozen_fgs: Optional[set] = None):
         """Shared insert path: profile → bucket plan → assign → write.
         Packed small file groups are rewritten (old ∪ new) — COW semantics.
         ``profile_df``: cheaper pre-combine frame to count (same partitions,
@@ -400,11 +401,13 @@ class HudiTable:
                        src.groupBy(META_PARTITION_PATH).count().collect()}
         rec_size = avg_record_size(self.meta, self.timeline,
                                    self.cfg.record_size_estimate)
-        from .services.clustering import pending_clustering_fgs
+        if frozen_fgs is None and pack_small_files:
+            from .services.clustering import pending_clustering_fgs
+            frozen_fgs = set(pending_clustering_fgs(self))
         plan = plan_insert_buckets(profile, view if pack_small_files else None,
                                    self.cfg, rec_size,
                                    pack_small_files=pack_small_files,
-                                   exclude_fgs=set(pending_clustering_fgs(self))
+                                   exclude_fgs=frozen_fgs
                                    if pack_small_files else None)
         # GLOBAL_SORT into all-new buckets (bulk loads): assign by key RANGE
         # (sampled split points) instead of key hash — each written file then
@@ -600,7 +603,7 @@ class HudiTable:
                     pack_small_files=(self.tc.table_type == COPY_ON_WRITE),
                     sort_mode=SORT_PARTITION, action_view=view,
                     profile_df=profile_src, combine_in_write=fuse,
-                    seed_key_index=True)
+                    seed_key_index=True, frozen_fgs=frozen_fgs)
                 self._complete(instant, operation, stats, schema)
                 if (self._index_cache_on
                         and self._key_index_valid_at != instant.time):
@@ -782,7 +785,8 @@ class HudiTable:
                         n_new = sum(r[2] for r in fg_prof)
                         stats, fg_map, schema = self._upsert_cow(
                             view, instant.time, updates, inserts,
-                            update_fgs, insert_profile, n_new_rows=n_new)
+                            update_fgs, insert_profile, n_new_rows=n_new,
+                            frozen_fgs=frozen_fgs)
             with _stage("upsert.complete"):
                 self._complete(instant, operation, stats, schema)
             if self._index_cache_on:
@@ -1009,7 +1013,8 @@ class HudiTable:
     def _upsert_cow(self, view: FileSystemView, instant_time: str,
                     updates: DataFrame, inserts: DataFrame,
                     update_fgs: dict[str, str], insert_profile: dict[str, int],
-                    n_new_rows: Optional[int] = None):
+                    n_new_rows: Optional[int] = None,
+                    frozen_fgs: Optional[set] = None):
         """COW merge: rewrite exactly the affected file groups.
 
         Two physical strategies, same semantics:
@@ -1028,12 +1033,14 @@ class HudiTable:
           file group.
         """
         with _stage("cow.plan"):
-            from .services.clustering import pending_clustering_fgs
+            if frozen_fgs is None:
+                from .services.clustering import pending_clustering_fgs
+                frozen_fgs = set(pending_clustering_fgs(self))
             rec_size = avg_record_size(self.meta, self.timeline,
                                        self.cfg.record_size_estimate)
             plan = plan_insert_buckets(insert_profile, view, self.cfg, rec_size,
                                        pack_small_files=True,
-                                       exclude_fgs=set(pending_clustering_fgs(self)))
+                                       exclude_fgs=frozen_fgs)
         assigned = assign_insert_buckets(self.spark, inserts, plan,
                                          META_PARTITION_PATH, META_RECORD_KEY, FG)
         new_raw = updates.unionByName(assigned, allowMissingColumns=True)

@@ -133,3 +133,43 @@ def test_auto_sync_commit_callback(spark, tmp_table_path, orders):
     t.upsert(orders.limit(1500))                  # 500 new keys
     assert spark.table("t_sync_auto").count() == t.read().count() != before
     spark.sql("DROP TABLE IF EXISTS t_sync_auto")
+
+
+def test_sanitize_collision_partitions_stay_distinct(spark, tmp_table_path,
+                                                     orders):
+    """Partition paths that sanitize to the same string ('X/1' vs 'X_1')
+    must get distinct manifest dirs — merged dirs would double-read."""
+    t = HudiTable.create(
+        spark, tmp_table_path, name="orders_coll",
+        recordkey_fields=["o_orderkey"],
+        partition_expr="CASE WHEN o_orderkey % 2 = 0 THEN 'X/1' "
+                       "ELSE 'X_1' END",
+        precombine_field="o_orderdate")
+    t.bulk_insert(orders.limit(1000))
+    sync_ddl(t, name="t_sync_coll",
+             partition_value_extractor=lambda p: [p])
+    ext = spark.table("t_sync_coll")
+    assert ext.count() == t.read().count()
+    snap = t.read()
+    for p in ("X/1", "X_1"):
+        want = snap.filter(f"_hoodie_partition_path = '{p}'").count()
+        got = ext.filter(f"partition_path = '{p}'").count()
+        assert got == want, (p, got, want)
+    spark.sql("DROP TABLE IF EXISTS t_sync_coll")
+
+
+def test_resync_same_instant_issues_no_partition_ddl(spark, tmp_table_path,
+                                                     orders):
+    t = _orders_table(spark, tmp_table_path)
+    t.bulk_insert(orders.limit(1000))
+    first = sync_ddl(t, name="t_sync_idem")
+    assert first["tables"]["t_sync_idem"]["created"]
+    again = sync_ddl(t, name="t_sync_idem")
+    st = again["tables"]["t_sync_idem"]
+    assert st["moved"] == [] and st["added"] == [] and st["dropped"] == []
+    # a new commit moves the manifest → partitions repoint again
+    t.upsert(orders.limit(50).withColumn("o_comment2", F.lit("x")))
+    moved = sync_ddl(t, name="t_sync_idem")["tables"]["t_sync_idem"]["moved"]
+    assert moved
+    assert spark.table("t_sync_idem").count() == t.read().count()
+    spark.sql("DROP TABLE IF EXISTS t_sync_idem")

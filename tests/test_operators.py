@@ -349,6 +349,10 @@ def test_chunk_documents_coverage_and_overlap(spark, documents):
         # coverage: last chunk reaches the end of the document
         last = rows[-1]
         assert last["chunk_id"] * step + len(last["chunk_text"]) == len(full)
+        # no redundant tail: a chunk fully contained in its predecessor
+        # would add only already-covered text
+        if len(rows) > 1:
+            assert len(last["chunk_text"]) > 20
         # overlap: consecutive chunks share exactly 20 chars
         for a, b in zip(rows, rows[1:]):
             assert a["chunk_text"][step:] == b["chunk_text"][:100 - step]

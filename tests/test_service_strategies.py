@@ -149,3 +149,19 @@ def test_partition_aware_strategies_partition_and_complement(spark, tmp_path, li
     before = t.read().count()
     C.run_compaction(t, ct)
     assert t.read().count() == before
+
+
+def test_partition_aware_rejects_non_date_partitions(spark, tmp_path, li):
+    """Letters sort above digits, so a silent lexicographic compare would
+    classify every string partition as in-window — fail loudly instead."""
+    t = HudiTable.create(
+        spark, str(tmp_path / "t"), "t",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="l_returnflag",           # non-date partitioning
+        precombine_field="l_shipdate", table_type=MERGE_ON_READ)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+    t.upsert(li)
+    t.upsert(li.limit(300).withColumn("l_quantity", F.lit(9.0)))
+    with pytest.raises(ValueError, match="not date-shaped"):
+        C.schedule_compaction(t, strategy=C.STRATEGY_BOUNDED_PARTITION,
+                              day_partitions=7, today="1996-01-01")

@@ -189,3 +189,53 @@ def test_merge_unparseable_raises(spark, hs):
     with _pt.raises(ValueError, match="bad MERGE clause"):
         hs.sql("""MERGE INTO trips t USING trips s ON t.l_orderkey = s.l_orderkey
                   WHEN MATCHED UPDATE SET l_quantity = 1""")
+
+
+def test_merge_with_case_expression(spark, hs):
+    """CASE WHEN inside a MERGE action or ON condition must not be mistaken
+    for statement-level WHEN/THEN clause boundaries."""
+    before = hs.sql(
+        "SELECT max(l_quantity) FROM trips WHERE l_orderkey = 1"
+    ).collect()[0][0]
+    hs.sql("""
+        MERGE INTO trips t
+        USING (SELECT 1 AS k, 999.0 AS q) s
+        ON t.l_orderkey = s.k
+           AND CASE WHEN s.q > 0 THEN 1 ELSE 0 END = 1
+        WHEN MATCHED THEN UPDATE SET
+          l_quantity = CASE WHEN s.q > t.l_quantity THEN s.q
+                            ELSE t.l_quantity END
+    """)
+    got = hs.sql(
+        "SELECT min(l_quantity) FROM trips WHERE l_orderkey = 1"
+    ).collect()[0][0]
+    assert got == 999.0 and before != 999.0
+
+
+def test_alter_drop_partition(spark, hs):
+    parts = sorted(r[0] for r in hs.sql(
+        "SELECT DISTINCT _hoodie_partition_path FROM trips").collect())
+    victim = parts[0]
+    before = hs.sql("SELECT count(*) AS n FROM trips").collect()[0]["n"]
+    gone = hs.sql(
+        f"SELECT count(*) AS n FROM trips "
+        f"WHERE _hoodie_partition_path = '{victim}'").collect()[0]["n"]
+    assert gone > 0
+    hs.sql(f"ALTER TABLE trips DROP PARTITION (dt='{victim}')")
+    assert hs.sql("SELECT count(*) AS n FROM trips") \
+             .collect()[0]["n"] == before - gone
+    assert hs.sql(
+        f"SELECT count(*) AS n FROM trips "
+        f"WHERE _hoodie_partition_path = '{victim}'").collect()[0]["n"] == 0
+
+
+def test_update_where_with_case(spark, hs):
+    hs.sql("""
+        UPDATE trips SET l_returnflag = CASE WHEN l_quantity > 25
+                                             THEN 'H' ELSE 'L' END
+        WHERE l_orderkey = 3
+    """)
+    got = {r[0] for r in hs.sql(
+        "SELECT DISTINCT l_returnflag FROM trips WHERE l_orderkey = 3"
+    ).collect()}
+    assert got <= {"H", "L"} and got

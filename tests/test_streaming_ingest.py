@@ -312,3 +312,27 @@ def test_dfs_source_csv_and_json(spark, tmp_path, events):
         assert job.sync_once() is not None
         assert t.read().count() == sub.count()
         assert job.sync_once() is None      # drained
+
+
+def test_sink_retry_after_post_commit_failure_no_duplicate_insert(
+        spark, tmp_table_path, events):
+    """A post-commit hook failure after the data commit landed must NOT make
+    the retry loop re-insert the batch: each retry re-probes the stamped
+    batch id first (the reference's canSkipBatch re-check per attempt)."""
+    t = make_events(spark, tmp_table_path)
+    boom = {"armed": True}
+
+    def exploding_cb(instant_time, md):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("post-commit service failure")
+    t._commit_callbacks = [exploding_cb]
+
+    sink = HudiStreamingSink(t, operation="insert", query_id="qr", retries=2)
+    batch = events.limit(500)
+    sink(batch, 0)                       # first attempt commits, cb explodes
+    n = t.read().count()
+    assert n == 500, "batch written exactly once despite the retry"
+    # stamp landed with the data commit → replay is skipped too
+    assert sink(batch, 0) is None
+    assert t.read().count() == 500
