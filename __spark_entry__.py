@@ -508,6 +508,51 @@ def mor_snapshot(spark, sf_dir):
     return t.read().select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
 
+@q("pyds_native_mor_snapshot", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber = 1 THEN l_quantity + 1000.0 ELSE l_quantity END AS l_quantity,
+       l_returnflag
+FROM li_d
+""")
+def pyds_native_mor_snapshot(spark, sf_dir):
+    """Native Python DataSource (pyds.py): spark.read.format("hudi_py") —
+    per-slice pyarrow merge parity with the DataFrame MOR snapshot path
+    (DefaultSource.scala:111-137 dispatch)."""
+    from incubator_hudi_spark import pyds
+    t = _r_mor(spark, sf_dir)["t"]
+    pyds.register(spark)
+    return (spark.read.format("hudi_py").load(t.meta.base_path)
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_returnflag"))
+
+
+@q("pyds_native_stream", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber = 1 THEN l_quantity + 1000.0 ELSE l_quantity END AS l_quantity
+FROM li_d
+""")
+def pyds_native_stream(spark, sf_dir):
+    """Native streaming source (HoodieStreamSource.scala:49-144): instant-time
+    offsets drained with availableNow — one shot over the full history equals
+    the latest-state incremental pull, i.e. the merged snapshot."""
+    import uuid
+
+    from incubator_hudi_spark import pyds
+    t = _r_mor(spark, sf_dir)["t"]
+    pyds.register(spark)
+    name = "pyds_stream_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="pyds_ck_")
+    sq = (spark.readStream.format("hudi_py").load(t.meta.base_path)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    sq.awaitTermination(600)
+    return spark.table(name).select("l_orderkey", "l_linenumber",
+                                    "l_quantity")
+
+
 @q("mor_read_optimized", f"""
 WITH {_LI_DEDUP}
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM li_d
@@ -2659,6 +2704,8 @@ _PRIORITY = [
     "catalog_sync_external_read", "chunk_documents_512",
     "cap_per_source_100", "scheduled_clustering_execute",
     "upgrade_downgrade_roundtrip",
+    # native Python DataSource (format("hudi_py")) — new in r3
+    "pyds_native_mor_snapshot", "pyds_native_stream",
 ]
 
 

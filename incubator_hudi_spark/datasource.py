@@ -5,8 +5,11 @@ The reference's primary user surface is
 ``spark.read.format("hudi").options(...).load(path)`` — option keys from
 hudi-spark-datasource/hudi-spark/src/main/scala/.../DataSourceOptions.scala
 and dispatch from HoodieSparkSqlWriter.scala:62-257 / DefaultSource.scala:
-111-137.  PySpark cannot register a custom format without JVM code, so the
-same contract is exposed as two functions taking the identical option map:
+111-137.  The READ side also exists as a genuine registered format —
+``spark.read.format("hudi_py")`` / ``spark.readStream.format("hudi_py")``
+via PySpark 4's Python DataSource API (pyds.py); writes need the full engine
+(indexing, merge planning), so the write contract stays function-shaped,
+taking the identical option map:
 
     write_hudi(df, path, {"hoodie.table.name": "trips",
                           "hoodie.datasource.write.recordkey.field": "uuid",

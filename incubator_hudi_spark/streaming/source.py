@@ -3,10 +3,11 @@ incremental batches.
 
 Reference: HoodieStreamSource.scala:49-144 + HoodieSourceOffset.scala —
 offsets are commit instants; ``getBatch(start, end)`` is an incremental query
-between them.  PySpark can't register a custom v2 source (SURVEY §2.7 gap),
-so this exposes the same offset/getBatch contract as a polling iterator the
-user drives (or feeds into foreachBatch of another table → table-to-table
-incremental pipelines, the reference's HoodieIncrSource).
+between them.  The NATIVE streaming source lives in pyds.py
+(``spark.readStream.format("hudi_py")``, PySpark 4 Python DataSource API);
+this polling iterator remains as the non-streaming-query surface the user
+drives directly (or feeds into foreachBatch of another table →
+table-to-table incremental pipelines, the reference's HoodieIncrSource).
 """
 
 from __future__ import annotations

@@ -1,0 +1,112 @@
+"""Native Python DataSource (format("hudi_py")) — batch + streaming parity
+with the DataFrame read path.
+
+Reference behavior mirrored: DefaultSource.scala:111-137 (query-type
+dispatch), HoodieStreamSource.scala:49-144 (instant-time offsets,
+exactly-once via the Spark offset log)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_hudi_spark import (HudiTable, QUERY_INCREMENTAL,
+                                  QUERY_READ_OPTIMIZED)
+from incubator_hudi_spark import pyds
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    pyds.register(spark)
+
+
+@pytest.fixture(scope="module")
+def sample(orders):
+    return orders.limit(1500).cache()
+
+
+def _same(a, b):
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def _make(spark, path, sample, **kw):
+    t = HudiTable.create(spark, path, name="o",
+                         recordkey_fields=["o_orderkey"],
+                         partition_expr="date_format(o_orderdate,'yyyy')",
+                         precombine_field="o_orderdate", **kw)
+    t.bulk_insert(sample)
+    return t
+
+
+def test_cow_snapshot_and_incremental(spark, tmp_table_path, sample):
+    t = _make(spark, tmp_table_path, sample)
+    c1 = t.upsert(sample.limit(200).withColumn("o_comment", F.lit("u1")))
+    _same(spark.read.format("hudi_py").load(tmp_table_path), t.read())
+    inc = (spark.read.format("hudi_py")
+           .option("hoodie.datasource.query.type", "incremental")
+           .option("hoodie.datasource.read.begin.instanttime", "0")
+           .option("hoodie.datasource.read.end.instanttime", c1)
+           .load(tmp_table_path))
+    _same(inc, t.read(QUERY_INCREMENTAL, begin="0", end=c1))
+
+
+def test_mor_snapshot_ro_incremental_stream(spark, tmp_table_path, sample):
+    t = _make(spark, tmp_table_path, sample, table_type="MERGE_ON_READ")
+    t.upsert(sample.limit(200).withColumn("o_comment", F.lit("d1")))
+    t.delete(sample.limit(50).select("o_orderkey", "o_orderdate"))
+    last = t.timeline.last_completed().time
+
+    _same(spark.read.format("hudi_py").load(tmp_table_path), t.read())
+    ro = (spark.read.format("hudi_py")
+          .option("hoodie.datasource.query.type", "read_optimized")
+          .load(tmp_table_path))
+    _same(ro, t.read(QUERY_READ_OPTIMIZED))
+    inc = (spark.read.format("hudi_py")
+           .option("hoodie.datasource.query.type", "incremental")
+           .option("hoodie.datasource.read.begin.instanttime", "0")
+           .option("hoodie.datasource.read.end.instanttime", last)
+           .load(tmp_table_path))
+    _same(inc, t.read(QUERY_INCREMENTAL, begin="0", end=last))
+
+    # streaming: first run drains history, a resume ships ONLY the new commit
+    base = os.path.dirname(tmp_table_path)
+    ckpt, out = os.path.join(base, "ck"), os.path.join(base, "out")
+
+    def drain():
+        q = (spark.readStream.format("hudi_py").load(tmp_table_path)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == t.read(QUERY_INCREMENTAL, end=last).count()
+    c2 = t.upsert(sample.limit(80).withColumn("o_comment", F.lit("d2")))
+    drain()
+    delta = spark.read.parquet(out).count() - n1
+    assert delta == t.read(QUERY_INCREMENTAL, begin=last, end=c2).count()
+
+
+def test_pushdown_partition_pruning(spark, tmp_table_path, sample):
+    t = _make(spark, tmp_table_path, sample)
+    part = t.read().select("_hoodie_partition_path").first()[0]
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (spark.read.format("hudi_py")
+               .option("hoodie.spark.python.filter.pushdown", "true")
+               .load(tmp_table_path)
+               .filter(F.col("_hoodie_partition_path") == part))
+        _same(got, t.read().filter(F.col("_hoodie_partition_path") == part))
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_partial_update_payload_rejected(spark, tmp_table_path, sample):
+    from incubator_hudi_spark.config import PAYLOAD_OVERWRITE_NON_DEFAULTS
+    t = _make(spark, tmp_table_path, sample,
+              payload=PAYLOAD_OVERWRITE_NON_DEFAULTS)
+    with pytest.raises(Exception, match="OVERWRITE_NON_DEFAULTS"):
+        spark.read.format("hudi_py").load(tmp_table_path).collect()
