@@ -508,6 +508,34 @@ def mor_snapshot(spark, sf_dir):
     return t.read().select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
 
+@q("orc_base_cow_snapshot", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber = 1 THEN l_quantity + 1000.0 ELSE l_quantity END AS l_quantity,
+       l_returnflag
+FROM li_d
+""")
+def orc_base_cow_snapshot(spark, sf_dir):
+    """ORC base-file format (HoodieFileFormat.java / TableConfig
+    base_format): the same upsert-then-update sequence as the parquet COW
+    recipe, stored as ORC bases — identical merged snapshot."""
+    def build():
+        from incubator_hudi_spark import HudiTable
+        t = HudiTable.create(
+            spark, _new_path("orc_cow", sf_dir), name="lineitem",
+            recordkey_fields=["l_orderkey", "l_linenumber"],
+            partition_expr="date_format(l_shipdate,'yyyy-MM')",
+            precombine_field="l_shipdate", base_format="orc")
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)
+        t.upsert(li.filter("l_linenumber = 1")
+                   .withColumn("l_quantity", F.col("l_quantity") + 1000.0))
+        return {"t": t}
+    t = _recipe("orc_cow", sf_dir, build)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity",
+                           "l_returnflag")
+
+
 @q("pyds_native_mor_snapshot", f"""
 WITH {_LI_DEDUP}
 SELECT l_orderkey, l_linenumber,
@@ -2706,6 +2734,8 @@ _PRIORITY = [
     "upgrade_downgrade_roundtrip",
     # native Python DataSource (format("hudi_py")) — new in r3
     "pyds_native_mor_snapshot", "pyds_native_stream",
+    # ORC base-file format — new in r3
+    "orc_base_cow_snapshot",
 ]
 
 

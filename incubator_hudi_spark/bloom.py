@@ -101,7 +101,9 @@ def build_bloom_sidecar(table, instant_time: Optional[str] = None,
     m_map = F.create_map(*[x for fg, m in m_of.items()
                            for x in (F.lit(fg), F.lit(m))])
     key_c = F.col(META_RECORD_KEY)
-    pos = (scan_parquet(spark, all_paths)
+    pos = (scan_parquet(spark, all_paths,
+                        fmt=getattr(table.meta.config, "base_format",
+                                    "parquet"))
            .select(F.col("_hoodie_file_name").alias(FG),
                    F.explode(F.array(*[
                        F.pmod(F.conv(F.substring(

@@ -99,6 +99,12 @@ class TableConfig:
     precombine_field: Optional[str] = None
     payload: str = PAYLOAD_OVERWRITE_LATEST
     version: int = CURRENT_TABLE_VERSION
+    # base-file format (HoodieTableConfig.BASE_FILE_FORMAT /
+    # HoodieFileFormat.java: PARQUET, ORC, HFILE).  Governs BASE files only;
+    # MOR delta files stay parquet (they replace the reference's own .log
+    # block format, which is base-format-independent).  HFILE is the
+    # metadata-table-internal format in the reference — out of scope.
+    base_format: str = "parquet"
 
     def to_json(self) -> dict:
         return {
@@ -109,6 +115,7 @@ class TableConfig:
             "hoodie.table.precombine.field": self.precombine_field,
             "hoodie.table.payload": self.payload,
             "hoodie.table.version": self.version,
+            "hoodie.table.base.file.format": self.base_format,
         }
 
     @staticmethod
@@ -121,6 +128,7 @@ class TableConfig:
             precombine_field=d.get("hoodie.table.precombine.field"),
             payload=d.get("hoodie.table.payload", PAYLOAD_OVERWRITE_LATEST),
             version=int(d.get("hoodie.table.version", 1)),
+            base_format=d.get("hoodie.table.base.file.format", "parquet"),
         )
 
 

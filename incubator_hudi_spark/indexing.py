@@ -86,20 +86,30 @@ def load_key_index(spark: SparkSession, meta: TableMetaClient, view: FileSystemV
     if only_fgs is not None:
         # caller proved (bloom second stage) batch keys live only here
         slices = [sl for sl in slices if sl.file_group in only_fgs]
-    paths = []
+    base_paths, log_paths = [], []
     ext: list[tuple[str, str]] = []   # (abs path, fg)
     for sl in slices:
         for f in sl.base_files:
             if f.external:
                 ext.append((meta.abs_path(f.path), sl.file_group))
             else:
-                paths.append(meta.abs_path(f.path))
-        paths.extend(meta.abs_path(l.path) for l in sl.log_files)
+                base_paths.append(meta.abs_path(f.path))
+        log_paths.extend(meta.abs_path(l.path) for l in sl.log_files)
+    base_fmt = getattr(tc, "base_format", "parquet") if tc else "parquet"
     dfs = []
-    if paths:
-        dfs.append(scan_parquet(spark, paths, _KEY_SCAN_SCHEMA)
-                   .select(META_RECORD_KEY, META_PARTITION_PATH,
-                           META_FILE_NAME))
+    if base_fmt == "parquet":
+        paths = base_paths + log_paths   # one combined scan (both parquet)
+        if paths:
+            dfs.append(scan_parquet(spark, paths, _KEY_SCAN_SCHEMA)
+                       .select(META_RECORD_KEY, META_PARTITION_PATH,
+                               META_FILE_NAME))
+    else:
+        # ORC bases + parquet delta files can't share a scan
+        for plist, f in ((base_paths, base_fmt), (log_paths, "parquet")):
+            if plist:
+                dfs.append(scan_parquet(spark, plist, _KEY_SCAN_SCHEMA, fmt=f)
+                           .select(META_RECORD_KEY, META_PARTITION_PATH,
+                                   META_FILE_NAME))
     if ext:
         if tc is None:
             raise ValueError("external base files need the table config for "

@@ -161,6 +161,26 @@ def _plan_slices(meta: TableMetaClient, query_type: str,
 # ---------------------------------------------------------------------------
 # executor-side read kernel (pure pyarrow/pandas — no SparkSession)
 # ---------------------------------------------------------------------------
+def _read_file(path: str, filters=None):
+    """Read one base/delta file by suffix (TableConfig.base_format: ORC base
+    files coexist with parquet deltas).  ``filters`` (commit-range tuples)
+    push to parquet row groups; ORC lacks a pyarrow filter API, so they are
+    applied post-read."""
+    import pyarrow.parquet as pq
+
+    if path.endswith(".orc"):
+        import pyarrow.compute as pc
+        import pyarrow.orc as orc
+        tbl = orc.ORCFile(path).read()
+        for col, op, val in filters or ():
+            arr = tbl.column(col)
+            mask = pc.greater(arr, val) if op == ">" else \
+                pc.less_equal(arr, val)
+            tbl = tbl.filter(mask)
+        return tbl
+    return pq.read_table(path, filters=filters)
+
+
 def _align(tbl, arrow_schema):
     """Project/cast a parquet-read table onto the target arrow schema,
     materializing absent columns (e.g. _hoodie_api_delete never stored in
@@ -236,7 +256,7 @@ def _read_slice(part: SlicePartition, read_schema: StructType,
             if part.commit_lo is not None:
                 filters.append((META_COMMIT_TIME, ">", part.commit_lo))
         for p in part.base_paths:
-            tbl = pq.read_table(p, filters=filters)
+            tbl = _read_file(p, filters)
             # snapshot semantics drop soft-deleted winners table-wide when
             # the marker is part of the schema (table._read_slices tail);
             # read-optimized serves raw bases and keeps them
@@ -256,11 +276,11 @@ def _read_slice(part: SlicePartition, read_schema: StructType,
         if c not in names:
             dfields.append(StructField(c, BooleanType()))
     dschema = to_arrow_schema(StructType(dfields))
-    base = pa.concat_tables([_align(pq.read_table(p), dschema)
+    base = pa.concat_tables([_align(_read_file(p), dschema)
                              for p in part.base_paths])
     logs = []
     for p in dict.fromkeys(part.log_paths):   # dedupe shared grouped files
-        t = pq.read_table(p)
+        t = _read_file(p)
         # grouped delta files hold rows of MANY file groups — keep this
         # slice's rows only (table._read_slices' (file, group) pair filter;
         # every row carries its group in _hoodie_file_name)

@@ -31,20 +31,24 @@ _CONF = "spark.sql.sources.parallelPartitionDiscovery.threshold"
 
 
 def scan_parquet(spark: SparkSession, paths: Sequence[str],
-                 schema=None) -> DataFrame:
+                 schema=None, fmt: str = "parquet") -> DataFrame:
     """``spark.read[.schema(schema)].parquet(*paths)`` without the
     distributed-listing job for manifest-sized path sets.  The conf is
     restored immediately after resolution (listing happens eagerly inside
-    the ``parquet()`` call)."""
+    the ``parquet()`` call).  ``fmt="orc"`` scans ORC base files the same
+    way (TableConfig.base_format)."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    # DataFrameReader.orc takes a path list, parquet takes varargs
+    load = ((lambda *ps: reader.orc(list(ps))) if fmt == "orc"
+            else reader.parquet)
     if len(paths) <= 32 or len(paths) > LISTING_JOB_MAX:
-        return reader.parquet(*paths)
+        return load(*paths)
     prev = spark.conf.get(_CONF, None)
     try:
         spark.conf.set(_CONF, str(LISTING_JOB_MAX))
-        return reader.parquet(*paths)
+        return load(*paths)
     finally:
         if prev is None:
             spark.conf.unset(_CONF)

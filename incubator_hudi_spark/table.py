@@ -92,15 +92,20 @@ class HudiTable:
                precombine_field: Optional[str] = None,
                table_type: str = COPY_ON_WRITE,
                payload: Optional[str] = None,
-               write_config: Optional[WriteConfig] = None) -> "HudiTable":
+               write_config: Optional[WriteConfig] = None,
+               base_format: str = "parquet") -> "HudiTable":
         """CREATE TABLE (CreateHoodieTableCommand.scala equivalent)."""
         from .config import PAYLOAD_OVERWRITE_LATEST
+        if base_format not in ("parquet", "orc"):
+            raise ValueError(f"unsupported base file format {base_format!r} "
+                             "(parquet, orc; reference HoodieFileFormat.java)")
         tc = TableConfig(
             name=name, table_type=table_type,
             recordkey_fields=tuple(recordkey_fields),
             partition_expr=partition_expr,
             precombine_field=precombine_field,
-            payload=payload or PAYLOAD_OVERWRITE_LATEST)
+            payload=payload or PAYLOAD_OVERWRITE_LATEST,
+            base_format=base_format)
         TableMetaClient.initialize(base_path, tc)
         t = HudiTable(spark, base_path, write_config)
         t._recover_dangling()
@@ -1568,7 +1573,8 @@ class HudiTable:
         if int_clean:
             paths = [self.meta.abs_path(f.path) for sl in int_clean
                      for f in sl.base_files]
-            parts.append(scan_parquet(self.spark, paths, schema))
+            parts.append(scan_parquet(self.spark, paths, schema,
+                                      fmt=self.tc.base_format))
         if ext_clean:
             parts.append(self._scan_external(ext_clean, schema))
         if dirty:
@@ -1579,7 +1585,8 @@ class HudiTable:
             if int_dirty:
                 base_paths = [self.meta.abs_path(f.path) for sl in int_dirty
                               for f in sl.base_files]
-                bases.append(scan_parquet(self.spark, base_paths, dschema))
+                bases.append(scan_parquet(self.spark, base_paths, dschema,
+                                          fmt=self.tc.base_format))
             if ext_dirty:
                 bases.append(self._scan_external(ext_dirty, dschema))
             b = bases[0]

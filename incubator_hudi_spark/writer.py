@@ -370,12 +370,16 @@ def write_instant_files(
         import sys as _sys
         print(out._jdf.queryExecution().executedPlan().toString(),
               file=_sys.stderr)
+    # base files honor the table's base format (HoodieFileFormat.java);
+    # per-group delta files (log=True here) stay parquet — they replace the
+    # reference's format-independent .log blocks
+    fmt = "parquet" if log else getattr(meta.config, "base_format", "parquet")
     with _stage("write.files"):
-        (out.write
-            .option("compression", cfg.parquet_compression)
-            .partitionBy(FG)
-            .mode("append")      # dir is unique per instant; append avoids pre-listing
-            .parquet(out_dir))
+        w = (out.write
+             .option("compression", cfg.parquet_compression)
+             .partitionBy(FG)
+             .mode("append"))    # dir is unique per instant; append avoids pre-listing
+        w.orc(out_dir) if fmt == "orc" else w.parquet(out_dir)
     if ensure_fgs:
         written = {d.split("=", 1)[1] for d in os.listdir(out_dir)
                    if d.startswith(f"{FG}=")}
@@ -391,12 +395,19 @@ def write_instant_files(
             for fg in sorted(missing):
                 d = os.path.join(out_dir, f"{FG}={fg}")
                 os.makedirs(d, exist_ok=True)
-                pq.write_table(empty, os.path.join(d, "part-empty-00000.parquet"))
+                if fmt == "orc":
+                    import pyarrow.orc as _orc
+                    _orc.write_table(empty,
+                                     os.path.join(d, "part-empty-00000.orc"))
+                else:
+                    pq.write_table(
+                        empty, os.path.join(d, "part-empty-00000.parquet"))
     with _stage("write.stats"):
         return collect_write_stats(meta, out_dir, fg_to_partition, log=log,
                                    fg_base_instant=fg_base_instant,
                                    default_base_instant=instant_time,
-                                   stats_columns=cfg.stats_columns)
+                                   stats_columns=cfg.stats_columns,
+                                   fmt=fmt)
 
 
 def _stat_value(v):
@@ -424,17 +435,21 @@ def collect_write_stats(meta: TableMetaClient, out_dir: str,
                         log: bool,
                         fg_base_instant: Optional[dict[str, str]],
                         default_base_instant: str,
-                        stats_columns: tuple = ()) -> list[WriteStat]:
-    """Build WriteStats from the written files' parquet footers (row count +
-    record-key min/max + per-column min/max for ``stats_columns`` — the
-    column-stats index behind read-side data skipping).  O(#files) tiny
-    footer reads on the driver behind a thread pool; at cluster scale this
-    becomes a mapInPandas job over the path list — the manifest shape is
-    identical."""
+                        stats_columns: tuple = (),
+                        fmt: str = "parquet") -> list[WriteStat]:
+    """Build WriteStats from the written files (row count + record-key
+    min/max + per-column min/max for ``stats_columns`` — the column-stats
+    index behind read-side data skipping).  Parquet: O(#files) tiny footer
+    reads.  ORC: pyarrow exposes no stripe statistics, so min/max come from
+    a column-pruned read of just the stats columns of each freshly-written
+    file (bounded: a few column streams per ~target-size file; at cluster
+    scale both variants become a mapInPandas job over the path list — the
+    manifest shape is identical)."""
     import pyarrow.parquet as pq
 
     if not os.path.isdir(out_dir):   # empty frame → Spark wrote nothing
         return []
+    suffix = ".orc" if fmt == "orc" else ".parquet"
     tasks = []
     for d in sorted(os.listdir(out_dir)):
         if not d.startswith(f"{FG}="):
@@ -442,28 +457,49 @@ def collect_write_stats(meta: TableMetaClient, out_dir: str,
         fg = d.split("=", 1)[1]
         fdir = os.path.join(out_dir, d)
         for fn in sorted(os.listdir(fdir)):
-            if fn.endswith(".parquet"):
+            if fn.endswith(suffix):
                 tasks.append((fg, os.path.join(fdir, fn)))
 
     def stat_one(task):
         fg, path = task
-        md = pq.read_metadata(path)   # footer only — no reader/schema setup
         min_k = max_k = None
-        # column index of the record key in the parquet (physical) schema;
-        # all our columns are top-level so leaf order == field order
-        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        if fmt == "orc":
+            import pyarrow.compute as pc
+            import pyarrow.orc as orc
+            f = orc.ORCFile(path)
+            names = f.schema.names
+            want = [c for c in {META_RECORD_KEY, *stats_columns}
+                    if c in names]
+            tbl = f.read(columns=want) if want else None
+            num_rows = f.nrows
 
-        def col_min_max(col):
-            if col not in names:
-                return None
-            ci = names.index(col)
-            mins, maxs = [], []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is not None and st.has_min_max:
-                    mins.append(st.min)
-                    maxs.append(st.max)
-            return (min(mins), max(maxs)) if mins else None
+            def col_min_max(col):
+                if tbl is None or col not in tbl.column_names \
+                        or tbl.num_rows == 0:
+                    return None
+                mm = pc.min_max(tbl.column(col)).as_py()
+                if mm["min"] is None:
+                    return None
+                return (mm["min"], mm["max"])
+        else:
+            md = pq.read_metadata(path)  # footer only — no reader setup
+            num_rows = md.num_rows
+            # column index of the record key in the parquet (physical)
+            # schema; all our columns are top-level so leaf order == field
+            # order
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+
+            def col_min_max(col):
+                if col not in names:
+                    return None
+                ci = names.index(col)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is not None and st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                return (min(mins), max(maxs)) if mins else None
 
         mm = col_min_max(META_RECORD_KEY)
         if mm:
@@ -483,7 +519,7 @@ def collect_write_stats(meta: TableMetaClient, out_dir: str,
             file_group=fg,
             path=meta.rel_path(path),
             size=os.path.getsize(path),
-            num_records=md.num_rows,
+            num_records=num_rows,
             min_key=min_k, max_key=max_k,
             col_stats=col_stats,
             log=log,
