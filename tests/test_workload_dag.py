@@ -336,3 +336,79 @@ def test_random_workload_partial_update(spark, tmp_table_path, table_type):
             else:
                 t.cluster(sort_columns=["k"])
         assert _snapshot(t) == model, f"step {step} op {op} diverged"
+
+
+@pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+def test_random_workload_orc_native_read_parity(spark, tmp_table_path,
+                                                table_type):
+    """Shorter DAG on an ORC-base table, validating BOTH read paths after
+    every op: the DataFrame snapshot and the native Python DataSource
+    (format("hudi_py")) — the per-slice pyarrow merge kernel must track the
+    model through upserts, deletes, re-inserts, overwrites, compaction,
+    clustering, and cleaning on the mixed ORC-base/parquet-delta layout."""
+    from incubator_hudi_spark import pyds
+    pyds.register(spark)
+    rng = random.Random(20260815)
+    t = HudiTable.create(spark, tmp_table_path, name="dag_orc",
+                         recordkey_fields=["k"], partition_expr="p",
+                         precombine_field="v", table_type=table_type,
+                         base_format="orc")
+    t.cfg = t.cfg.with_(inline_compaction=False)
+
+    def native_snapshot():
+        df = spark.read.format("hudi_py").load(tmp_table_path)
+        return {(r["k"], r["p"]): (r["v"], r["payload"])
+                for r in df.select("k", "p", "v", "payload").collect()}
+
+    model: dict = {}
+    seq = 0
+    recently_deleted: list[tuple[str, str]] = []
+    ops = ["upsert", "upsert", "delete", "reinsert", "insert_overwrite",
+           "compact_or_cluster", "clean"]
+    for step in range(10):
+        op = rng.choice(ops) if step else "upsert"
+        seq += 1
+        if op == "upsert":
+            rows = _batch(rng, seq)
+            t.upsert(_df(spark, rows))
+            for r in rows:
+                model[(r["k"], r["p"])] = (r["v"], r["payload"])
+        elif op == "delete":
+            if not model:
+                continue
+            targets = rng.sample(sorted(model),
+                                 min(len(model), rng.randint(1, 6)))
+            t.delete(_df(spark, [dict(k=k, p=p, v=seq, payload=None)
+                                 for k, p in targets]))
+            for kp in targets:
+                model.pop(kp, None)
+            recently_deleted.extend(targets)
+        elif op == "reinsert":
+            if not recently_deleted:
+                continue
+            targets = recently_deleted[-rng.randint(1, len(recently_deleted)):]
+            rows = [dict(k=k, p=p, v=seq, payload=f"re{seq}-{k}")
+                    for k, p in targets]
+            t.upsert(_df(spark, rows))
+            for r in rows:
+                model[(r["k"], r["p"])] = (r["v"], r["payload"])
+            recently_deleted.clear()
+        elif op == "insert_overwrite":
+            rows = _batch(rng, seq)
+            t.insert_overwrite(_df(spark, rows))
+            hit = {r["p"] for r in rows}
+            for k, p in list(model):
+                if p in hit:
+                    del model[(k, p)]
+            for r in rows:
+                model[(r["k"], r["p"])] = (r["v"], r["payload"])
+        elif op == "compact_or_cluster":
+            if table_type == "MERGE_ON_READ" and rng.random() < 0.7:
+                t.run_compaction()
+            else:
+                t.cluster(sort_columns=["k"])
+        elif op == "clean":
+            t.clean()
+        assert _snapshot(t) == model, f"step {step} op {op}: engine diverged"
+        assert native_snapshot() == model, \
+            f"step {step} op {op}: native hudi_py read diverged"
