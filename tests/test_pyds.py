@@ -110,3 +110,13 @@ def test_partial_update_payload_rejected(spark, tmp_table_path, sample):
               payload=PAYLOAD_OVERWRITE_NON_DEFAULTS)
     with pytest.raises(Exception, match="OVERWRITE_NON_DEFAULTS"):
         spark.read.format("hudi_py").load(tmp_table_path).collect()
+
+
+def test_schema_evolution_read(spark, tmp_table_path, sample):
+    """Old files written before a widening/column-add read back through the
+    native format exactly like the DataFrame path (narrow types cast up,
+    missing columns null-filled)."""
+    t = _make(spark, tmp_table_path, sample)
+    evolved = sample.limit(300).withColumn("o_new_tag", F.lit("tagged"))
+    t.upsert(evolved)
+    _same(spark.read.format("hudi_py").load(tmp_table_path), t.read())
