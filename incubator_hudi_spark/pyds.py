@@ -108,7 +108,8 @@ def _check_supported(meta: TableMetaClient) -> None:
 
 def _plan_slices(meta: TableMetaClient, query_type: str,
                  begin: Optional[str], end: Optional[str],
-                 partitions: Optional[Sequence[str]]) -> list[SlicePartition]:
+                 partitions: Optional[Sequence[str]],
+                 as_of: Optional[str] = None) -> list[SlicePartition]:
     """Mirror of table._read_incremental / snapshot slice resolution."""
     from .fsview import FileSystemView
 
@@ -137,7 +138,10 @@ def _plan_slices(meta: TableMetaClient, query_type: str,
         slices = [sl for sl in view.latest_slices(partitions)
                   if sl.file_group in touched]
     else:
-        view = FileSystemView(meta)
+        # time travel = fold the timeline only up to as_of (the DataFrame
+        # path's read(as_of=...) — no row filter needed: later commits'
+        # files simply don't exist in the folded view)
+        view = FileSystemView(meta, as_of=as_of)
         slices = view.latest_slices(partitions)
 
     out = []
@@ -309,6 +313,7 @@ class HudiBatchReader(DataSourceReader):
         self._query_type = _QUERY_TYPES[qt]
         self._begin = options.get("hoodie.datasource.read.begin.instanttime")
         self._end = options.get("hoodie.datasource.read.end.instanttime")
+        self._as_of = options.get("as.of.instant")   # TimeTravelQuery
         parts = options.get("hoodie.datasource.read.partitions")
         self._partitions = ([p.strip() for p in parts.split(",") if p.strip()]
                             if parts else None)
@@ -320,7 +325,7 @@ class HudiBatchReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         meta = TableMetaClient(self._path)
         planned = _plan_slices(meta, self._query_type, self._begin, self._end,
-                               self._partitions)
+                               self._partitions, as_of=self._as_of)
         # zero-slice plans (empty incremental window) still need one task
         return planned or [SlicePartition(file_group="", partition="")]
 

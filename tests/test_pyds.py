@@ -120,3 +120,15 @@ def test_schema_evolution_read(spark, tmp_table_path, sample):
     evolved = sample.limit(300).withColumn("o_new_tag", F.lit("tagged"))
     t.upsert(evolved)
     _same(spark.read.format("hudi_py").load(tmp_table_path), t.read())
+
+
+def test_time_travel_read(spark, tmp_table_path, sample):
+    """as.of.instant (TimeTravelQuery): the native snapshot folds the
+    timeline only up to the given instant — equals read(as_of=...)."""
+    t = _make(spark, tmp_table_path, sample)
+    c1 = t.timeline.last_completed().time
+    t.upsert(sample.limit(250).withColumn("o_comment", F.lit("later")))
+    old = (spark.read.format("hudi_py")
+           .option("as.of.instant", c1).load(tmp_table_path))
+    _same(old, t.read(as_of=c1))
+    assert old.filter(F.col("o_comment") == "later").count() == 0
