@@ -30,9 +30,9 @@ Execution model
   (writer.merge_latest semantics, see _merge_slice) on the slice's few MB of
   base+delta rows in pandas.  No SparkSession is touched outside the driver.
 
-Limitations (declared, both raise with a pointer to the DataFrame path):
-- OVERWRITE_NON_DEFAULTS (partial-update) payload merges,
-- METADATA_ONLY-bootstrapped external slices (meta columns are virtual).
+Limitation (declared, raises with a pointer to the DataFrame path):
+METADATA_ONLY-bootstrapped external slices (their meta columns are virtual,
+derived from keygen expressions only the JVM path evaluates).
 """
 
 from __future__ import annotations
@@ -97,13 +97,6 @@ def _stored_schema(meta: TableMetaClient) -> StructType:
     if not sj:
         raise ValueError("hudi_py: commit carries no schema")
     return StructType.fromJson(json.loads(sj))
-
-
-def _check_supported(meta: TableMetaClient) -> None:
-    if meta.config.payload == PAYLOAD_OVERWRITE_NON_DEFAULTS:
-        raise NotImplementedError(
-            "hudi_py: OVERWRITE_NON_DEFAULTS (partial-update) merges need the "
-            "DataFrame read path (HudiTable.read / datasource.read_hudi)")
 
 
 def _plan_slices(meta: TableMetaClient, query_type: str,
@@ -208,7 +201,13 @@ def _merge_slice(base, logs, payload: str, precombine: Optional[str]):
     included); touched keys collapse to the payload-ordered winner; rows
     whose winner is a delete disappear.  Ordering = merge_order_columns:
     [precombine desc nulls-last (DEFAULT payload only), commit_time desc,
-    seqno desc, api_delete desc nulls-last]."""
+    seqno desc, api_delete desc nulls-last].
+
+    OVERWRITE_NON_DEFAULTS (partial update,
+    OverwriteNonDefaultsWithLatestAvroPayload.java:50-75): the winner's data
+    columns are first-non-null over the merge-ordered LIVE versions — rows
+    strictly newer than the newest delete (the delete is a merge barrier,
+    writer.merge_latest's _hoodie_del_rn fence)."""
     import numpy as np
 
     df = base.to_pandas(types_mapper=None)
@@ -228,11 +227,35 @@ def _merge_slice(base, logs, payload: str, precombine: Optional[str]):
     # desc_nulls_last tie-break on the API-delete flag: bool+None → float
     touched["_del_rank"] = touched[API_DELETE].astype("float64")
     order_cols.append("_del_rank")
-    touched = (touched
-               .sort_values(order_cols, ascending=False, na_position="last",
-                            kind="stable")
-               .drop_duplicates(subset=[META_RECORD_KEY], keep="first")
-               .drop(columns=["_del_rank"]))
+    touched = touched.sort_values(order_cols, ascending=False,
+                                  na_position="last", kind="stable")
+    if payload == PAYLOAD_OVERWRITE_NON_DEFAULTS and len(touched):
+        key = touched[META_RECORD_KEY]
+        rn = touched.groupby(key, sort=False).cumcount()
+        is_del = pd.Series(False, index=touched.index)
+        for c in DELETE_COLS:
+            if c in touched.columns:
+                is_del |= (touched[c].astype("boolean").fillna(False)
+                           .to_numpy(dtype=bool))
+        del_rn = rn.where(is_del)          # per-row; min per key = barrier
+        barrier = del_rn.groupby(key.to_numpy()).transform("min")
+        live = rn < barrier.fillna(np.inf)
+        winners = touched.drop_duplicates(subset=[META_RECORD_KEY],
+                                          keep="first").copy()
+        data_cols = [c for c in touched.columns
+                     if not c.startswith("_hoodie") and c not in ("_new",)]
+        kv = winners[META_RECORD_KEY]
+        for c in data_cols:
+            # first non-null among live rows in merge order — groupby.first
+            # skips NA, and rows are already merge-ordered
+            filled = (touched[c].where(live)
+                      .groupby(key.to_numpy(), sort=False).first())
+            winners[c] = kv.map(filled)
+        touched = winners.drop(columns=["_del_rank"])
+    else:
+        touched = (touched
+                   .drop_duplicates(subset=[META_RECORD_KEY], keep="first")
+                   .drop(columns=["_del_rank"]))
     out = pd.concat([untouched, touched], ignore_index=True)
     # drop_deleted (writer.py): winner carrying either delete flag vanishes
     dead = np.zeros(len(out), dtype=bool)
@@ -318,7 +341,6 @@ class HudiBatchReader(DataSourceReader):
         self._partitions = ([p.strip() for p in parts.split(",") if p.strip()]
                             if parts else None)
         meta = _meta(options)
-        _check_supported(meta)
         self._payload = meta.config.payload
         self._precombine = meta.config.precombine_field
 
@@ -372,7 +394,6 @@ class HudiStreamSourceReader(DataSourceStreamReader):
         self._schema = schema
         self._path = options.get("path")
         meta = _meta(options)
-        _check_supported(meta)
         self._payload = meta.config.payload
         self._precombine = meta.config.precombine_field
         start = options.get("hoodie.datasource.read.begin.instanttime")

@@ -104,12 +104,28 @@ def test_pushdown_partition_pruning(spark, tmp_table_path, sample):
         spark.conf.unset("spark.sql.python.filterPushdown.enabled")
 
 
-def test_partial_update_payload_rejected(spark, tmp_table_path, sample):
+def test_partial_update_payload_parity(spark, tmp_table_path, sample):
+    """OVERWRITE_NON_DEFAULTS (partial update): null fields in newer
+    versions keep stored non-null values; a delete is a merge barrier
+    (no pre-delete resurrection).  The native per-slice kernel must match
+    the DataFrame merge on MOR logs exactly."""
     from incubator_hudi_spark.config import PAYLOAD_OVERWRITE_NON_DEFAULTS
     t = _make(spark, tmp_table_path, sample,
-              payload=PAYLOAD_OVERWRITE_NON_DEFAULTS)
-    with pytest.raises(Exception, match="OVERWRITE_NON_DEFAULTS"):
-        spark.read.format("hudi_py").load(tmp_table_path).collect()
+              payload=PAYLOAD_OVERWRITE_NON_DEFAULTS,
+              table_type="MERGE_ON_READ")
+    # partial rows: status nulled (must keep stored), comment set (must win)
+    part = (sample.limit(300)
+            .withColumn("o_orderstatus",
+                        F.lit(None).cast("string"))
+            .withColumn("o_comment", F.lit("partial")))
+    t.upsert(part)
+    # delete barrier: delete some keys, re-insert with null status — the
+    # fill may not resurrect the pre-delete status
+    victims = sample.limit(40)
+    t.delete(victims.select("o_orderkey", "o_orderdate"))
+    t.upsert(victims.withColumn("o_orderstatus", F.lit(None).cast("string"))
+                    .withColumn("o_comment", F.lit("resurrected")))
+    _same(spark.read.format("hudi_py").load(tmp_table_path), t.read())
 
 
 def test_schema_evolution_read(spark, tmp_table_path, sample):
