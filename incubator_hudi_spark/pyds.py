@@ -266,11 +266,16 @@ def _merge_slice(base, logs, payload: str, precombine: Optional[str]):
 
 
 def _read_slice(part: SlicePartition, read_schema: StructType,
-                payload: str, precombine: Optional[str]) -> Iterator:
-    """Yield arrow RecordBatches for one slice, commit-range filtered."""
+                payload: str, precombine: Optional[str],
+                merge_schema: Optional[StructType] = None) -> Iterator:
+    """Yield arrow RecordBatches for one slice, commit-range filtered.
+
+    ``merge_schema``: the full stored schema — dirty slices merge over it
+    (the kernel needs key/ordering meta columns and the payload's fill
+    columns even when the relation is projected) and project to
+    ``read_schema`` afterward; clean slices prune straight to the target."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(read_schema)
@@ -297,7 +302,7 @@ def _read_slice(part: SlicePartition, read_schema: StructType,
     # dirty MOR slice: latest-wins merge over base ∪ deltas
     from pyspark.sql.types import BooleanType, StructField
 
-    dfields = list(read_schema.fields)
+    dfields = list((merge_schema or read_schema).fields)
     names = {f.name for f in dfields}
     for c in DELETE_COLS:
         if c not in names:
@@ -343,6 +348,7 @@ class HudiBatchReader(DataSourceReader):
         meta = _meta(options)
         self._payload = meta.config.payload
         self._precombine = meta.config.precombine_field
+        self._merge_schema = _stored_schema(meta)
 
     def partitions(self) -> Sequence[InputPartition]:
         meta = TableMetaClient(self._path)
@@ -355,7 +361,7 @@ class HudiBatchReader(DataSourceReader):
         if not partition.base_paths:
             return iter(())
         return _read_slice(partition, self._schema, self._payload,
-                           self._precombine)
+                           self._precombine, self._merge_schema)
 
 
 class HudiBatchReaderPushdown(HudiBatchReader):
@@ -396,6 +402,7 @@ class HudiStreamSourceReader(DataSourceStreamReader):
         meta = _meta(options)
         self._payload = meta.config.payload
         self._precombine = meta.config.precombine_field
+        self._merge_schema = _stored_schema(meta)
         start = options.get("hoodie.datasource.read.begin.instanttime")
         if start in (None, "earliest"):
             start = ""
@@ -421,7 +428,7 @@ class HudiStreamSourceReader(DataSourceStreamReader):
         if not partition.base_paths:
             return iter(())
         return _read_slice(partition, self._schema, self._payload,
-                           self._precombine)
+                           self._precombine, self._merge_schema)
 
     def commit(self, end: dict) -> None:
         pass  # the Spark offset log is the source of truth
@@ -438,7 +445,20 @@ class HudiPyDataSource(DataSource):
         return "hudi_py"
 
     def schema(self) -> StructType:
-        return _stored_schema(_meta(self.options))
+        """Latest stored schema; ``hoodie.datasource.read.columns`` (comma
+        list) narrows the relation — the Python DataSource API has no
+        column-pruning pushdown, so explicit projection is the way to keep a
+        wide-table scan from materializing every column through Arrow."""
+        s = _stored_schema(_meta(self.options))
+        cols = self.options.get("hoodie.datasource.read.columns")
+        if not cols:
+            return s
+        want = [c.strip() for c in cols.split(",") if c.strip()]
+        missing = [c for c in want if c not in s.names]
+        if missing:
+            raise ValueError(f"hudi_py: unknown columns {missing}")
+        keep = set(want)
+        return StructType([f for f in s.fields if f.name in keep])
 
     def reader(self, schema: StructType) -> HudiBatchReader:
         push = str(self.options.get(

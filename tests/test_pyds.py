@@ -148,3 +148,21 @@ def test_time_travel_read(spark, tmp_table_path, sample):
            .option("as.of.instant", c1).load(tmp_table_path))
     _same(old, t.read(as_of=c1))
     assert old.filter(F.col("o_comment") == "later").count() == 0
+
+
+def test_explicit_column_projection(spark, tmp_table_path, sample):
+    """hoodie.datasource.read.columns narrows the relation schema (the
+    Python DataSource API has no pruning pushdown); dirty-slice merges still
+    see the full stored schema internally."""
+    t = _make(spark, tmp_table_path, sample, table_type="MERGE_ON_READ")
+    t.upsert(sample.limit(100).withColumn("o_comment", F.lit("d1")))
+    got = (spark.read.format("hudi_py")
+           .option("hoodie.datasource.read.columns",
+                   "o_orderkey,o_totalprice")
+           .load(tmp_table_path))
+    assert got.columns == ["o_orderkey", "o_totalprice"]
+    _same(got, t.read().select("o_orderkey", "o_totalprice"))
+    with pytest.raises(Exception, match="unknown columns"):
+        (spark.read.format("hudi_py")
+         .option("hoodie.datasource.read.columns", "nope")
+         .load(tmp_table_path).collect())
