@@ -508,6 +508,39 @@ def mor_snapshot(spark, sf_dir):
     return t.read().select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
 
+@q("pyds_native_write_roundtrip", f"""
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '{_TS_FMT_DUCK}') AS ship_ts,
+       l_quantity, l_returnflag
+FROM lineitem
+""")
+def pyds_native_write_roundtrip(spark, sf_dir):
+    """Native write side (pyds_write.py, HoodieSparkSqlWriter.scala:62-257):
+    df.write.format("hudi_py") auto-creates the table and bulk-inserts (every
+    input row preserved, reference bulk_insert semantics); read back through
+    the engine."""
+    from incubator_hudi_spark import HudiTable, pyds
+    pyds.register(spark)
+
+    def build():
+        path = _new_path("pyds_write", sf_dir)
+        (_load(spark, sf_dir, "lineitem")
+         .write.format("hudi_py")
+         .option("hoodie.table.name", "lineitem")
+         .option("hoodie.datasource.write.recordkey.field",
+                 "l_orderkey,l_linenumber")
+         .option("hoodie.spark.partitionpath.expr",
+                 "date_format(l_shipdate,'yyyy-MM')")
+         .option("hoodie.datasource.write.precombine.field", "l_shipdate")
+         .mode("append").save(path))
+        return {"t": HudiTable(spark, path)}
+    t = _recipe("pyds_write", sf_dir, build)["t"]
+    return t.read().select(
+        "l_orderkey", "l_linenumber",
+        F.date_format("l_shipdate", _TS_FMT_SPARK).alias("ship_ts"),
+        "l_quantity", "l_returnflag")
+
+
 @q("orc_base_cow_snapshot", f"""
 WITH {_LI_DEDUP}
 SELECT l_orderkey, l_linenumber,
@@ -2736,6 +2769,8 @@ _PRIORITY = [
     "pyds_native_mor_snapshot", "pyds_native_stream",
     # ORC base-file format — new in r3
     "orc_base_cow_snapshot",
+    # native write side — new in r3
+    "pyds_native_write_roundtrip",
 ]
 
 

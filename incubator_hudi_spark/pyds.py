@@ -469,6 +469,14 @@ class HudiPyDataSource(DataSource):
     def streamReader(self, schema: StructType) -> HudiStreamSourceReader:
         return HudiStreamSourceReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        """Bulk-load write side (pyds_write.py): mode("append") =
+        bulk_insert, mode("overwrite") = insert_overwrite_table; first write
+        auto-creates the table from hoodie.* options.  Index-tagging
+        operations (upsert/delete) stay on datasource.write_hudi."""
+        from .pyds_write import HudiBulkWriter
+        return HudiBulkWriter(schema, self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent ``spark.dataSource.register`` of the hudi_py format."""

@@ -1,0 +1,318 @@
+"""Native Python DataSource WRITE side: ``df.write.format("hudi_py")``.
+
+Reference surface: HoodieSparkSqlWriter.scala:62-257 dispatch behind
+``df.write.format("hudi")``.  The full write surface (upsert/delete with
+index tagging, merge planning, bin-packing) needs engine-side Spark plans and
+stays on ``datasource.write_hudi`` / ``HudiTable``; what a per-partition
+writer CAN do faithfully is the load path:
+
+- ``mode("append")``  → bulk_insert semantics (BulkInsertSortMode.NONE:
+  new file groups, incoming partitioning preserved, no dedup —
+  HoodieSparkSqlWriter bulkInsertAsRow path).
+- ``mode("overwrite")`` → insert_overwrite_table (all live file groups
+  replaced in the same replacecommit —
+  SparkInsertOverwriteTableCommitActionExecutor.java).
+
+Auto-creates the table on first write from ``hoodie.*`` options (name,
+recordkey field, partition expr, precombine, table type, base format), like
+the reference's first ``save(path)``.
+
+Execution model: the driver-side writer opens the instant
+(requested→inflight) before tasks run; each task splits its rows by hoodie
+partition and writes one new file group per (task, partition) under the
+instant's immutable directory; ``commit()`` folds the per-task stats into
+the commit manifest (schema evolved via HudiTable._evolve); ``abort()``
+rolls the instant back.  A crash that skips both leaves a dangling inflight
+the engine's next write recovers (table._recover_dangling) — identical to an
+engine-side crash.
+
+Key generation runs per Arrow batch in pandas and supports the practical
+keygen subset (Simple/Complex record keys; partition exprs: field refs,
+``concat_ws('/', ...)``, ``date_format(ts_or_conversion, 'fmt')`` with the
+timestamp_partition_expr conversions).  Anything else raises with a pointer
+to ``write_hudi`` — the engine evaluates arbitrary SQL exprs, a Python
+worker must not half-implement them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+from pyspark.sql.datasource import (DataSourceArrowWriter,
+                                    WriterCommitMessage)
+from pyspark.sql.types import StructType
+
+from . import timeline as tl
+from .config import (META_COMMIT_SEQNO, META_COMMIT_TIME, META_FILE_NAME,
+                     META_PARTITION_PATH, META_RECORD_KEY, TableConfig)
+from .keygen import NON_PARTITIONED
+from .metaclient import TableMetaClient
+
+# Java SimpleDateFormat → strftime, longest-first (TimestampBasedKeyGenerator
+# output formats; the subset date_format shares with strftime losslessly)
+_FMT = [("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"), ("HH", "%H"),
+        ("mm", "%M"), ("ss", "%S")]
+
+
+def _java_fmt_to_strftime(fmt: str) -> str:
+    out = fmt
+    for j, s in _FMT:
+        out = out.replace(j, s)
+    if "%" not in out and any(c.isalpha() for c in out):
+        raise NotImplementedError(
+            f"hudi_py writer: unsupported date format {fmt!r} — "
+            "use datasource.write_hudi for arbitrary formats")
+    return out
+
+
+def _parse_partition_expr(expr: Optional[str]):
+    """Compile the supported partition-expr subset to a pandas evaluator
+    pdf -> Series[str].  Raises NotImplementedError beyond the subset."""
+    import pandas as pd
+
+    if not expr:
+        return lambda pdf: pd.Series([NON_PARTITIONED] * len(pdf),
+                                     index=pdf.index, dtype="object")
+    e = expr.strip()
+    m = re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", e)
+    if m:
+        return lambda pdf: pdf[e].astype("string").astype(object)
+    m = re.fullmatch(r"concat_ws\('/'\s*,\s*([A-Za-z0-9_,\s]+)\)", e)
+    if m:
+        cols = [c.strip() for c in m.group(1).split(",")]
+        return lambda pdf: pd.Series(
+            ["/".join(str(r[c]) for c in cols) for _, r in pdf.iterrows()],
+            index=pdf.index, dtype="object")
+    m = re.fullmatch(r"date_format\((.+),\s*'([^']+)'\)", e, re.DOTALL)
+    if m:
+        inner, fmt = m.group(1).strip(), _java_fmt_to_strftime(m.group(2))
+
+        def to_ts(pdf):
+            im = re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", inner)
+            if im:
+                return pd.to_datetime(pdf[inner])
+            im = re.fullmatch(
+                r"timestamp_millis\(CAST\(([A-Za-z0-9_]+) AS BIGINT\)\)",
+                inner)
+            if im:
+                return pd.to_datetime(pdf[im.group(1)].astype("int64"),
+                                      unit="ms")
+            im = re.fullmatch(
+                r"timestamp_seconds\(CAST\(([A-Za-z0-9_]+) AS BIGINT\)"
+                r"(?:\s*\*\s*(\d+))?\)", inner)
+            if im:
+                mult = int(im.group(2) or 1)
+                return pd.to_datetime(
+                    pdf[im.group(1)].astype("int64") * mult, unit="s")
+            im = re.fullmatch(r"to_timestamp\(([A-Za-z0-9_]+),\s*'([^']+)'\)",
+                              inner)
+            if im:
+                return pd.to_datetime(pdf[im.group(1)],
+                                      format=_java_fmt_to_strftime(
+                                          im.group(2)))
+            raise NotImplementedError(
+                f"hudi_py writer: unsupported partition expr {expr!r} — "
+                "use datasource.write_hudi (the engine evaluates any SQL "
+                "expression)")
+
+        return lambda pdf: to_ts(pdf).dt.strftime(fmt).astype(object)
+    raise NotImplementedError(
+        f"hudi_py writer: unsupported partition expr {expr!r} — "
+        "use datasource.write_hudi (the engine evaluates any SQL expression)")
+
+
+def _record_key_series(pdf, fields):
+    """keygen.record_key_col in pandas: Simple (raw string) or Complex
+    (``f1:v1,f2:v2``)."""
+    if len(fields) == 1:
+        return pdf[fields[0]].astype("string").astype(object)
+    parts = [fields[0] + ":" + pdf[fields[0]].astype("string").astype(object)]
+    for f in fields[1:]:
+        parts.append(f + ":" + pdf[f].astype("string").astype(object))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + "," + p
+    return out
+
+
+@dataclass
+class _FileStats(WriterCommitMessage):
+    stats: list = field(default_factory=list)   # WriteStat-shaped dicts
+
+
+class HudiBulkWriter(DataSourceArrowWriter):
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("hudi_py: .save(path) required")
+        op = options.get("hoodie.datasource.write.operation", "bulk_insert")
+        if op not in ("bulk_insert", "insert"):
+            raise NotImplementedError(
+                f"hudi_py writer: operation {op!r} needs index tagging / "
+                "merge planning — use datasource.write_hudi or HudiTable")
+        self._overwrite = overwrite
+        if not TableMetaClient.exists(self._path):
+            self._meta = _create_from_options(self._path, options)
+        else:
+            self._meta = TableMetaClient(self._path)
+        cfgt = self._meta.config
+        self._fields = list(cfgt.recordkey_fields)
+        missing = [f for f in self._fields if f not in schema.names]
+        if not self._fields or missing:
+            raise ValueError(
+                f"hudi_py writer: record key fields {missing or '(none)'} "
+                "absent from the frame")
+        self._part_fn_probe = _parse_partition_expr(cfgt.partition_expr)
+        self._partition_expr = cfgt.partition_expr
+        self._base_format = getattr(cfgt, "base_format", "parquet")
+        # open the instant BEFORE tasks write under its directory — same
+        # 3-state protocol as the engine (timeline.py); a crash leaves a
+        # dangling inflight the next engine write rolls back
+        self._instant = tl.new_instant_time()
+        action = tl.REPLACE_COMMIT if overwrite else tl.COMMIT
+        ins = self._meta.timeline.create_requested(
+            self._instant, action, {"operation": "insert_overwrite_table"
+                                    if overwrite else op})
+        self._meta.timeline.transition_to_inflight(ins)
+        self._action = action
+
+    # -- executor side -----------------------------------------------------
+    def write(self, iterator: Iterator) -> _FileStats:
+        import pyarrow as pa
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        tid = TaskContext.get().partitionId()
+        part_fn = _parse_partition_expr(self._partition_expr)
+        arrow_schema = to_arrow_schema(self._schema)
+        batches = list(iterator)
+        stats: list[dict] = []
+        if not batches:
+            return _FileStats(stats)
+        tbl = pa.Table.from_batches(batches)
+        pdf = tbl.to_pandas()
+        pdf[META_RECORD_KEY] = _record_key_series(pdf, self._fields)
+        pdf[META_PARTITION_PATH] = part_fn(pdf)
+        pdf[META_COMMIT_TIME] = self._instant
+        pdf[META_COMMIT_SEQNO] = [f"{self._instant}_{tid}_{i}"
+                                  for i in range(len(pdf))]
+        out_dir = self._meta.instant_data_dir(self._instant)
+        for part, grp in pdf.groupby(META_PARTITION_PATH, sort=False):
+            fg = f"{part}-{tid}-{uuid.uuid4().hex[:8]}"
+            grp = grp.copy()
+            grp[META_FILE_NAME] = fg
+            d = os.path.join(out_dir, f"_fg={fg}")
+            os.makedirs(d, exist_ok=True)
+            suffix = ".orc" if self._base_format == "orc" else ".parquet"
+            fpath = os.path.join(d, f"part-{tid:05d}-0{suffix}")
+            cols = ([META_COMMIT_TIME, META_COMMIT_SEQNO, META_RECORD_KEY,
+                     META_PARTITION_PATH, META_FILE_NAME]
+                    + [f.name for f in self._schema.fields
+                       if not f.name.startswith("_hoodie")])
+            otbl = pa.Table.from_pandas(grp[cols], preserve_index=False)
+            if suffix == ".orc":
+                import pyarrow.orc as orc
+                orc.write_table(otbl, fpath)
+            else:
+                import pyarrow.parquet as pq
+                pq.write_table(otbl, fpath, compression="snappy")
+            keys = grp[META_RECORD_KEY]
+            stats.append({
+                "partition": part, "file_group": fg,
+                "path": self._meta.rel_path(fpath),
+                "size": os.path.getsize(fpath),
+                "num_records": int(len(grp)),
+                "min_key": str(keys.min()), "max_key": str(keys.max()),
+                "log": False, "base_instant": self._instant,
+            })
+        return _FileStats(stats)
+
+    # -- driver side -------------------------------------------------------
+    def commit(self, messages) -> None:
+        from .table import HudiTable
+
+        stats = [s for m in messages if m is not None for s in m.stats]
+        md = {
+            "operation": ("insert_overwrite_table" if self._overwrite
+                          else "bulk_insert"),
+            "write_stats": stats,
+            "schema": json.dumps(self._full_schema_json()),
+        }
+        if self._overwrite:
+            # replace every PRE-EXISTING live file group (view folded as of
+            # now excludes this pending instant's own files)
+            from .fsview import FileSystemView
+            view = FileSystemView(self._meta)
+            new_fgs = {s["file_group"] for s in stats}
+            md["replaced_file_groups"] = [
+                [sl.partition, sl.file_group]
+                for sl in view.latest_slices()
+                if sl.file_group not in new_fgs]
+        ins = tl.Instant(self._instant, self._action, tl.INFLIGHT)
+        self._meta.timeline.transition_to_completed(ins, md)
+
+    def _full_schema_json(self) -> dict:
+        from .table import HudiTable
+
+        meta_f = [META_COMMIT_TIME, META_COMMIT_SEQNO, META_RECORD_KEY,
+                  META_PARTITION_PATH, META_FILE_NAME]
+        from pyspark.sql.types import StringType, StructField
+        fields = [StructField(n, StringType()) for n in meta_f] + \
+                 [f for f in self._schema.fields
+                  if not f.name.startswith("_hoodie")]
+        new = StructType(fields)
+        try:
+            last = self._meta.timeline.last_completed(tl.DATA_ACTIONS)
+            prev = None
+            if last is not None:
+                sj = self._meta.timeline.read_metadata(last).get("schema")
+                prev = StructType.fromJson(json.loads(sj)) if sj else None
+        except Exception:
+            prev = None
+        return json.loads(HudiTable._evolve(prev, new).json())
+
+    def abort(self, messages) -> None:
+        import shutil
+        shutil.rmtree(self._meta.instant_data_dir(self._instant),
+                      ignore_errors=True)
+        for st in (tl.INFLIGHT, tl.REQUESTED):
+            try:
+                self._meta.timeline.delete_instant(
+                    tl.Instant(self._instant, self._action, st))
+            except Exception:
+                pass
+
+
+def _create_from_options(path: str, options) -> TableMetaClient:
+    """First-write auto-create (HoodieSparkSqlWriter table bootstrap)."""
+    name = options.get("hoodie.table.name")
+    keyf = options.get("hoodie.datasource.write.recordkey.field")
+    if not name or not keyf:
+        raise ValueError(
+            "hudi_py writer: first write must carry hoodie.table.name and "
+            "hoodie.datasource.write.recordkey.field")
+    expr = options.get("hoodie.spark.partitionpath.expr")
+    if not expr:
+        flds = [f.strip() for f in
+                options.get("hoodie.datasource.write.partitionpath.field",
+                            "").split(",") if f.strip()]
+        expr = (flds[0] if len(flds) == 1
+                else f"concat_ws('/', {', '.join(flds)})" if flds else None)
+    tc = TableConfig(
+        name=name,
+        table_type=options.get("hoodie.datasource.write.table.type",
+                               "COPY_ON_WRITE"),
+        recordkey_fields=tuple(k.strip() for k in keyf.split(",")),
+        partition_expr=expr,
+        precombine_field=options.get(
+            "hoodie.datasource.write.precombine.field"),
+        base_format=options.get("hoodie.table.base.file.format", "parquet"),
+    )
+    _parse_partition_expr(tc.partition_expr)   # fail fast if unsupported
+    return TableMetaClient.initialize(path, tc)

@@ -1,0 +1,87 @@
+"""Native Python DataSource write side (df.write.format("hudi_py")).
+
+Reference behavior mirrored: HoodieSparkSqlWriter.scala:62-257 —
+mode("append") = bulk_insert (new file groups, no dedup), mode("overwrite")
+= insert_overwrite_table, first write auto-creates the table from hoodie.*
+options."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_hudi_spark import HudiTable, pyds
+
+OPTS = {
+    "hoodie.table.name": "li",
+    "hoodie.datasource.write.recordkey.field": "l_orderkey,l_linenumber",
+    "hoodie.spark.partitionpath.expr": "date_format(l_shipdate,'yyyy-MM')",
+    "hoodie.datasource.write.precombine.field": "l_shipdate",
+}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    pyds.register(spark)
+
+
+@pytest.fixture(scope="module")
+def li(lineitem):
+    return lineitem.limit(2000).cache()
+
+
+def test_native_bulk_insert_and_keygen_parity(spark, tmp_table_path, li):
+    (li.write.format("hudi_py").options(**OPTS).mode("append")
+       .save(tmp_table_path))
+    t = HudiTable(spark, tmp_table_path)
+    snap = t.read()
+    assert snap.count() == li.count()
+    # key/partition formats match the engine's keygen exactly
+    twin_path = tmp_table_path + "_twin"
+    twin = HudiTable.create(
+        spark, twin_path, name="li",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate")
+    twin.bulk_insert(li)
+    a = snap.select("_hoodie_record_key", "_hoodie_partition_path").distinct()
+    b = (twin.read()
+         .select("_hoodie_record_key", "_hoodie_partition_path").distinct())
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # the ENGINE can upsert on top of the natively-written table, and the
+    # native READER round-trips it
+    t.upsert(li.limit(50).withColumn("l_quantity", F.lit(9999.0)))
+    nat = spark.read.format("hudi_py").load(tmp_table_path)
+    assert nat.filter("l_quantity = 9999.0").count() > 0
+    assert nat.count() == t.read().count()
+
+
+def test_overwrite_mode_replaces_table(spark, tmp_table_path, li):
+    (li.write.format("hudi_py").options(**OPTS).mode("append")
+       .save(tmp_table_path))
+    small = li.limit(10)
+    (small.write.format("hudi_py").mode("overwrite").save(tmp_table_path))
+    t = HudiTable(spark, tmp_table_path)
+    assert t.read().count() == small.select(
+        "l_orderkey", "l_linenumber").count()
+    # append after overwrite accumulates again
+    (small.write.format("hudi_py").mode("append").save(tmp_table_path))
+    assert t.read().count() == 2 * small.count()
+
+
+def test_unsupported_paths_raise(spark, tmp_table_path, li):
+    with pytest.raises(Exception, match="index tagging"):
+        (li.write.format("hudi_py").options(**OPTS)
+           .option("hoodie.datasource.write.operation", "upsert")
+           .mode("append").save(tmp_table_path))
+    with pytest.raises(Exception, match="unsupported partition expr"):
+        (li.write.format("hudi_py")
+           .option("hoodie.table.name", "b")
+           .option("hoodie.datasource.write.recordkey.field", "l_orderkey")
+           .option("hoodie.spark.partitionpath.expr",
+                   "substr(l_comment, 1, 2)")
+           .mode("append").save(tmp_table_path + "_bad"))
+    # failed writes leave no committed instant behind
+    assert not os.path.exists(tmp_table_path) or not [
+        i for i in HudiTable(spark, tmp_table_path)
+        .timeline.completed_data_instants()]
