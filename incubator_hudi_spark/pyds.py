@@ -477,6 +477,14 @@ class HudiPyDataSource(DataSource):
         from .pyds_write import HudiBulkWriter
         return HudiBulkWriter(schema, self.options, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        """Streaming sink (pyds_write.py): per-micro-batch bulk appends with
+        the batch id stamped atomically into commit metadata — exactly-once
+        replay protection sharing streaming/sink.py's stamp keys.  Upsert
+        streams stay on writeStream.foreachBatch(HudiStreamingSink)."""
+        from .pyds_write import HudiStreamBulkWriter
+        return HudiStreamBulkWriter(schema, self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent ``spark.dataSource.register`` of the hudi_py format."""

@@ -44,6 +44,7 @@ from dataclasses import dataclass, field
 from typing import Iterator, Optional
 
 from pyspark.sql.datasource import (DataSourceArrowWriter,
+                                    DataSourceStreamArrowWriter,
                                     WriterCommitMessage)
 from pyspark.sql.types import StructType
 
@@ -145,6 +146,63 @@ class _FileStats(WriterCommitMessage):
     stats: list = field(default_factory=list)   # WriteStat-shaped dicts
 
 
+def _write_task_files(meta: TableMetaClient, instant: str,
+                      schema: StructType, fields: list,
+                      partition_expr: Optional[str], base_format: str,
+                      iterator: Iterator) -> list[dict]:
+    """Executor-side kernel shared by batch and streaming writers: key the
+    rows, split by hoodie partition, write one new file group per
+    (task, partition) under the instant's directory, return WriteStat dicts.
+    Task retries are safe: the manifest (assembled at commit) is the source
+    of truth; files from failed attempts are ignorable orphans."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    tid = TaskContext.get().partitionId()
+    part_fn = _parse_partition_expr(partition_expr)
+    batches = list(iterator)
+    stats: list[dict] = []
+    if not batches:
+        return stats
+    tbl = pa.Table.from_batches(batches)
+    pdf = tbl.to_pandas()
+    pdf[META_RECORD_KEY] = _record_key_series(pdf, fields)
+    pdf[META_PARTITION_PATH] = part_fn(pdf)
+    pdf[META_COMMIT_TIME] = instant
+    pdf[META_COMMIT_SEQNO] = [f"{instant}_{tid}_{i}"
+                              for i in range(len(pdf))]
+    out_dir = meta.instant_data_dir(instant)
+    for part, grp in pdf.groupby(META_PARTITION_PATH, sort=False):
+        fg = f"{part}-{tid}-{uuid.uuid4().hex[:8]}"
+        grp = grp.copy()
+        grp[META_FILE_NAME] = fg
+        d = os.path.join(out_dir, f"_fg={fg}")
+        os.makedirs(d, exist_ok=True)
+        suffix = ".orc" if base_format == "orc" else ".parquet"
+        fpath = os.path.join(d, f"part-{tid:05d}-0{suffix}")
+        cols = ([META_COMMIT_TIME, META_COMMIT_SEQNO, META_RECORD_KEY,
+                 META_PARTITION_PATH, META_FILE_NAME]
+                + [f.name for f in schema.fields
+                   if not f.name.startswith("_hoodie")])
+        otbl = pa.Table.from_pandas(grp[cols], preserve_index=False)
+        if suffix == ".orc":
+            import pyarrow.orc as orc
+            orc.write_table(otbl, fpath)
+        else:
+            import pyarrow.parquet as pq
+            pq.write_table(otbl, fpath, compression="snappy")
+        keys = grp[META_RECORD_KEY]
+        stats.append({
+            "partition": part, "file_group": fg,
+            "path": meta.rel_path(fpath),
+            "size": os.path.getsize(fpath),
+            "num_records": int(len(grp)),
+            "min_key": str(keys.min()), "max_key": str(keys.max()),
+            "log": False, "base_instant": instant,
+        })
+    return stats
+
+
 class HudiBulkWriter(DataSourceArrowWriter):
     def __init__(self, schema: StructType, options, overwrite: bool):
         self._schema = schema
@@ -152,7 +210,9 @@ class HudiBulkWriter(DataSourceArrowWriter):
         if not self._path:
             raise ValueError("hudi_py: .save(path) required")
         op = options.get("hoodie.datasource.write.operation", "bulk_insert")
-        if op not in ("bulk_insert", "insert"):
+        if op != "bulk_insert":
+            # "insert" would silently differ too: the engine's insert runs
+            # preCombine dedup + small-file bin-packing, which need a plan
             raise NotImplementedError(
                 f"hudi_py writer: operation {op!r} needs index tagging / "
                 "merge planning — use datasource.write_hudi or HudiTable")
@@ -184,54 +244,9 @@ class HudiBulkWriter(DataSourceArrowWriter):
 
     # -- executor side -----------------------------------------------------
     def write(self, iterator: Iterator) -> _FileStats:
-        import pyarrow as pa
-        from pyspark import TaskContext
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        tid = TaskContext.get().partitionId()
-        part_fn = _parse_partition_expr(self._partition_expr)
-        arrow_schema = to_arrow_schema(self._schema)
-        batches = list(iterator)
-        stats: list[dict] = []
-        if not batches:
-            return _FileStats(stats)
-        tbl = pa.Table.from_batches(batches)
-        pdf = tbl.to_pandas()
-        pdf[META_RECORD_KEY] = _record_key_series(pdf, self._fields)
-        pdf[META_PARTITION_PATH] = part_fn(pdf)
-        pdf[META_COMMIT_TIME] = self._instant
-        pdf[META_COMMIT_SEQNO] = [f"{self._instant}_{tid}_{i}"
-                                  for i in range(len(pdf))]
-        out_dir = self._meta.instant_data_dir(self._instant)
-        for part, grp in pdf.groupby(META_PARTITION_PATH, sort=False):
-            fg = f"{part}-{tid}-{uuid.uuid4().hex[:8]}"
-            grp = grp.copy()
-            grp[META_FILE_NAME] = fg
-            d = os.path.join(out_dir, f"_fg={fg}")
-            os.makedirs(d, exist_ok=True)
-            suffix = ".orc" if self._base_format == "orc" else ".parquet"
-            fpath = os.path.join(d, f"part-{tid:05d}-0{suffix}")
-            cols = ([META_COMMIT_TIME, META_COMMIT_SEQNO, META_RECORD_KEY,
-                     META_PARTITION_PATH, META_FILE_NAME]
-                    + [f.name for f in self._schema.fields
-                       if not f.name.startswith("_hoodie")])
-            otbl = pa.Table.from_pandas(grp[cols], preserve_index=False)
-            if suffix == ".orc":
-                import pyarrow.orc as orc
-                orc.write_table(otbl, fpath)
-            else:
-                import pyarrow.parquet as pq
-                pq.write_table(otbl, fpath, compression="snappy")
-            keys = grp[META_RECORD_KEY]
-            stats.append({
-                "partition": part, "file_group": fg,
-                "path": self._meta.rel_path(fpath),
-                "size": os.path.getsize(fpath),
-                "num_records": int(len(grp)),
-                "min_key": str(keys.min()), "max_key": str(keys.max()),
-                "log": False, "base_instant": self._instant,
-            })
-        return _FileStats(stats)
+        return _FileStats(_write_task_files(
+            self._meta, self._instant, self._schema, self._fields,
+            self._partition_expr, self._base_format, iterator))
 
     # -- driver side -------------------------------------------------------
     def commit(self, messages) -> None:
@@ -258,24 +273,7 @@ class HudiBulkWriter(DataSourceArrowWriter):
         self._meta.timeline.transition_to_completed(ins, md)
 
     def _full_schema_json(self) -> dict:
-        from .table import HudiTable
-
-        meta_f = [META_COMMIT_TIME, META_COMMIT_SEQNO, META_RECORD_KEY,
-                  META_PARTITION_PATH, META_FILE_NAME]
-        from pyspark.sql.types import StringType, StructField
-        fields = [StructField(n, StringType()) for n in meta_f] + \
-                 [f for f in self._schema.fields
-                  if not f.name.startswith("_hoodie")]
-        new = StructType(fields)
-        try:
-            last = self._meta.timeline.last_completed(tl.DATA_ACTIONS)
-            prev = None
-            if last is not None:
-                sj = self._meta.timeline.read_metadata(last).get("schema")
-                prev = StructType.fromJson(json.loads(sj)) if sj else None
-        except Exception:
-            prev = None
-        return json.loads(HudiTable._evolve(prev, new).json())
+        return _evolved_schema_json(self._meta, self._schema)
 
     def abort(self, messages) -> None:
         import shutil
@@ -316,3 +314,182 @@ def _create_from_options(path: str, options) -> TableMetaClient:
     )
     _parse_partition_expr(tc.partition_expr)   # fail fast if unsupported
     return TableMetaClient.initialize(path, tc)
+
+
+def _evolved_schema_json(meta: TableMetaClient, schema: StructType) -> dict:
+    """Stored schema for the new commit = meta columns + incoming data
+    columns, widened against the previous commit (HudiTable._evolve)."""
+    from pyspark.sql.types import StringType, StructField
+
+    from .table import HudiTable
+
+    meta_f = [META_COMMIT_TIME, META_COMMIT_SEQNO, META_RECORD_KEY,
+              META_PARTITION_PATH, META_FILE_NAME]
+    fields = [StructField(n, StringType()) for n in meta_f] + \
+             [f for f in schema.fields if not f.name.startswith("_hoodie")]
+    new = StructType(fields)
+    try:
+        last = meta.timeline.last_completed(tl.DATA_ACTIONS)
+        prev = None
+        if last is not None:
+            sj = meta.timeline.read_metadata(last).get("schema")
+            prev = StructType.fromJson(json.loads(sj)) if sj else None
+    except Exception:
+        prev = None
+    return json.loads(HudiTable._evolve(prev, new).json())
+
+
+# ---------------------------------------------------------------------------
+# streaming sink: writeStream.format("hudi_py") — per-micro-batch appends
+# ---------------------------------------------------------------------------
+_STREAM_MARKER = ".streaming_instant"
+
+
+def _acquire_batch_instant(meta: TableMetaClient) -> str:
+    """All tasks of one micro-batch must stamp the SAME instant into their
+    rows, but the Python streaming write API hands the batch id only to the
+    driver-side ``commit``.  Coordinate through an atomically-created marker
+    file: first task mints the instant, the rest read it.  The marker lives
+    exactly one micro-batch (deleted at the START of commit, before the
+    instant completes, so a committed instant time can never be reused; a
+    crash in between dangles an inflight the engine's next write rolls
+    back).  Single concurrent streaming writer per table — same contract as
+    the reference's HoodieStreamingSink."""
+    import time
+
+    path = os.path.join(meta.meta_path, _STREAM_MARKER)
+    for _ in range(200):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, tl.new_instant_time().encode())
+            finally:
+                os.close(fd)
+        except FileExistsError:
+            pass
+        try:
+            with open(path) as f:
+                t = f.read().strip()
+            if t:
+                return t
+        except FileNotFoundError:
+            pass      # another batch's commit just consumed it — re-mint
+        time.sleep(0.02)
+    raise RuntimeError("hudi_py stream writer: could not coordinate a "
+                       "batch instant (marker contention)")
+
+
+class HudiStreamBulkWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("hudi_py")`` — per-micro-batch bulk appends
+    with exactly-once replay protection (HoodieStreamingSink.scala:41-119):
+    the batch id lands in the commit metadata ``extra`` atomically with the
+    commit (same keys as streaming/sink.py, so the foreachBatch sink and
+    this one recognize each other's stamps).  A replayed batch whose id is
+    already stamped commits nothing and cleans its own orphan files.
+
+    Append-only (bulk_insert per batch): upsert/delete streams need index
+    tagging — use writeStream.foreachBatch(HudiStreamingSink(table)).
+    """
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        if overwrite:
+            raise NotImplementedError(
+                "hudi_py stream writer: outputMode overwrite/complete is not "
+                "a table semantics — use append mode")
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("hudi_py: .option('path', …) required")
+        self._query_id = options.get("hoodie.datasource.write.streaming.query.id",
+                                     "hudi_py_stream")
+        if not TableMetaClient.exists(self._path):
+            self._meta = _create_from_options(self._path, options)
+        else:
+            self._meta = TableMetaClient(self._path)
+        cfgt = self._meta.config
+        self._fields = list(cfgt.recordkey_fields)
+        missing = [f for f in self._fields if f not in schema.names]
+        if not self._fields or missing:
+            raise ValueError(
+                f"hudi_py stream writer: record key fields "
+                f"{missing or '(none)'} absent from the frame")
+        _parse_partition_expr(cfgt.partition_expr)    # fail fast
+        self._partition_expr = cfgt.partition_expr
+        self._base_format = getattr(cfgt, "base_format", "parquet")
+
+    # -- executor side -----------------------------------------------------
+    def write(self, iterator: Iterator) -> _FileStats:
+        instant = _acquire_batch_instant(self._meta)
+        return _FileStats(_write_task_files(
+            self._meta, instant, self._schema, self._fields,
+            self._partition_expr, self._base_format, iterator))
+
+    # -- driver side -------------------------------------------------------
+    def _last_stamped_batch(self):
+        tline = self._meta.timeline
+        active = list(tline.completed(tl.DATA_ACTIONS))
+        archived = sorted((i for i in tline.archived_instants()
+                           if i.action in tl.DATA_ACTIONS),
+                          key=lambda i: i.time)
+        for ins in reversed(archived + active):
+            extra = tline.read_metadata(ins).get("extra", {})
+            if extra.get("streaming.query_id") == self._query_id and \
+                    extra.get("streaming.batch_id") is not None:
+                return int(extra["streaming.batch_id"])
+        return None
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        stats = [s for m in messages if m is not None for s in m.stats]
+        marker = os.path.join(self._meta.meta_path, _STREAM_MARKER)
+        instant = None
+        try:
+            with open(marker) as f:
+                instant = f.read().strip() or None
+        except FileNotFoundError:
+            pass
+        # consume the marker FIRST: after this point the instant time can
+        # never be re-minted, and a crash below leaves at most a dangling
+        # inflight (rolled back by the engine's next write)
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass
+        last = self._last_stamped_batch()
+        if last is not None and batchId <= last:
+            # replayed batch already committed before a crash — drop the
+            # replay's orphan files and keep exactly-once
+            if instant:
+                shutil.rmtree(self._meta.instant_data_dir(instant),
+                              ignore_errors=True)
+            return
+        if instant is None:
+            return                      # empty batch: nothing to commit
+        ins = self._meta.timeline.create_requested(
+            instant, tl.COMMIT, {"operation": "bulk_insert"})
+        self._meta.timeline.transition_to_inflight(ins)
+        md = {
+            "operation": "bulk_insert",
+            "write_stats": stats,
+            "schema": json.dumps(_evolved_schema_json(self._meta,
+                                                      self._schema)),
+            "extra": {"streaming.batch_id": int(batchId),
+                      "streaming.query_id": self._query_id},
+        }
+        self._meta.timeline.transition_to_completed(
+            tl.Instant(instant, tl.COMMIT, tl.INFLIGHT), md)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        marker = os.path.join(self._meta.meta_path, _STREAM_MARKER)
+        try:
+            with open(marker) as f:
+                instant = f.read().strip() or None
+            os.remove(marker)
+        except FileNotFoundError:
+            instant = None
+        if instant:
+            shutil.rmtree(self._meta.instant_data_dir(instant),
+                          ignore_errors=True)

@@ -85,3 +85,56 @@ def test_unsupported_paths_raise(spark, tmp_table_path, li):
     assert not os.path.exists(tmp_table_path) or not [
         i for i in HudiTable(spark, tmp_table_path)
         .timeline.completed_data_instants()]
+
+
+def test_stream_sink_exactly_once(spark, tmp_table_path, li):
+    """writeStream.format("hudi_py"): per-batch bulk appends; the batch id
+    is stamped atomically with the commit, so a replayed micro-batch (Spark
+    wrote offsets but died before its checkpoint commit) adds no rows."""
+    import shutil
+
+    base = os.path.dirname(tmp_table_path)
+    src_p, sink_p = tmp_table_path, os.path.join(base, "sink")
+    ck = os.path.join(base, "ck")
+    src = HudiTable.create(
+        spark, src_p, name="s",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate")
+    src.bulk_insert(li)
+
+    def run():
+        q = (spark.readStream.format("hudi_py").load(src_p)
+             .writeStream.format("hudi_py")
+             .option("hoodie.table.name", "sink")
+             .option("hoodie.datasource.write.recordkey.field",
+                     "l_orderkey,l_linenumber")
+             .option("hoodie.spark.partitionpath.expr",
+                     "date_format(l_shipdate,'yyyy-MM')")
+             .option("path", sink_p)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(240)
+
+    run()
+    sink = HudiTable(spark, sink_p)
+    assert sink.read().count() == li.count()
+    n_commits = len(sink.timeline.completed_data_instants())
+
+    # force a replay: offsets say batch 0 ran, but the checkpoint commit is
+    # gone — Spark re-executes the batch; the stamped batch id must keep the
+    # sink exactly-once
+    commits_dir = os.path.join(ck, "commits")
+    for f in os.listdir(commits_dir):
+        os.remove(os.path.join(commits_dir, f))
+    run()
+    assert sink.read().count() == li.count()
+    assert len(sink.timeline.completed_data_instants()) == n_commits
+    # the replay cleaned its own orphan instant dir and consumed the marker
+    assert not os.path.exists(
+        os.path.join(sink_p, ".hoodie", ".streaming_instant"))
+
+    # new source commit → resume appends exactly the delta
+    src.upsert(li.limit(70).withColumn("l_comment", F.lit("x")))
+    run()
+    assert sink.read().count() == li.count() + 70
