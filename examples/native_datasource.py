@@ -89,6 +89,33 @@ def main():
     print("streamed rows after resume (only the new commit added):",
           spark.read.parquet(out).count())
 
+    # -- native write side: bulk load a NEW table ---------------------------
+    path2 = os.path.join(work, "trips_copy")
+    (spark.read.format("hudi_py").load(path)
+     .drop(*[c for c in snap.columns if c.startswith("_hoodie")])
+     .write.format("hudi_py")
+     .option("hoodie.table.name", "trips_copy")
+     .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+     .option("hoodie.spark.partitionpath.expr",
+             "date_format(o_orderdate,'yyyy')")
+     .mode("append").save(path2))
+    print("bulk-loaded copy rows:",
+          spark.read.format("hudi_py").load(path2).count())
+
+    # -- native streaming sink: hudi -> hudi incremental pipeline -----------
+    path3, ck2 = os.path.join(work, "mirror"), os.path.join(work, "ck2")
+    q = (spark.readStream.format("hudi_py").load(path)
+         .writeStream.format("hudi_py")
+         .option("hoodie.table.name", "mirror")
+         .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+         .option("hoodie.spark.partitionpath.expr",
+                 "date_format(o_orderdate,'yyyy')")
+         .option("path", path3).option("checkpointLocation", ck2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    print("mirrored table rows (exactly-once stream sink):",
+          spark.read.format("hudi_py").load(path3).count())
+
     spark.stop()
 
 
