@@ -30,9 +30,14 @@ Execution model
   (writer.merge_latest semantics, see _merge_slice) on the slice's few MB of
   base+delta rows in pandas.  No SparkSession is touched outside the driver.
 
-Limitation (declared, raises with a pointer to the DataFrame path):
-METADATA_ONLY-bootstrapped external slices (their meta columns are virtual,
-derived from keygen expressions only the JVM path evaluates).
+Limitations (declared):
+- METADATA_ONLY-bootstrapped external slices raise with a pointer to the
+  DataFrame path (their meta columns are virtual, derived from keygen
+  expressions only the JVM path evaluates).
+- SQL ``CREATE TABLE … USING hudi_py`` resolves the schema but Spark 4.1
+  does not forward the stored OPTIONS/LOCATION to Python-data-source scans
+  (and ``hudi_py.`path``` syntax is rejected) — SQL-on-hudi goes through
+  the catalog registrations in sync.py instead.
 """
 
 from __future__ import annotations
@@ -72,8 +77,17 @@ class SlicePartition(InputPartition):
     drop_deletes: bool = True         # False for read-optimized (raw bases)
 
 
+def _norm_path(path: Optional[str]) -> Optional[str]:
+    """SQL surfaces (CREATE TABLE … USING hudi_py) hand the location over as
+    a file: URI — normalize to a plain local path."""
+    if path and path.startswith("file:"):
+        import re
+        return re.sub("^file:/{0,2}(?=/)", "", path) or path
+    return path
+
+
 def _meta(options) -> TableMetaClient:
-    path = options.get("path")
+    path = _norm_path(options.get("path"))
     if not path:
         raise ValueError("hudi_py: .load(path) / .option('path', …) required")
     if not TableMetaClient.exists(path):
@@ -334,7 +348,7 @@ def _read_slice(part: SlicePartition, read_schema: StructType,
 class HudiBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self._schema = schema
-        self._path = options.get("path")
+        self._path = _norm_path(options.get("path"))
         qt = options.get("hoodie.datasource.query.type", "snapshot")
         if qt not in _QUERY_TYPES:
             raise ValueError(f"hudi_py: unknown query type {qt!r}")
@@ -398,7 +412,7 @@ class HudiStreamSourceReader(DataSourceStreamReader):
 
     def __init__(self, schema: StructType, options):
         self._schema = schema
-        self._path = options.get("path")
+        self._path = _norm_path(options.get("path"))
         meta = _meta(options)
         self._payload = meta.config.payload
         self._precombine = meta.config.precombine_field

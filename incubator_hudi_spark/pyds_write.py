@@ -206,7 +206,8 @@ def _write_task_files(meta: TableMetaClient, instant: str,
 class HudiBulkWriter(DataSourceArrowWriter):
     def __init__(self, schema: StructType, options, overwrite: bool):
         self._schema = schema
-        self._path = options.get("path")
+        from .pyds import _norm_path
+        self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("hudi_py: .save(path) required")
         op = options.get("hoodie.datasource.write.operation", "bulk_insert")
@@ -397,7 +398,8 @@ class HudiStreamBulkWriter(DataSourceStreamArrowWriter):
                 "hudi_py stream writer: outputMode overwrite/complete is not "
                 "a table semantics — use append mode")
         self._schema = schema
-        self._path = options.get("path")
+        from .pyds import _norm_path
+        self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("hudi_py: .option('path', …) required")
         self._query_id = options.get("hoodie.datasource.write.streaming.query.id",

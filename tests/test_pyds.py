@@ -166,3 +166,10 @@ def test_explicit_column_projection(spark, tmp_table_path, sample):
         (spark.read.format("hudi_py")
          .option("hoodie.datasource.read.columns", "nope")
          .load(tmp_table_path).collect())
+
+
+def test_file_uri_path_normalized(spark, tmp_table_path, sample):
+    """URI-shaped locations (file:/…, as SQL surfaces produce) resolve."""
+    t = _make(spark, tmp_table_path, sample)
+    got = spark.read.format("hudi_py").load("file://" + tmp_table_path)
+    assert got.count() == t.read().count()
