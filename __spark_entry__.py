@@ -2306,6 +2306,72 @@ def mor_skip_merge(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_quantity")
 
 
+@q("gopher_rule_filter", r"""
+WITH w AS (
+  SELECT text,
+         regexp_split_to_array(trim(text), '\s+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+r AS (
+  SELECT
+    len(words) AS wc,
+    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      / greatest(len(words), 1) AS mwl,
+    CAST((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
+      / greatest(len(words), 1) AS symr,
+    CAST(len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%')) AS DOUBLE)
+      / greatest(len(lines), 1) AS bulr,
+    CAST(len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%…')) AS DOUBLE)
+      / greatest(len(lines), 1) AS ellr,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / greatest(len(words), 1) AS alpr,
+    len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM w),
+f AS (
+  SELECT wc BETWEEN 50 AND 100000 AS r_words,
+         mwl BETWEEN 3.0 AND 10.0 AS r_wlen,
+         symr <= 0.1 AS r_sym,
+         bulr <= 0.9 AS r_bul,
+         ellr <= 0.3 AS r_ell,
+         alpr >= 0.8 AS r_alpha,
+         stop_hits >= 2 AS r_stop
+  FROM r)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r_words THEN 1 ELSE 0 END) AS BIGINT) AS n_words_ok,
+       CAST(sum(CASE WHEN r_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_word_len_ok,
+       CAST(sum(CASE WHEN r_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_symbols_ok,
+       CAST(sum(CASE WHEN r_bul THEN 1 ELSE 0 END) AS BIGINT) AS n_bullets_ok,
+       CAST(sum(CASE WHEN r_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_ok,
+       CAST(sum(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ok,
+       CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords_ok,
+       CAST(sum(CASE WHEN r_words AND r_wlen AND r_sym AND r_bul AND r_ell
+                      AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass
+FROM f
+""")
+def gopher_rule_filter(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 §A1.1) as one codegen'd
+    projection — per-rule survivor counts + the composite gate."""
+    from incubator_hudi_spark.operators import text as T
+    g = T.gopher_quality_filter(_load(spark, sf_dir, "documents"))
+
+    def n(col):
+        return F.sum(F.when(F.col(col), 1).otherwise(0)).cast("long")
+
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        n("g_rule_words").alias("n_words_ok"),
+        n("g_rule_word_len").alias("n_word_len_ok"),
+        n("g_rule_symbols").alias("n_symbols_ok"),
+        n("g_rule_bullets").alias("n_bullets_ok"),
+        n("g_rule_ellipsis").alias("n_ellipsis_ok"),
+        n("g_rule_alpha").alias("n_alpha_ok"),
+        n("g_rule_stopwords").alias("n_stopwords_ok"),
+        n("gopher_pass").alias("n_pass"))
+
+
 @q("quality_filter_counts", r"""
 WITH f AS (
   SELECT lang,
@@ -2771,6 +2837,8 @@ _PRIORITY = [
     "orc_base_cow_snapshot",
     # native write side — new in r3
     "pyds_native_write_roundtrip",
+    # Gopher rule filter — new in r3
+    "gopher_rule_filter",
 ]
 
 

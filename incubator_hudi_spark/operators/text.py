@@ -274,3 +274,73 @@ def chunk_documents(df: DataFrame, chunk_chars: int = 512,
                                      chunk_chars))
              .withColumn("chunk_chars", F.length("chunk_text")))
     return out.select(id_col, "chunk_id", "chunk_text", "chunk_chars")
+
+
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models" §A1.1;
+# same rule family FineWeb/Dolma reuse).  Kept module-level so a pipeline
+# can tighten/loosen a copy.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_RULES = {
+    "min_words": 50, "max_words": 100_000,
+    "min_mean_word_len": 3.0, "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,      # '#' and '…' per word
+    "max_bullet_line_ratio": 0.9,      # lines starting with a bullet
+    "max_ellipsis_line_ratio": 0.3,    # lines ending in … / ...
+    "min_alpha_word_ratio": 0.8,       # words containing a letter
+    "min_stopword_hits": 2,            # distinct GOPHER_STOPWORDS present
+}
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher repetition-free quality rules as one closed-form pass —
+    per-rule booleans plus the composite ``gopher_pass``.  Every rule is a
+    JVM column expression (split + higher-order filter), so at 100 TB this
+    is a single codegen'd projection over the corpus scan: no shuffle, no
+    Python.  Drop failures with ``.filter("gopher_pass")``."""
+    from ._util import ensure_min_parallelism
+    df = ensure_min_parallelism(df)
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    wc = F.size(words).cast("long")
+    wc1 = F.greatest(wc, F.lit(1)).cast("double")
+    lines = F.split(t, "\n")
+    nlines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    mean_wl = (F.length(F.regexp_replace(t, r"\s", "")).cast("double") / wc1)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ell = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    bullet_lines = F.size(F.filter(
+        lines, lambda x: x.startswith("-") | x.startswith("*")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda x: x.endswith("...") | x.endswith("…")))
+    alpha_words = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    r = GOPHER_RULES
+    out = (df
+           .withColumn("g_word_count", wc)
+           .withColumn("g_mean_word_len", mean_wl)
+           .withColumn("g_rule_words",
+                       (wc >= r["min_words"]) & (wc <= r["max_words"]))
+           .withColumn("g_rule_word_len",
+                       (mean_wl >= r["min_mean_word_len"])
+                       & (mean_wl <= r["max_mean_word_len"]))
+           .withColumn("g_rule_symbols",
+                       ((n_hash + n_ell).cast("double") / wc1)
+                       <= r["max_symbol_word_ratio"])
+           .withColumn("g_rule_bullets",
+                       (bullet_lines.cast("double") / nlines)
+                       <= r["max_bullet_line_ratio"])
+           .withColumn("g_rule_ellipsis",
+                       (ellipsis_lines.cast("double") / nlines)
+                       <= r["max_ellipsis_line_ratio"])
+           .withColumn("g_rule_alpha",
+                       (alpha_words.cast("double") / wc1)
+                       >= r["min_alpha_word_ratio"])
+           .withColumn("g_rule_stopwords",
+                       stop_hits >= r["min_stopword_hits"]))
+    rule_cols = [c for c in out.columns if c.startswith("g_rule_")]
+    gate = F.lit(True)
+    for c in rule_cols:
+        gate = gate & F.col(c)
+    return out.withColumn("gopher_pass", gate)

@@ -375,3 +375,33 @@ def test_cap_per_group_deterministic_and_bounded(spark, documents):
     b = {r["doc_id"] for r in
          cap_per_group(documents.repartition(13), "source", 7).collect()}
     assert a == b
+
+
+def test_gopher_rule_filter(spark):
+    """Gopher rules (Rae et al. 2021 §A1.1): each crafted doc trips exactly
+    the rule it was built to trip."""
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "away to find some food that it can have for dinner with all "
+            "of its friends near the old barn by the river bank today "
+            "while the sun sets slowly behind those tall green hills "
+            "before night falls and every creature settles into sleep")
+    rows = [
+        ("ok", good),
+        ("too_short", "the cat and that dog have fun with all of it"),
+        ("symbols", " ".join(["#tag…"] * 60) + " the be to of and that"),
+        ("bullets", "\n".join(["- item the be to of and that have with "
+                               "more words here now"] * 60)),
+        ("no_alpha", " ".join(["1234"] * 60) + " the be"),
+        ("no_stopwords", " ".join(["zebra"] * 60)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    g = {r["doc_id"]: r for r in text.gopher_quality_filter(df).collect()}
+    assert g["ok"]["gopher_pass"]
+    assert not g["too_short"]["g_rule_words"]
+    assert not g["symbols"]["g_rule_symbols"]
+    assert not g["bullets"]["g_rule_bullets"]
+    assert not g["no_alpha"]["g_rule_alpha"]
+    assert not g["no_stopwords"]["g_rule_stopwords"]
+    for bad in ("too_short", "symbols", "bullets", "no_alpha",
+                "no_stopwords"):
+        assert not g[bad]["gopher_pass"]
