@@ -2372,6 +2372,67 @@ def gopher_rule_filter(spark, sf_dir):
         n("gopher_pass").alias("n_pass"))
 
 
+@q("gopher_repetition_rules", r"""
+WITH a AS (
+  SELECT list_filter(string_split(text, chr(10)), x -> length(x) > 0)
+           AS lines,
+         list_filter(string_split(text, chr(10) || chr(10)),
+                     x -> length(x) > 0) AS paras
+  FROM documents),
+r AS (
+  SELECT
+    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+      / greatest(len(lines), 1) AS lf,
+    CAST(coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0)
+         - coalesce(list_aggregate(list_transform(list_distinct(lines),
+                                                  x -> length(x)), 'sum'), 0)
+         AS DOUBLE)
+      / greatest(coalesce(list_aggregate(list_transform(lines, x -> length(x)),
+                                         'sum'), 0), 1) AS lcf,
+    CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)
+      / greatest(len(paras), 1) AS pf,
+    CAST(coalesce(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0)
+         - coalesce(list_aggregate(list_transform(list_distinct(paras),
+                                                  x -> length(x)), 'sum'), 0)
+         AS DOUBLE)
+      / greatest(coalesce(list_aggregate(list_transform(paras, x -> length(x)),
+                                         'sum'), 0), 1) AS pcf
+  FROM a)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN lf <= 0.30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_line_ok,
+       CAST(sum(CASE WHEN lcf <= 0.20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_line_char_ok,
+       CAST(sum(CASE WHEN pf <= 0.30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_para_ok,
+       CAST(sum(CASE WHEN pcf <= 0.20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_para_char_ok,
+       CAST(sum(CASE WHEN lf <= 0.30 AND lcf <= 0.20 AND pf <= 0.30
+                      AND pcf <= 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM r
+""")
+def gopher_repetition_rules(spark, sf_dir):
+    """Gopher duplicate-line/paragraph rules — survivor counts per rule."""
+    from incubator_hudi_spark.operators import text as T
+    g = T.gopher_repetition_filter(_load(spark, sf_dir, "documents"))
+    r = T.GOPHER_REPETITION_RULES
+
+    def n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        n(F.col("line_dup_frac") <= r["max_dup_line_frac"])
+        .alias("n_line_ok"),
+        n(F.col("line_dup_char_frac") <= r["max_dup_line_char_frac"])
+        .alias("n_line_char_ok"),
+        n(F.col("para_dup_frac") <= r["max_dup_para_frac"])
+        .alias("n_para_ok"),
+        n(F.col("para_dup_char_frac") <= r["max_dup_para_char_frac"])
+        .alias("n_para_char_ok"),
+        n(F.col("repetition_pass")).alias("n_pass"))
+
+
 @q("quality_filter_counts", r"""
 WITH f AS (
   SELECT lang,
@@ -2837,8 +2898,8 @@ _PRIORITY = [
     "orc_base_cow_snapshot",
     # native write side — new in r3
     "pyds_native_write_roundtrip",
-    # Gopher rule filter — new in r3
-    "gopher_rule_filter",
+    # Gopher rule filters — new in r3
+    "gopher_rule_filter", "gopher_repetition_rules",
 ]
 
 

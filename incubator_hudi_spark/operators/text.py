@@ -344,3 +344,58 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     for c in rule_cols:
         gate = gate & F.col(c)
     return out.withColumn("gopher_pass", gate)
+
+
+GOPHER_REPETITION_RULES = {
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_dup_para_frac": 0.30,
+    "max_dup_para_char_frac": 0.20,
+}
+
+
+def gopher_repetition_filter(df: DataFrame,
+                             text_col: str = "text") -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, duplicate line /
+    paragraph family): fraction of duplicate lines/paragraphs by count and
+    by character mass.  Like gopher_quality_filter this is pure array
+    expressions per document — counting duplicates is
+    ``size(l) - size(array_distinct(l))`` and character mass is an
+    ``aggregate`` fold, so the whole pass stays inside one codegen'd
+    projection (no explode, no shuffle).  The top-n-gram char-fraction
+    rules are deliberately left to repetition_features (they need per-doc
+    n-gram modes — an explode+groupBy job, the right shape at scale but not
+    a row-local expression)."""
+    from ._util import ensure_min_parallelism
+    df = ensure_min_parallelism(df)
+    t = F.col(text_col)
+
+    def frac_cols(arr, prefix):
+        arr = F.filter(arr, lambda x: F.length(x) > 0)
+        n = F.size(arr)
+        n1 = F.greatest(n, F.lit(1)).cast("double")
+        dn = F.size(F.array_distinct(arr))
+        chars = F.aggregate(arr, F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x))
+        dchars = F.aggregate(F.array_distinct(arr), F.lit(0).cast("long"),
+                             lambda acc, x: acc + F.length(x))
+        chars1 = F.greatest(chars, F.lit(1)).cast("double")
+        return {
+            f"{prefix}_dup_frac": (n - dn).cast("double") / n1,
+            f"{prefix}_dup_char_frac":
+                (chars - dchars).cast("double") / chars1,
+        }
+
+    cols = {}
+    cols.update(frac_cols(F.split(t, "\n"), "line"))
+    cols.update(frac_cols(F.split(t, "\n\n"), "para"))
+    out = df
+    for name, c in cols.items():
+        out = out.withColumn(name, c)
+    r = GOPHER_REPETITION_RULES
+    return out.withColumn(
+        "repetition_pass",
+        (F.col("line_dup_frac") <= r["max_dup_line_frac"])
+        & (F.col("line_dup_char_frac") <= r["max_dup_line_char_frac"])
+        & (F.col("para_dup_frac") <= r["max_dup_para_frac"])
+        & (F.col("para_dup_char_frac") <= r["max_dup_para_char_frac"]))

@@ -405,3 +405,19 @@ def test_gopher_rule_filter(spark):
     for bad in ("too_short", "symbols", "bullets", "no_alpha",
                 "no_stopwords"):
         assert not g[bad]["gopher_pass"]
+
+
+def test_gopher_repetition_filter(spark):
+    clean = "\n".join(f"unique line number {i} with words" for i in range(10))
+    liney = "\n".join(["the same exact line"] * 8 + ["one other line"])
+    paray = "\n\n".join(["para body here"] * 5 + ["different para"])
+    df = spark.createDataFrame(
+        [("clean", clean), ("liney", liney), ("paray", paray)],
+        "doc_id string, text string")
+    g = {r["doc_id"]: r
+         for r in text.gopher_repetition_filter(df).collect()}
+    assert g["clean"]["repetition_pass"]
+    assert g["liney"]["line_dup_frac"] > 0.3
+    assert not g["liney"]["repetition_pass"]
+    assert g["paray"]["para_dup_frac"] > 0.3
+    assert not g["paray"]["repetition_pass"]
