@@ -270,3 +270,32 @@ class FileSystemView:
                 out.append((sl.partition, sl.file_group, rng[0], rng[1],
                             sl.base_instant))
         return out
+
+
+def incremental_window(timeline, begin, end):
+    """Resolve the incremental pull window (begin, end]: the ordered data
+    instants inside it (active ∪ archived, deduped on (time, action)), the
+    effective upper bound, and the set of touched file groups.  Shared by
+    table._read_incremental and the native DataSource planner
+    (pyds._plan_slices) so the two cannot desync on these semantics.
+    Returns (instants, hi, touched_file_groups); instants may be empty."""
+    from . import timeline as tl
+
+    active = timeline.completed_data_instants()
+    seen = {(i.time, i.action) for i in active}
+    archived = [i for i in timeline.archived_instants()
+                if i.action in tl.DATA_ACTIONS
+                and (i.time, i.action) not in seen]
+    instants = sorted(
+        (i for i in active + archived
+         if (begin is None or i.time > begin)
+         and (end is None or i.time <= end)),
+        key=lambda i: i.time)
+    if not instants:
+        return [], None, set()
+    hi = end or instants[-1].time
+    touched: set = set()
+    for ins in instants:
+        md = timeline.read_metadata(ins)
+        touched.update(st["file_group"] for st in md.get("write_stats", []))
+    return instants, hi, touched

@@ -122,25 +122,11 @@ def _plan_slices(meta: TableMetaClient, query_type: str,
 
     commit_lo = commit_hi = None
     if query_type == QUERY_INCREMENTAL:
-        active = meta.timeline.completed_data_instants()
-        seen = {(i.time, i.action) for i in active}
-        archived = [i for i in meta.timeline.archived_instants()
-                    if i.action in tl.DATA_ACTIONS
-                    and (i.time, i.action) not in seen]
-        instants = sorted(
-            (i for i in active + archived
-             if (begin is None or i.time > begin)
-             and (end is None or i.time <= end)),
-            key=lambda i: i.time)
+        from .fsview import incremental_window
+        instants, hi, touched = incremental_window(meta.timeline, begin, end)
         if not instants:
             return []
-        commit_hi = end or instants[-1].time
-        commit_lo = begin
-        touched: set[str] = set()
-        for ins in instants:
-            md = meta.timeline.read_metadata(ins)
-            touched.update(st["file_group"]
-                           for st in md.get("write_stats", []))
+        commit_hi, commit_lo = hi, begin
         view = FileSystemView(meta, as_of=commit_hi)
         slices = [sl for sl in view.latest_slices(partitions)
                   if sl.file_group in touched]

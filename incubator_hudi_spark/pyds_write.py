@@ -64,7 +64,9 @@ def _java_fmt_to_strftime(fmt: str) -> str:
     out = fmt
     for j, s in _FMT:
         out = out.replace(j, s)
-    if "%" not in out and any(c.isalpha() for c in out):
+    # any alphabetic residue OUTSIDE a %X directive is an unconverted Java
+    # token (e.g. 'MMM' → '%mM'): silently wrong partitions — refuse instead
+    if re.search("[A-Za-z]", re.sub("%[A-Za-z]", "", out)):
         raise NotImplementedError(
             f"hudi_py writer: unsupported date format {fmt!r} — "
             "use datasource.write_hudi for arbitrary formats")
@@ -86,9 +88,21 @@ def _parse_partition_expr(expr: Optional[str]):
     m = re.fullmatch(r"concat_ws\('/'\s*,\s*([A-Za-z0-9_,\s]+)\)", e)
     if m:
         cols = [c.strip() for c in m.group(1).split(",")]
-        return lambda pdf: pd.Series(
-            ["/".join(str(r[c]) for c in cols) for _, r in pdf.iterrows()],
-            index=pdf.index, dtype="object")
+
+        def concat_fn(pdf):
+            # vectorized left fold with concat_ws null semantics (a null
+            # field is skipped, not rendered)
+            out = None
+            for c in cols:
+                piece = pdf[c].astype("string")
+                if out is None:
+                    out = piece
+                else:
+                    joined = out.str.cat(piece, sep="/")
+                    out = joined.fillna(out).fillna(piece)
+            return out.astype(object)
+
+        return concat_fn
     m = re.fullmatch(r"date_format\((.+),\s*'([^']+)'\)", e, re.DOTALL)
     if m:
         inner, fmt = m.group(1).strip(), _java_fmt_to_strftime(m.group(2))
@@ -129,16 +143,17 @@ def _parse_partition_expr(expr: Optional[str]):
 
 def _record_key_series(pdf, fields):
     """keygen.record_key_col in pandas: Simple (raw string) or Complex
-    (``f1:v1,f2:v2``)."""
+    (``f1:v1,f2:v2``).  Null key-field values follow concat_ws semantics —
+    the piece degrades to just the field name (``f2``), never propagating
+    NA into the whole key (the engine's record_key_col does the same)."""
     if len(fields) == 1:
         return pdf[fields[0]].astype("string").astype(object)
-    parts = [fields[0] + ":" + pdf[fields[0]].astype("string").astype(object)]
-    for f in fields[1:]:
-        parts.append(f + ":" + pdf[f].astype("string").astype(object))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out + "," + p
-    return out
+    out = None
+    for f in fields:
+        vals = pdf[f].astype("string")
+        piece = (f + ":" + vals).fillna(f)
+        out = piece if out is None else out + "," + piece
+    return out.astype(object)
 
 
 @dataclass
@@ -155,6 +170,7 @@ def _write_task_files(meta: TableMetaClient, instant: str,
     (task, partition) under the instant's directory, return WriteStat dicts.
     Task retries are safe: the manifest (assembled at commit) is the source
     of truth; files from failed attempts are ignorable orphans."""
+    import pandas as pd
     import pyarrow as pa
     from pyspark import TaskContext
 
@@ -167,24 +183,39 @@ def _write_task_files(meta: TableMetaClient, instant: str,
     tbl = pa.Table.from_batches(batches)
     pdf = tbl.to_pandas()
     pdf[META_RECORD_KEY] = _record_key_series(pdf, fields)
-    pdf[META_PARTITION_PATH] = part_fn(pdf)
+    # null / unparseable partition values land in the default partition —
+    # groupby would silently DROP NA keys otherwise, breaking the "every
+    # input row preserved" bulk_insert contract
+    ppath = pd.Series(part_fn(pdf), index=pdf.index, dtype="object")
+    pdf[META_PARTITION_PATH] = ppath.where(ppath.notna(), NON_PARTITIONED)
     pdf[META_COMMIT_TIME] = instant
     pdf[META_COMMIT_SEQNO] = [f"{instant}_{tid}_{i}"
                               for i in range(len(pdf))]
     out_dir = meta.instant_data_dir(instant)
     for part, grp in pdf.groupby(META_PARTITION_PATH, sort=False):
-        fg = f"{part}-{tid}-{uuid.uuid4().hex[:8]}"
+        # fg ids become partitionBy directory names on later ENGINE writes:
+        # '/' or other specials would be %-escaped there and round-trip as a
+        # DIFFERENT fg id than the manifest's — keep ids dir-safe
+        safe = re.sub(r"[^A-Za-z0-9_.\-]", "_", str(part))
+        fg = f"{safe}-{tid}-{uuid.uuid4().hex[:8]}"
         grp = grp.copy()
         grp[META_FILE_NAME] = fg
         d = os.path.join(out_dir, f"_fg={fg}")
         os.makedirs(d, exist_ok=True)
         suffix = ".orc" if base_format == "orc" else ".parquet"
         fpath = os.path.join(d, f"part-{tid:05d}-0{suffix}")
-        cols = ([META_COMMIT_TIME, META_COMMIT_SEQNO, META_RECORD_KEY,
-                 META_PARTITION_PATH, META_FILE_NAME]
-                + [f.name for f in schema.fields
-                   if not f.name.startswith("_hoodie")])
-        otbl = pa.Table.from_pandas(grp[cols], preserve_index=False)
+        meta_cols = [META_COMMIT_TIME, META_COMMIT_SEQNO, META_RECORD_KEY,
+                     META_PARTITION_PATH, META_FILE_NAME]
+        data_cols = [f.name for f in schema.fields
+                     if not f.name.startswith("_hoodie")]
+        # explicit output schema: pandas silently widens nullable ints to
+        # float64, and an unschema'd from_pandas would persist DOUBLE where
+        # the table schema says BIGINT — readers would then fail the scan
+        out_schema = pa.schema(
+            [pa.field(c, pa.string()) for c in meta_cols]
+            + [tbl.schema.field(c) for c in data_cols])
+        otbl = pa.Table.from_pandas(grp[meta_cols + data_cols],
+                                    schema=out_schema, preserve_index=False)
         if suffix == ".orc":
             import pyarrow.orc as orc
             orc.write_table(otbl, fpath)
@@ -427,21 +458,11 @@ class HudiStreamBulkWriter(DataSourceStreamArrowWriter):
             self._partition_expr, self._base_format, iterator))
 
     # -- driver side -------------------------------------------------------
-    def _last_stamped_batch(self):
-        tline = self._meta.timeline
-        active = list(tline.completed(tl.DATA_ACTIONS))
-        archived = sorted((i for i in tline.archived_instants()
-                           if i.action in tl.DATA_ACTIONS),
-                          key=lambda i: i.time)
-        for ins in reversed(archived + active):
-            extra = tline.read_metadata(ins).get("extra", {})
-            if extra.get("streaming.query_id") == self._query_id and \
-                    extra.get("streaming.batch_id") is not None:
-                return int(extra["streaming.batch_id"])
-        return None
-
     def commit(self, messages, batchId: int) -> None:
         import shutil
+
+        from .streaming.sink import (BATCH_ID_KEY, QUERY_ID_KEY,
+                                     last_stamped_batch)
 
         stats = [s for m in messages if m is not None for s in m.stats]
         marker = os.path.join(self._meta.meta_path, _STREAM_MARKER)
@@ -451,33 +472,43 @@ class HudiStreamBulkWriter(DataSourceStreamArrowWriter):
                 instant = f.read().strip() or None
         except FileNotFoundError:
             pass
-        # consume the marker FIRST: after this point the instant time can
-        # never be re-minted, and a crash below leaves at most a dangling
-        # inflight (rolled back by the engine's next write)
-        try:
-            os.remove(marker)
-        except FileNotFoundError:
-            pass
-        last = self._last_stamped_batch()
+        last = last_stamped_batch(self._meta.timeline, self._query_id)
         if last is not None and batchId <= last:
             # replayed batch already committed before a crash — drop the
             # replay's orphan files and keep exactly-once
+            try:
+                os.remove(marker)
+            except FileNotFoundError:
+                pass
             if instant:
                 shutil.rmtree(self._meta.instant_data_dir(instant),
                               ignore_errors=True)
             return
         if instant is None:
             return                      # empty batch: nothing to commit
+        # 1) open the instant on the timeline FIRST, so the batch's data
+        #    files are always covered by a requested/inflight and a crash at
+        #    any point below degrades to a dangling inflight (recovered by
+        #    the engine's rollback-on-start), never untracked orphans;
+        # 2) only THEN consume the marker — a marker whose instant is
+        #    already on the timeline is safely re-consumed by a replay
+        #    (create_requested/transition are idempotent overwrites), and a
+        #    completed instant's time can never be re-minted because the
+        #    marker is gone before completion.
         ins = self._meta.timeline.create_requested(
             instant, tl.COMMIT, {"operation": "bulk_insert"})
         self._meta.timeline.transition_to_inflight(ins)
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass
         md = {
             "operation": "bulk_insert",
             "write_stats": stats,
             "schema": json.dumps(_evolved_schema_json(self._meta,
                                                       self._schema)),
-            "extra": {"streaming.batch_id": int(batchId),
-                      "streaming.query_id": self._query_id},
+            "extra": {BATCH_ID_KEY: int(batchId),
+                      QUERY_ID_KEY: self._query_id},
         }
         self._meta.timeline.transition_to_completed(
             tl.Instant(instant, tl.COMMIT, tl.INFLIGHT), md)

@@ -19,6 +19,24 @@ BATCH_ID_KEY = "streaming.batch_id"
 QUERY_ID_KEY = "streaming.query_id"
 
 
+def last_stamped_batch(timeline, query_id: str) -> Optional[int]:
+    """Newest batch id stamped for ``query_id`` in commit-metadata extras —
+    shared by this foreachBatch sink and the native stream writer
+    (pyds_write.HudiStreamBulkWriter) so the two recognize each other's
+    progress.  Scans active then archived commits: an idle stream's last
+    stamp may sit behind the archival boundary."""
+    active = list(timeline.completed(tl.DATA_ACTIONS))
+    archived = sorted((i for i in timeline.archived_instants()
+                       if i.action in tl.DATA_ACTIONS),
+                      key=lambda i: i.time)
+    for ins in reversed(archived + active):
+        extra = timeline.read_metadata(ins).get("extra", {})
+        if extra.get(QUERY_ID_KEY) == query_id and \
+                extra.get(BATCH_ID_KEY) is not None:
+            return int(extra[BATCH_ID_KEY])
+    return None
+
+
 class HudiStreamingSink:
     """Callable for ``writeStream.foreachBatch``; also usable directly for
     manual micro-batching (``sink(df, i)``)."""
@@ -34,20 +52,7 @@ class HudiStreamingSink:
         self.transform = transform
 
     def last_committed_batch(self) -> Optional[int]:
-        # scan active then archived commits — an idle stream's last stamped
-        # batch id may sit behind the archival boundary (see
-        # IngestJob.last_checkpoint)
-        tline = self.table.timeline
-        active = list(tline.completed(tl.DATA_ACTIONS))
-        archived = sorted((i for i in tline.archived_instants()
-                           if i.action in tl.DATA_ACTIONS),
-                          key=lambda i: i.time)
-        for ins in reversed(archived + active):
-            extra = tline.read_metadata(ins).get("extra", {})
-            if extra.get(QUERY_ID_KEY) == self.query_id and \
-                    extra.get(BATCH_ID_KEY) is not None:
-                return int(extra[BATCH_ID_KEY])
-        return None
+        return last_stamped_batch(self.table.timeline, self.query_id)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> Optional[str]:
         last = self.last_committed_batch()

@@ -1792,24 +1792,13 @@ class HudiTable:
         groups via min/max (free pushdown — it's a leading stored column)."""
         # active ∪ archived: an incremental pull whose range reaches behind
         # the archival boundary must still see those commits' file groups
-        # (the view already folds archived instants; enumerate them here too)
-        active = self.timeline.completed_data_instants()
-        seen = {(i.time, i.action) for i in active}
-        archived = [i for i in self.timeline.archived_instants()
-                    if i.action in tl.DATA_ACTIONS
-                    and (i.time, i.action) not in seen]
-        instants = sorted(
-            (i for i in active + archived
-             if (begin is None or i.time > begin)
-             and (end is None or i.time <= end)),
-            key=lambda i: i.time)
+        # (the view already folds archived instants; enumerate them here
+        # too).  The window resolution is shared with the native DataSource
+        # planner (fsview.incremental_window) so the two cannot desync.
+        from .fsview import incremental_window
+        instants, hi, touched = incremental_window(self.timeline, begin, end)
         if not instants:
             return self.spark.createDataFrame([], self._read_schema())
-        hi = end or instants[-1].time
-        touched: set[str] = set()
-        for ins in instants:
-            md = self.timeline.read_metadata(ins)
-            touched.update(st["file_group"] for st in md.get("write_stats", []))
         view = self.view(as_of=hi)
         slices = [sl for sl in view.latest_slices(partitions)
                   if sl.file_group in touched]

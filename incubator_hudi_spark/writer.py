@@ -375,8 +375,21 @@ def write_instant_files(
     # reference's format-independent .log blocks
     fmt = "parquet" if log else getattr(meta.config, "base_format", "parquet")
     with _stage("write.files"):
+        codec = cfg.parquet_compression
+        if fmt == "orc":
+            # parquet codec names are the config surface; translate to ORC's
+            # (gzip's ORC spelling is zlib; unknown names fail loudly here
+            # instead of mid-job inside the DataFrameWriter)
+            orc_codecs = {"gzip": "zlib", "zlib": "zlib", "snappy": "snappy",
+                          "zstd": "zstd", "lz4": "lz4", "none": "none",
+                          "uncompressed": "none"}
+            codec = orc_codecs.get(str(codec).lower())
+            if codec is None:
+                raise ValueError(
+                    f"compression {cfg.parquet_compression!r} has no ORC "
+                    "equivalent (use gzip/zlib, snappy, zstd, lz4, none)")
         w = (out.write
-             .option("compression", cfg.parquet_compression)
+             .option("compression", codec)
              .partitionBy(FG)
              .mode("append"))    # dir is unique per instant; append avoids pre-listing
         w.orc(out_dir) if fmt == "orc" else w.parquet(out_dir)

@@ -88,3 +88,13 @@ def test_mor_orc_services_and_native_read(spark, tmp_table_path, li):
 def test_bad_format_rejected(spark, tmp_table_path):
     with pytest.raises(ValueError, match="base file format"):
         _mk(spark, tmp_table_path, "hfile")
+
+
+def test_orc_codec_translation(spark, tmp_table_path, li):
+    """parquet codec names are the config surface; gzip translates to ORC's
+    zlib instead of failing inside the DataFrameWriter."""
+    from incubator_hudi_spark import WriteConfig
+    t = _mk(spark, tmp_table_path, "orc",
+            write_config=WriteConfig(parquet_compression="gzip"))
+    t.bulk_insert(li.limit(200))
+    assert t.read().count() == 200

@@ -138,3 +138,60 @@ def test_stream_sink_exactly_once(spark, tmp_table_path, li):
     src.upsert(li.limit(70).withColumn("l_comment", F.lit("x")))
     run()
     assert sink.read().count() == li.count() + 70
+
+
+def test_null_partition_and_key_fields(spark, tmp_table_path):
+    """Rows with null partition values land in the default partition (never
+    silently dropped); null key fields degrade like concat_ws (field name
+    only), matching the engine's keygen."""
+    df = spark.createDataFrame(
+        [(1, 2, "2024-03-05"), (3, None, None), (None, 4, "2024-03-06")],
+        "a long, b long, d string").withColumn("d", F.to_date("d"))
+    (df.write.format("hudi_py")
+       .option("hoodie.table.name", "n")
+       .option("hoodie.datasource.write.recordkey.field", "a,b")
+       .option("hoodie.spark.partitionpath.expr",
+               "date_format(d,'yyyy-MM')")
+       .mode("append").save(tmp_table_path))
+    t = HudiTable(spark, tmp_table_path)
+    rows = t.read().collect()
+    assert len(rows) == 3                       # nothing dropped
+    by_key = {r["_hoodie_record_key"]: r["_hoodie_partition_path"]
+              for r in rows}
+    assert by_key["a:3,b"] == "__HIVE_DEFAULT_PARTITION__"
+    assert by_key["a,b:4"] == "2024-03"
+    assert by_key["a:1,b:2"] == "2024-03"
+
+
+def test_multilevel_partition_fg_ids_survive_engine_upsert(spark,
+                                                           tmp_table_path):
+    """fg ids minted from multi-level partitions must stay directory-safe:
+    a later ENGINE upsert partitionBy's the fg id and a '/' would escape to
+    %2F, forking a phantom file group (duplicate rows on read)."""
+    df = spark.createDataFrame(
+        [(i, "2024", f"{(i % 2) + 1:02d}", f"v{i}") for i in range(20)],
+        "k long, y string, m string, payload string")
+    (df.write.format("hudi_py")
+       .option("hoodie.table.name", "ml")
+       .option("hoodie.datasource.write.recordkey.field", "k")
+       .option("hoodie.datasource.write.partitionpath.field", "y,m")
+       .mode("append").save(tmp_table_path))
+    t = HudiTable(spark, tmp_table_path)
+    assert t.read().count() == 20
+    assert {r[0] for r in
+            t.read().select("_hoodie_partition_path").distinct().collect()} \
+        == {"2024/01", "2024/02"}
+    t.upsert(df.withColumn("payload", F.lit("updated")))
+    snap = t.read()
+    assert snap.count() == 20                   # no phantom duplicates
+    assert snap.filter("payload = 'updated'").count() == 20
+
+
+def test_unconvertible_date_format_rejected(spark, tmp_table_path, li):
+    with pytest.raises(Exception, match="unsupported date format"):
+        (li.write.format("hudi_py")
+           .option("hoodie.table.name", "b")
+           .option("hoodie.datasource.write.recordkey.field", "l_orderkey")
+           .option("hoodie.spark.partitionpath.expr",
+                   "date_format(l_shipdate,'MMM-yyyy')")
+           .mode("append").save(tmp_table_path))
