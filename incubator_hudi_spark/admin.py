@@ -223,7 +223,17 @@ def write_amplification_df(table) -> DataFrame:
     full row count; for MOR it is the delta-log rows) — the denominator of
     the write-amplification ratio."""
     rows = []
+    # seed from ARCHIVED commits too: a long-lived file group whose creating
+    # commit sits behind the archival boundary must still count as
+    # pre-existing, or mature tables report records_updated=0 on exactly the
+    # update-heavy commits this diagnostic exists for
     seen_fgs: set = set()
+    for ins in sorted((i for i in table.timeline.archived_instants()
+                       if i.action in tl.DATA_ACTIONS),
+                      key=lambda i: i.time):
+        md = table.timeline.read_metadata(ins)
+        seen_fgs.update((s.get("partition"), s.get("file_group"))
+                        for s in md.get("write_stats", []))
     for ins in table.timeline.completed(tl.DATA_ACTIONS):
         md = table.timeline.read_metadata(ins)
         written = md.get("num_records_written", 0)

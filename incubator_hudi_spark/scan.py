@@ -19,9 +19,12 @@ checkpoint covers the listing-avoidance side).
 
 from __future__ import annotations
 
+import threading
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+_CONF_LOCK = threading.Lock()
 
 # path sets up to this size resolve with driver-side listing; larger ones
 # keep Spark's distributed listing job
@@ -45,12 +48,22 @@ def scan_parquet(spark: SparkSession, paths: Sequence[str],
             else reader.parquet)
     if len(paths) <= 32 or len(paths) > LISTING_JOB_MAX:
         return load(*paths)
-    prev = spark.conf.get(_CONF, None)
     try:
-        spark.conf.set(_CONF, str(LISTING_JOB_MAX))
-        return load(*paths)
-    finally:
-        if prev is None:
-            spark.conf.unset(_CONF)
-        else:
-            spark.conf.set(_CONF, prev)
+        cur = int(spark.conf.get(_CONF, "32") or "32")
+    except ValueError:
+        cur = 32
+    if cur >= len(paths):
+        return load(*paths)      # already high enough — no conf mutation
+    # the conf is session-global: serialize set/restore so two concurrent
+    # engine reads can't interleave (one thread restoring the other's
+    # temporary value would leave 8192 set for the whole application)
+    with _CONF_LOCK:
+        prev = spark.conf.get(_CONF, None)
+        try:
+            spark.conf.set(_CONF, str(LISTING_JOB_MAX))
+            return load(*paths)
+        finally:
+            if prev is None:
+                spark.conf.unset(_CONF)
+            else:
+                spark.conf.set(_CONF, prev)

@@ -161,10 +161,31 @@ def run_clustering(table, sort_columns: Optional[Sequence[str]] = None,
             if instant_time is None:
                 return None
     if plan_md is None:
+        # a crashed execution leaves the plan INFLIGHT (requested consumed);
+        # accept either state so retries work
+        for st in (tl.REQUESTED, tl.INFLIGHT):
+            try:
+                plan_md = table.timeline.read_metadata(
+                    tl.Instant(instant_time, tl.REPLACE_COMMIT, st))
+                break
+            except FileNotFoundError:
+                continue
+        if plan_md is None:
+            raise FileNotFoundError(
+                f"no pending clustering plan at {instant_time}")
+    try:
         req = tl.Instant(instant_time, tl.REPLACE_COMMIT, tl.REQUESTED)
-        plan_md = table.timeline.read_metadata(req)
-    req = tl.Instant(instant_time, tl.REPLACE_COMMIT, tl.REQUESTED)
-    instant = table.timeline.transition_to_inflight(req, plan_md)
+        instant = table.timeline.transition_to_inflight(req, plan_md)
+    except FileNotFoundError:
+        instant = tl.Instant(instant_time, tl.REPLACE_COMMIT, tl.INFLIGHT)
+    # a crashed attempt may have left partial files in this instant's data
+    # dir — uncommitted, so unreachable by any reader, but write_instant_files
+    # appends and collect_write_stats lists the WHOLE dir: committing now
+    # would manifest both attempts' files and duplicate every clustered row.
+    # Start the rewrite from an empty dir.
+    import shutil
+    shutil.rmtree(table.meta.instant_data_dir(instant_time),
+                  ignore_errors=True)
     sort_columns = plan_md.get("sort_columns") or sort_columns
     layout = plan_md.get("layout") or layout
 

@@ -69,8 +69,13 @@ def _in_bounded_window(partition: str, cutoff: str) -> bool:
             f"(yyyy[-MM[-dd]]); the partition-aware strategies require "
             f"date partitioning (BoundedPartitionAwareCompactionStrategy "
             f"parses DATE_PARTITION_FORMAT the same way)")
-    norm = partition.replace("/", "-")
-    return norm >= cutoff[:len(norm)]
+    # numeric segment compare, NOT lexicographic: the validation regex
+    # accepts single-digit months/days ('2024-3'), and '2024-3' >= '2024-0'
+    # lexicographically would misclassify March as in an August window —
+    # breaking the bounded/unbounded strategies' disjointness
+    parts = [int(s) for s in partition.replace("/", "-").split("-")]
+    cut = [int(s) for s in cutoff.split("-")][:len(parts)]
+    return parts >= cut
 
 
 def schedule_compaction(table, max_logs_per_slice: int = 1,

@@ -402,8 +402,10 @@ class HudiSqlSession:
         mw = _find_kw(masked, "WHERE", ms.end())
         sets = s[ms.end():mw.start() if mw else len(s)]
         where = s[mw.end():].strip() if mw else None
-        return self._table(mh.group(1)).update(_assignments(sets),
-                                               where=where)
+        # name from the ORIGINAL text: the mask NUL-replaces quoted chars,
+        # so a backticked identifier would resolve to NUL garbage otherwise
+        name = s[mh.start(1):mh.end(1)].strip("`")
+        return self._table(name).update(_assignments(sets), where=where)
 
     def _delete(self, s: str) -> str:
         masked = _mask_top(s)
@@ -412,7 +414,8 @@ class HudiSqlSession:
             raise ValueError(f"cannot parse DELETE: {s[:120]}")
         mw = _find_kw(masked, "WHERE", mh.end())
         where = s[mw.end():].strip() if mw else None
-        return self._table(mh.group(1)).delete_where(where or "true")
+        name = s[mh.start(1):mh.end(1)].strip("`")
+        return self._table(name).delete_where(where or "true")
 
     def _truncate(self, s: str) -> str:
         m = re.match(r"TRUNCATE\s+TABLE\s+(\S+)$", s, re.I)

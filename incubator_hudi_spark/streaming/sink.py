@@ -60,6 +60,17 @@ class HudiStreamingSink:
             return None  # exactly-once: replayed batch already committed
         if self.transform is not None:
             batch_df = self.transform(batch_df)
+        try:
+            return self._attempts(batch_df, batch_id)
+        finally:
+            # ANY exit without a commit (incl. KeyboardInterrupt/SystemExit,
+            # which `except Exception` never sees) must drop the pending
+            # stamp, or it would attach to the user's next unrelated commit
+            # and mark batch_id committed although its data never landed
+            self.table._pending_commit_extras = None
+
+    def _attempts(self, batch_df: DataFrame,
+                  batch_id: int) -> Optional[str]:
         err: Optional[Exception] = None
         for attempt in range(self.retries + 1):
             # a failed attempt may still have COMMITTED the data — e.g. the

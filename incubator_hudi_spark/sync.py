@@ -92,8 +92,13 @@ def sync_partitions(table) -> list[str]:
 
 def default_value_extractor(n_cols: int) -> Callable[[str], list[str]]:
     """Partition path → partition values, HiveSyncTool's
-    MultiPartKeysValueExtractor: split on '/', one value per column."""
+    MultiPartKeysValueExtractor: split on '/', one value per column.
+    With ONE declared column the whole path is its value (the documented
+    default: the raw partition_path lands in a single column — multi-level
+    paths like 'yyyy/MM/dd' must not raise there)."""
     def extract(path: str) -> list[str]:
+        if n_cols == 1:
+            return [path]
         vals = path.split("/")
         if len(vals) != n_cols:
             raise ValueError(
@@ -151,11 +156,25 @@ def _build_manifest(table, instant: str) -> dict[str, str]:
 
 
 def _prune_old_manifests(table, keep_instant: str) -> None:
+    """Remove superseded manifest snapshot dirs — but keep every instant a
+    *_table marker still references: the same table may be synced under
+    several catalog names at different instants, and a name not re-synced
+    yet must keep resolving its partition locations."""
     d = os.path.join(table.meta.meta_path, SYNC_FOLDER)
     if not os.path.isdir(d):
         return
+    keep = {keep_instant, "_table"}
+    mdir = os.path.join(d, "_table")
+    if os.path.isdir(mdir):
+        for m in os.listdir(mdir):
+            if m.endswith(".last_instant"):
+                try:
+                    with open(os.path.join(mdir, m)) as f:
+                        keep.add(f.read().strip())
+                except OSError:
+                    pass
     for x in os.listdir(d):
-        if x != keep_instant and x != "_table":
+        if x not in keep:
             shutil.rmtree(os.path.join(d, x), ignore_errors=True)
 
 

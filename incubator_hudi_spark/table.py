@@ -1155,7 +1155,8 @@ class HudiTable:
                 from .writer import write_grouped_log_files
                 stats += write_grouped_log_files(
                     upd, self.meta, instant_time, dict(update_fgs),
-                    {fg: base_of.get(fg) for fg in update_fgs})
+                    {fg: base_of.get(fg) for fg in update_fgs},
+                    compression=self.cfg.parquet_compression)
             else:
                 stats += write_instant_files(
                     upd, self.meta, instant_time, dict(update_fgs), self.cfg,
@@ -1218,7 +1219,8 @@ class HudiTable:
         if self.cfg.mor_grouped_deltas:
             from .writer import write_grouped_log_files
             stats = write_grouped_log_files(
-                upd, self.meta, instant_time, fg_part, base_of)
+                upd, self.meta, instant_time, fg_part, base_of,
+                compression=self.cfg.parquet_compression)
         else:
             stats = write_instant_files(
                 upd, self.meta, instant_time, fg_part, self.cfg,
@@ -1636,7 +1638,8 @@ class HudiTable:
                               "left_semi")
                         .drop("_hoodie_log_path"))
             log_bytes = sum(l.size for sl in dirty for l in sl.log_files)
-            if log_bytes <= self.cfg.mor_merge_broadcast_max_log_bytes:
+            if log_bytes <= self.cfg.mor_merge_broadcast_max_log_bytes \
+                    and not skip_merge:
                 # the broadcast-split branch consumes the log side three
                 # times (key set in two joins + the merged union); delta
                 # files are many and tiny (one per file group per commit),

@@ -254,6 +254,7 @@ def write_grouped_log_files(
     instant_time: str,
     fg_to_partition: dict[str, str],
     fg_base_instant: dict[str, str],
+    compression: str = "snappy",
 ) -> list[WriteStat]:
     """MOR delta append, grouped: the batch writes a few AQE-sized shared
     delta files instead of one tiny file per touched file group.
@@ -275,7 +276,7 @@ def write_grouped_log_files(
              .repartition(F.col(META_FILE_NAME))   # AQE coalesces small batches
              .sortWithinPartitions(META_FILE_NAME, META_RECORD_KEY))
     with _stage("write.files"):
-        out.write.option("compression", "snappy").mode("append").parquet(out_dir)
+        out.write.option("compression", compression).mode("append").parquet(out_dir)
     with _stage("write.stats"):
         if not os.path.isdir(out_dir):             # empty batch wrote nothing
             return []

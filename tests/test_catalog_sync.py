@@ -173,3 +173,42 @@ def test_resync_same_instant_issues_no_partition_ddl(spark, tmp_table_path,
     assert moved
     assert spark.table("t_sync_idem").count() == t.read().count()
     spark.sql("DROP TABLE IF EXISTS t_sync_idem")
+
+
+def test_multilevel_path_single_declared_column(spark, tmp_table_path,
+                                                orders):
+    """Default sync (one partition_path column) must accept multi-level
+    partition paths like yyyy/MM — the whole path is the column's value."""
+    from incubator_hudi_spark.sync import sync_ddl
+    t = HudiTable.create(
+        spark, tmp_table_path, name="ml_sync",
+        recordkey_fields=["o_orderkey"],
+        partition_expr="date_format(o_orderdate,'yyyy/MM')",
+        precombine_field="o_orderdate")
+    t.upsert(orders.limit(300))
+    out = sync_ddl(t, name="ml_sync_t")
+    assert out["tables"]
+    got = spark.sql("SELECT count(*) AS n FROM ml_sync_t").first()["n"]
+    assert got == t.read().count()
+    parts = {r[0] for r in
+             spark.sql("SHOW PARTITIONS ml_sync_t").collect()}
+    assert all("%2F" in p or "/" in p or "-" in p for p in parts)
+    spark.sql("DROP TABLE IF EXISTS ml_sync_t")
+
+
+def test_prune_keeps_other_names_manifests(spark, tmp_table_path, orders):
+    """The same table synced under two catalog names at different instants:
+    pruning after the second sync must keep the first name's manifest dirs
+    (its partition locations still point there)."""
+    from incubator_hudi_spark.sync import sync_ddl
+    t = _orders_table(spark, tmp_table_path)
+    t.upsert(orders.limit(300))
+    sync_ddl(t, name="sync_name_a")
+    n_a = spark.sql("SELECT count(*) AS n FROM sync_name_a").first()["n"]
+    t.upsert(orders.limit(100).withColumn("o_comment", F.lit("x")))
+    sync_ddl(t, name="sync_name_b")
+    # name_a was NOT re-synced; its locations must still resolve
+    assert spark.sql("SELECT count(*) AS n FROM sync_name_a").first()["n"] \
+        == n_a
+    spark.sql("DROP TABLE IF EXISTS sync_name_a")
+    spark.sql("DROP TABLE IF EXISTS sync_name_b")

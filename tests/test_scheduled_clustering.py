@@ -117,3 +117,35 @@ def test_mor_delta_rejected_and_compaction_skips_frozen(spark, tmp_table_path,
     before = t.read().count()
     assert t.cluster() == st
     assert t.read().count() == before
+
+
+def test_crashed_execution_rerun_no_duplicates(spark, tmp_table_path,
+                                               lineitem):
+    """A clustering execution that crashed mid-write leaves the plan
+    INFLIGHT with partial files in the instant's data dir; re-running the
+    plan must neither raise (the requested file is gone) nor commit the
+    crashed attempt's leftovers (row duplication)."""
+    import os
+    import shutil
+
+    from incubator_hudi_spark.services.clustering import (
+        run_clustering, schedule_clustering)
+
+    t = _make(spark, tmp_table_path, lineitem.limit(1500))
+    before = t.read().count()
+    ct = schedule_clustering(t, sort_columns=["l_orderkey"])
+    assert ct is not None
+    # simulate the crash: plan moved to inflight, some files already written
+    req = tl.Instant(ct, tl.REPLACE_COMMIT, tl.REQUESTED)
+    md = t.timeline.read_metadata(req)
+    t.timeline.transition_to_inflight(req, md)
+    ddir = os.path.join(t.meta.instant_data_dir(ct), "_fg=crashed-partial")
+    os.makedirs(ddir, exist_ok=True)
+    src = next(t.meta.abs_path(f.path)
+               for sl in t.view().latest_slices() for f in sl.base_files)
+    shutil.copy(src, os.path.join(ddir, "part-crashed-0.parquet"))
+
+    assert run_clustering(t, instant_time=ct) == ct
+    assert t.read().count() == before          # no duplicated rows
+    fgs = {sl.file_group for sl in t.view().latest_slices()}
+    assert "crashed-partial" not in fgs        # leftover never manifested

@@ -165,3 +165,15 @@ def test_partition_aware_rejects_non_date_partitions(spark, tmp_path, li):
     with pytest.raises(ValueError, match="not date-shaped"):
         C.schedule_compaction(t, strategy=C.STRATEGY_BOUNDED_PARTITION,
                               day_partitions=7, today="1996-01-01")
+
+
+def test_bounded_window_numeric_segment_compare():
+    """Non-zero-padded date partitions (accepted by the validation regex)
+    must compare numerically: '2024-3' is NOT inside an August window even
+    though it sorts above '2024-0' lexicographically."""
+    from incubator_hudi_spark.services.compaction import _in_bounded_window
+    assert not _in_bounded_window("2024-3", "2024-07-16")
+    assert _in_bounded_window("2024-9", "2024-07-16")
+    assert _in_bounded_window("2024-07-16", "2024-07-16")
+    assert not _in_bounded_window("2024/3/1", "2024-07-16")
+    assert _in_bounded_window("2024-08", "2024-07-16")

@@ -239,3 +239,23 @@ def test_update_where_with_case(spark, hs):
         "SELECT DISTINCT l_returnflag FROM trips WHERE l_orderkey = 3"
     ).collect()}
     assert got <= {"H", "L"} and got
+
+
+def test_backticked_identifiers_in_update_delete(spark, tmp_table_path,
+                                                 lineitem):
+    """UPDATE/DELETE with a backticked table name must resolve the ORIGINAL
+    identifier, not the NUL-masked text (regression: quoted identifiers
+    resolved to NUL garbage while MERGE handled them fine)."""
+    from incubator_hudi_spark import HudiTable
+    t = HudiTable.create(
+        spark, tmp_table_path, name="bt",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate")
+    t.upsert(lineitem.limit(500))
+    sess = HudiSqlSession(spark)
+    sess.register("bt", t)
+    sess.sql("UPDATE `bt` SET l_quantity = 777.0 WHERE l_linenumber = 1")
+    assert t.read().filter("l_quantity = 777.0").count() > 0
+    sess.sql("DELETE FROM `bt` WHERE l_quantity = 777.0")
+    assert t.read().filter("l_quantity = 777.0").count() == 0
