@@ -32,6 +32,13 @@ keygen subset (Simple/Complex record keys; partition exprs: field refs,
 timestamp_partition_expr conversions).  Anything else raises with a pointer
 to ``write_hudi`` — the engine evaluates arbitrary SQL exprs, a Python
 worker must not half-implement them.
+
+Concurrency: these writers do NOT take the engine's OCC lock
+(concurrency.OccWriter wraps HudiTable methods, not this surface).
+``mode("append")`` mints only NEW file groups, so it cannot conflict with a
+concurrent engine upsert at the file-group level; ``mode("overwrite")``
+replaces groups and must be the sole writer — same single-writer contract
+the reference's bulk loads assume.
 """
 
 from __future__ import annotations
