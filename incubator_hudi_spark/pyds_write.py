@@ -97,8 +97,9 @@ def _parse_partition_expr(expr: Optional[str]):
         cols = [c.strip() for c in m.group(1).split(",")]
 
         def concat_fn(pdf):
-            # vectorized left fold with concat_ws null semantics (a null
-            # field is skipped, not rendered)
+            # vectorized left fold with concat_ws null semantics: a null
+            # field is skipped, and ALL-null rows yield '' (concat_ws never
+            # returns null — byte parity with the engine's keygen column)
             out = None
             for c in cols:
                 piece = pdf[c].astype("string")
@@ -107,7 +108,7 @@ def _parse_partition_expr(expr: Optional[str]):
                 else:
                     joined = out.str.cat(piece, sep="/")
                     out = joined.fillna(out).fillna(piece)
-            return out.astype(object)
+            return out.fillna("").astype(object)
 
         return concat_fn
     m = re.fullmatch(r"date_format\((.+),\s*'([^']+)'\)", e, re.DOTALL)

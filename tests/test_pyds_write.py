@@ -195,3 +195,52 @@ def test_unconvertible_date_format_rejected(spark, tmp_table_path, li):
            .option("hoodie.spark.partitionpath.expr",
                    "date_format(l_shipdate,'MMM-yyyy')")
            .mode("append").save(tmp_table_path))
+
+
+def test_keygen_parity_randomized(spark):
+    """Randomized parity of the pandas keygen against the engine's column
+    expressions (keygen.record_key_col / partition_path_col) — unicode,
+    embedded separators, newlines, nulls, and negative/zero epochs all must
+    produce byte-identical record keys and partition paths."""
+    import random
+
+    from incubator_hudi_spark.keygen import (partition_path_col,
+                                             record_key_col)
+    from incubator_hudi_spark.pyds_write import (_parse_partition_expr,
+                                                 _record_key_series)
+
+    rng = random.Random(20260815)
+    alphabet = ["plain", "with space", "a:b", "x,y", "tab\there",
+                "line\nbreak", "ünïcødé", "日本語", "", "trail/slash",
+                None, "0", "-1"]
+    rows = [(rng.choice(alphabet), rng.choice(alphabet),
+             rng.randint(-10**9, 2 * 10**9)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "f1 string, f2 string, ts long")
+
+    cases = [
+        (["f1"], None),
+        (["f1", "f2"], None),
+        (["f1", "f2"], "f2"),
+        (["f1"], "concat_ws('/', f1, f2)"),
+        (["f1"], "date_format(timestamp_seconds(CAST(ts AS BIGINT)),"
+                 "'yyyy-MM-dd')"),
+        (["f1"], "date_format(timestamp_millis(CAST(ts AS BIGINT)),"
+                 "'yyyy/MM')"),
+    ]
+    pdf = df.toPandas()
+    for fields, pexpr in cases:
+        eng = (df.withColumn("_k", record_key_col(fields))
+                 .withColumn("_p", partition_path_col(pexpr))
+                 .select("_k", "_p").collect())
+        import pandas as pd
+        keys = [None if pd.isna(k) else k
+                for k in _record_key_series(pdf, fields)]
+        parts_s = _parse_partition_expr(pexpr)(pdf)
+        parts = [None if pd.isna(v) else v for v in parts_s]
+        for i, r in enumerate(eng):
+            assert keys[i] == r["_k"], (fields, pexpr, i, keys[i], r["_k"])
+            # engine null partition-expr → NON_PARTITIONED constant; null
+            # VALUES stay null on the engine side and map to the default
+            # partition at write time (tested elsewhere)
+            if r["_p"] is not None and pexpr is not None:
+                assert parts[i] == r["_p"], (pexpr, i, parts[i], r["_p"])
