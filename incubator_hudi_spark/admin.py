@@ -228,9 +228,9 @@ def write_amplification_df(table) -> DataFrame:
     # pre-existing, or mature tables report records_updated=0 on exactly the
     # update-heavy commits this diagnostic exists for
     seen_fgs: set = set()
-    for ins in sorted((i for i in table.timeline.archived_instants()
-                       if i.action in tl.DATA_ACTIONS),
-                      key=lambda i: i.time):
+    for ins in table.timeline.archived_instants():
+        if ins.action not in tl.DATA_ACTIONS:
+            continue
         md = table.timeline.read_metadata(ins)
         seen_fgs.update((s.get("partition"), s.get("file_group"))
                         for s in md.get("write_stats", []))

@@ -48,17 +48,18 @@ def scan_parquet(spark: SparkSession, paths: Sequence[str],
             else reader.parquet)
     if len(paths) <= 32 or len(paths) > LISTING_JOB_MAX:
         return load(*paths)
-    try:
-        cur = int(spark.conf.get(_CONF, "32") or "32")
-    except ValueError:
-        cur = 32
-    if cur >= len(paths):
-        return load(*paths)      # already high enough — no conf mutation
     # the conf is session-global: serialize set/restore so two concurrent
     # engine reads can't interleave (one thread restoring the other's
-    # temporary value would leave 8192 set for the whole application)
+    # temporary value would leave 8192 set for the whole application).
+    # The already-high check also happens INSIDE the lock — outside it could
+    # observe another thread's temporary bump and then list after restore.
     with _CONF_LOCK:
         prev = spark.conf.get(_CONF, None)
+        try:
+            if prev is not None and int(prev) >= len(paths):
+                return load(*paths)   # user set it high — no mutation
+        except ValueError:
+            pass
         try:
             spark.conf.set(_CONF, str(LISTING_JOB_MAX))
             return load(*paths)

@@ -173,11 +173,15 @@ def run_clustering(table, sort_columns: Optional[Sequence[str]] = None,
         if plan_md is None:
             raise FileNotFoundError(
                 f"no pending clustering plan at {instant_time}")
-    try:
-        req = tl.Instant(instant_time, tl.REPLACE_COMMIT, tl.REQUESTED)
-        instant = table.timeline.transition_to_inflight(req, plan_md)
-    except FileNotFoundError:
-        instant = tl.Instant(instant_time, tl.REPLACE_COMMIT, tl.INFLIGHT)
+    # crash-retry guard: transition_to_completed writes the completed file
+    # BEFORE removing the inflight one (non-atomic), so inflight residue may
+    # coexist with a COMPLETED instant — re-executing then would delete
+    # committed files and overwrite the manifest.  Already done ⇒ done.
+    if any(i.time == instant_time
+           for i in table.timeline.completed([tl.REPLACE_COMMIT])):
+        return instant_time
+    req = tl.Instant(instant_time, tl.REPLACE_COMMIT, tl.REQUESTED)
+    instant = table.timeline.transition_to_inflight(req, plan_md)
     # a crashed attempt may have left partial files in this instant's data
     # dir — uncommitted, so unreachable by any reader, but write_instant_files
     # appends and collect_write_stats lists the WHOLE dir: committing now

@@ -291,6 +291,10 @@ class HudiSqlSession:
 
     # -----------------------------------------------------------------
     def _table(self, name: str) -> HudiTable:
+        # central identifier normalization: every statement router hands the
+        # raw token over (possibly `backticked` or "double-quoted"), so all
+        # of UPDATE/DELETE/MERGE/INSERT/TRUNCATE/SHOW accept quoted names
+        name = name.strip().strip('`"')
         t = self.tables.get(name)
         if t is None:
             raise ValueError(f"unknown hudi table {name!r}; register() it")
@@ -404,8 +408,9 @@ class HudiSqlSession:
         where = s[mw.end():].strip() if mw else None
         # name from the ORIGINAL text: the mask NUL-replaces quoted chars,
         # so a backticked identifier would resolve to NUL garbage otherwise
-        name = s[mh.start(1):mh.end(1)].strip("`")
-        return self._table(name).update(_assignments(sets), where=where)
+        # (_table strips the quoting)
+        return self._table(s[mh.start(1):mh.end(1)]).update(
+            _assignments(sets), where=where)
 
     def _delete(self, s: str) -> str:
         masked = _mask_top(s)
@@ -414,8 +419,8 @@ class HudiSqlSession:
             raise ValueError(f"cannot parse DELETE: {s[:120]}")
         mw = _find_kw(masked, "WHERE", mh.end())
         where = s[mw.end():].strip() if mw else None
-        name = s[mh.start(1):mh.end(1)].strip("`")
-        return self._table(name).delete_where(where or "true")
+        return self._table(s[mh.start(1):mh.end(1)]).delete_where(
+            where or "true")
 
     def _truncate(self, s: str) -> str:
         m = re.match(r"TRUNCATE\s+TABLE\s+(\S+)$", s, re.I)

@@ -93,12 +93,11 @@ def sync_partitions(table) -> list[str]:
 def default_value_extractor(n_cols: int) -> Callable[[str], list[str]]:
     """Partition path → partition values, HiveSyncTool's
     MultiPartKeysValueExtractor: split on '/', one value per column.
-    With ONE declared column the whole path is its value (the documented
-    default: the raw partition_path lands in a single column — multi-level
-    paths like 'yyyy/MM/dd' must not raise there)."""
+    A declared column count that doesn't match the path's segments raises
+    loudly — year='2024/07' silently matching nothing is worse than an
+    error.  (The synthetic single ``partition_path`` column default in
+    sync_ddl takes the whole path verbatim instead — see _raw_path_extractor.)"""
     def extract(path: str) -> list[str]:
-        if n_cols == 1:
-            return [path]
         vals = path.split("/")
         if len(vals) != n_cols:
             raise ValueError(
@@ -106,6 +105,12 @@ def default_value_extractor(n_cols: int) -> Callable[[str], list[str]]:
                 f"{n_cols} partition column(s) are declared")
         return vals
     return extract
+
+
+def _raw_path_extractor(path: str) -> list[str]:
+    """The whole partition path as the single synthetic ``partition_path``
+    column's value — multi-level paths like 'yyyy/MM/dd' land verbatim."""
+    return [path]
 
 
 def _sanitize(seg: str) -> str:
@@ -295,7 +300,11 @@ def sync_ddl(table, name: Optional[str] = None,
     if not by_partition:
         return {"tables": {}, "instant": instant}
     pcols = list(partition_columns or ["partition_path"])
-    extractor = partition_value_extractor or default_value_extractor(len(pcols))
+    # default synthetic column: raw path passthrough (never raises on
+    # multi-level paths); REAL declared columns keep strict segment checks
+    extractor = partition_value_extractor or (
+        _raw_path_extractor if pcols == ["partition_path"]
+        else default_value_extractor(len(pcols)))
 
     # last-synced instant marker: a re-sync at the same instant points at
     # identical manifest dirs, so per-partition SET LOCATION is a no-op —

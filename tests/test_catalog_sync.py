@@ -212,3 +212,17 @@ def test_prune_keeps_other_names_manifests(spark, tmp_table_path, orders):
         == n_a
     spark.sql("DROP TABLE IF EXISTS sync_name_a")
     spark.sql("DROP TABLE IF EXISTS sync_name_b")
+
+
+def test_declared_real_column_still_validates(spark, tmp_table_path, orders):
+    """A REAL declared partition column over a mismatched multi-level path
+    must still raise (year='2024/07' silently matching nothing is worse)."""
+    from incubator_hudi_spark.sync import sync_ddl
+    t = HudiTable.create(
+        spark, tmp_table_path, name="strict_sync",
+        recordkey_fields=["o_orderkey"],
+        partition_expr="date_format(o_orderdate,'yyyy/MM')",
+        precombine_field="o_orderdate")
+    t.upsert(orders.limit(200))
+    with pytest.raises(ValueError, match="segments"):
+        sync_ddl(t, name="strict_sync_t", partition_columns=["year"])

@@ -149,3 +149,30 @@ def test_crashed_execution_rerun_no_duplicates(spark, tmp_table_path,
     assert t.read().count() == before          # no duplicated rows
     fgs = {sl.file_group for sl in t.view().latest_slices()}
     assert "crashed-partial" not in fgs        # leftover never manifested
+
+
+def test_completed_with_inflight_residue_is_not_reexecuted(
+        spark, tmp_table_path, lineitem):
+    """transition_to_completed writes the completed file before removing the
+    inflight one; a crash in between leaves both.  Retrying run_clustering
+    on that instant must NOT delete the committed files or overwrite the
+    manifest — it returns immediately."""
+    from incubator_hudi_spark.services.clustering import (run_clustering,
+                                                          schedule_clustering)
+
+    t = _make(spark, tmp_table_path, lineitem.limit(1500))
+    before = t.read().count()
+    ct = schedule_clustering(t, sort_columns=["l_orderkey"])
+    assert run_clustering(t, instant_time=ct) == ct
+    after_md = t.timeline.read_metadata(
+        tl.Instant(ct, tl.REPLACE_COMMIT, tl.COMPLETED))
+    assert after_md.get("write_stats")          # real manifest
+    # simulate the crash residue: re-materialize the inflight file
+    t.timeline._write_json(
+        t.timeline._path(tl.Instant(ct, tl.REPLACE_COMMIT, tl.INFLIGHT)),
+        {"clustering": True, "operations": after_md.get("operations", [])})
+    assert run_clustering(t, instant_time=ct) == ct   # no re-execution
+    md2 = t.timeline.read_metadata(
+        tl.Instant(ct, tl.REPLACE_COMMIT, tl.COMPLETED))
+    assert md2.get("write_stats") == after_md.get("write_stats")
+    assert t.read().count() == before           # committed files intact
