@@ -241,8 +241,11 @@ class IngestJob:
             return None
         if self.transform is not None:
             df = self.transform(df)
-        instant = getattr(self.table, self.operation)(df)
-        self._stamp(instant, new_cp)
+        # checkpoint rides inside the same commit JSON (DeltaSync.java:311-360
+        # writes it into the commit metadata) — atomic with the data, so a
+        # crash between write and stamp cannot lose or double-apply the batch
+        instant = getattr(self.table, self.operation)(
+            df, commit_extras={CHECKPOINT_KEY: new_cp})
         return instant
 
     def run_continuous(self, max_rounds: int = 10) -> list[str]:
@@ -254,14 +257,6 @@ class IngestJob:
             out.append(ins)
         return out
 
-    def _stamp(self, instant_time: str, checkpoint: Optional[str]) -> None:
-        timeline = self.table.timeline
-        for ins in timeline.completed(tl.DATA_ACTIONS):
-            if ins.time == instant_time:
-                md = timeline.read_metadata(ins)
-                md.setdefault("extra", {})[CHECKPOINT_KEY] = checkpoint
-                timeline._write_json(timeline._path(ins), md)
-                return
 
 
 class MultiTableIngestJob:

@@ -5,6 +5,15 @@ retry; exactly-once via the batch id recorded in commit metadata (replayed
 batches after a crash are skipped).  PySpark cannot register a custom v2 sink,
 so the public surface is a `foreachBatch` callable — semantically identical
 (the reference's sink is itself a per-batch writer).
+
+The batch-id stamp travels as an explicit ``commit_extras`` argument through
+the table's write op into the commit JSON (atomic with the commit — mirrors
+HoodieStreamingSink.scala:92-94 / DeltaSync.java:311-360 recording the
+checkpoint in the same commit).  It is never parked in mutable table state:
+table services committing from daemon threads (async compaction/clustering)
+complete through the same ``table._complete`` and would race for a
+table-level "next commit" slot — the compaction commit could carry the stamp
+while the data commit lost it, turning a crash replay into silent data loss.
 """
 
 from __future__ import annotations
@@ -50,9 +59,37 @@ class HudiStreamingSink:
         self.query_id = query_id
         self.retries = retries
         self.transform = transform
+        # Stamp-probe cache: (last stamped batch id or None, newest instant
+        # time scanned).  The first probe pays one full timeline+archive scan
+        # (exactly what `last_stamped_batch` does); steady state then reads
+        # only the metadata of instants NEWER than the high-water mark — a
+        # stream into a table with heavy non-stream commit traffic no longer
+        # re-reads the whole timeline every micro-batch.  Per-sink-instance,
+        # so a crash replay (fresh sink) always re-scans from scratch.
+        self._cached_last: Optional[int] = None
+        self._probe_hwm: Optional[str] = None
 
     def last_committed_batch(self) -> Optional[int]:
-        return last_stamped_batch(self.table.timeline, self.query_id)
+        timeline = self.table.timeline
+        if self._probe_hwm is None:
+            self._cached_last = last_stamped_batch(timeline, self.query_id)
+            active = list(timeline.completed(tl.DATA_ACTIONS))
+            self._probe_hwm = active[-1].time if active else ""
+            return self._cached_last
+        active = list(timeline.completed(tl.DATA_ACTIONS))
+        for ins in reversed(active):
+            if ins.time <= self._probe_hwm:
+                break  # completed() is time-ordered; the rest is scanned
+            extra = timeline.read_metadata(ins).get("extra", {})
+            if extra.get(QUERY_ID_KEY) == self.query_id and \
+                    extra.get(BATCH_ID_KEY) is not None:
+                b = int(extra[BATCH_ID_KEY])
+                if self._cached_last is None or b > self._cached_last:
+                    self._cached_last = b
+                break
+        if active:
+            self._probe_hwm = max(self._probe_hwm, active[-1].time)
+        return self._cached_last
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> Optional[str]:
         last = self.last_committed_batch()
@@ -60,14 +97,7 @@ class HudiStreamingSink:
             return None  # exactly-once: replayed batch already committed
         if self.transform is not None:
             batch_df = self.transform(batch_df)
-        try:
-            return self._attempts(batch_df, batch_id)
-        finally:
-            # ANY exit without a commit (incl. KeyboardInterrupt/SystemExit,
-            # which `except Exception` never sees) must drop the pending
-            # stamp, or it would attach to the user's next unrelated commit
-            # and mark batch_id committed although its data never landed
-            self.table._pending_commit_extras = None
+        return self._attempts(batch_df, batch_id)
 
     def _attempts(self, batch_df: DataFrame,
                   batch_id: int) -> Optional[str]:
@@ -82,24 +112,25 @@ class HudiStreamingSink:
             if attempt:
                 lc = self.last_committed_batch()
                 if lc is not None and batch_id <= lc:
-                    self.table._pending_commit_extras = None
                     return None
             try:
-                # The batch id rides inside the commit metadata written by
-                # _complete() — atomic with the commit, so a crash either
-                # leaves no commit (batch replays cleanly) or a commit that
-                # already carries the stamp (replay is skipped).  Mirrors the
-                # reference, which records the checkpoint in the same commit
-                # (HoodieStreamingSink.scala:92-94, DeltaSync.java:311-360).
-                self.table.set_commit_extras({
+                # The stamp rides as an argument into the write op and lands
+                # in _complete()'s commit JSON — atomic with the commit, so a
+                # crash either leaves no commit (batch replays cleanly) or a
+                # commit that already carries the stamp (replay is skipped).
+                # No mutable state exists for a concurrent table-service
+                # commit to steal (see module docstring).
+                op = getattr(self.table, self.operation)
+                instant = op(batch_df, commit_extras={
                     BATCH_ID_KEY: int(batch_id),
                     QUERY_ID_KEY: self.query_id,
                 })
-                op = getattr(self.table, self.operation)
-                return op(batch_df)
+                # our own commit is the newest stamped one — advance the
+                # probe cache so steady state does zero metadata re-reads
+                self._cached_last = int(batch_id)
+                if self._probe_hwm is not None and instant is not None:
+                    self._probe_hwm = max(self._probe_hwm, instant)
+                return instant
             except Exception as e:  # retry (HoodieStreamingSink retry loop)
                 err = e
-        # all retries failed: drop the pending stamp so it cannot attach to
-        # an unrelated later commit
-        self.table._pending_commit_extras = None
         raise err

@@ -70,17 +70,14 @@ class HudiTable:
         self._key_index: Optional[DataFrame] = None
         self._key_index_parts: set = set()
         self._key_index_valid_at: Optional[str] = None
-        # One-shot extras merged into the NEXT completed commit's metadata by
-        # _complete() (and cleared there).  Lets callers that go through the
-        # public write ops (e.g. the streaming sink's batch-id stamp,
-        # HoodieStreamingSink.scala:92-94 / DeltaSync.java:311-360) land
-        # their bookkeeping atomically with the commit JSON instead of
-        # mutating a completed instant afterwards.
-        self._pending_commit_extras: Optional[dict] = None
-
-    def set_commit_extras(self, extras: dict) -> None:
-        """Attach `extras` to the next completed commit (one-shot)."""
-        self._pending_commit_extras = dict(extras)
+        # NOTE: commit bookkeeping (streaming batch-id stamps, ingest
+        # checkpoints) is threaded through the write ops as an explicit
+        # ``commit_extras`` argument into _complete() — never a mutable
+        # table-level slot.  A table-level "next commit" slot raced with
+        # table services committing on daemon threads (async compaction's
+        # commit could steal the streaming stamp → silent data loss on
+        # crash replay).  HoodieStreamingSink.scala:92-94 /
+        # DeltaSync.java:311-360 likewise record these in the same commit.
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -316,9 +313,8 @@ class HudiTable:
             "replaced_file_groups": [list(x) for x in (replaced or [])],
             "num_records_written": sum(s.num_records for s in stats),
             "total_bytes_written": sum(s.size for s in stats),
-            "extra": {**(self._pending_commit_extras or {}), **(extra or {})},
+            "extra": dict(extra or {}),
         }
-        self._pending_commit_extras = None
         if self._pre_commit_hook is not None:
             touched = {(s.partition, s.file_group) for s in stats}
             touched |= {tuple(x) for x in (replaced or [])}
@@ -352,7 +348,8 @@ class HudiTable:
     # ==================================================================
     # WRITE OPERATORS
     # ==================================================================
-    def bulk_insert(self, df: DataFrame, sort_mode: Optional[str] = None) -> str:
+    def bulk_insert(self, df: DataFrame, sort_mode: Optional[str] = None,
+                    commit_extras: Optional[dict] = None) -> str:
         """First-load path (SparkRDDWriteClient.java:223-244,
         SparkBulkInsertHelper.java + sort modes §2.4).  No index lookup; sizes
         new files to target; GLOBAL_SORT default → key-sorted files whose
@@ -363,11 +360,13 @@ class HudiTable:
             prepared, instant.time, pack_small_files=False,
             sort_mode=sort_mode or self.cfg.bulk_insert_sort_mode,
             profile_df=with_key_columns(df, self.tc))
-        self._complete(instant, BULK_INSERT, stats, schema)
+        self._complete(instant, BULK_INSERT, stats, schema,
+                       extra=commit_extras)
         self._post_commit()
         return instant.time
 
-    def insert(self, df: DataFrame) -> str:
+    def insert(self, df: DataFrame,
+               commit_extras: Optional[dict] = None) -> str:
         """Insert with small-file bin packing (SparkRDDWriteClient.java:172-178;
         packing = UpsertPartitioner small-file handling).  No key-based
         routing: duplicate keys are *not* merged (reference semantics)."""
@@ -378,7 +377,7 @@ class HudiTable:
             pack_small_files=(self.tc.table_type == COPY_ON_WRITE),
             sort_mode=SORT_PARTITION,
             profile_df=with_key_columns(df, self.tc))
-        self._complete(instant, INSERT, stats, schema)
+        self._complete(instant, INSERT, stats, schema, extra=commit_extras)
         self._post_commit()
         return instant.time
 
@@ -499,60 +498,68 @@ class HudiTable:
             return [META_RECORD_KEY]
         return None
 
-    def upsert_prepped(self, df: DataFrame) -> str:
+    def upsert_prepped(self, df: DataFrame,
+                       commit_extras: Optional[dict] = None) -> str:
         """upsertPreppedRecords (SparkRDDWriteClient.java:162-167): caller
         already deduplicated — skip the preCombine window."""
         saved = self.cfg
         self.cfg = self.cfg.with_(combine_before_upsert=False)
         try:
-            return self._upsert_impl(df, UPSERT)
+            return self._upsert_impl(df, UPSERT, commit_extras=commit_extras)
         finally:
             self.cfg = saved
 
-    def bulk_insert_prepped(self, df: DataFrame) -> str:
+    def bulk_insert_prepped(self, df: DataFrame,
+                            commit_extras: Optional[dict] = None) -> str:
         """bulkInsertPreppedRecords (SparkRDDWriteClient.java:238-244)."""
         saved = self.cfg
         self.cfg = self.cfg.with_(combine_before_insert=False)
         try:
-            return self.bulk_insert(df)
+            return self.bulk_insert(df, commit_extras=commit_extras)
         finally:
             self.cfg = saved
 
-    def insert_prepped(self, df: DataFrame) -> str:
+    def insert_prepped(self, df: DataFrame,
+                       commit_extras: Optional[dict] = None) -> str:
         """insertPreppedRecords (SparkRDDWriteClient.java:182-188): caller
         already combined — skip the optional pre-insert dedup."""
         saved = self.cfg
         self.cfg = self.cfg.with_(combine_before_insert=False)
         try:
-            return self.insert(df)
+            return self.insert(df, commit_extras=commit_extras)
         finally:
             self.cfg = saved
 
-    def delete_prepped(self, keys_df: DataFrame) -> str:
+    def delete_prepped(self, keys_df: DataFrame,
+                       commit_extras: Optional[dict] = None) -> str:
         """deletePreppedRecords: keys already unique — skip the dedup stage."""
         saved = self.cfg
         self.cfg = self.cfg.with_(combine_before_upsert=False)
         try:
             return self._upsert_impl(
-                keys_df.withColumn(API_DELETE, F.lit(True)), DELETE)
+                keys_df.withColumn(API_DELETE, F.lit(True)), DELETE,
+                commit_extras=commit_extras)
         finally:
             self.cfg = saved
 
-    def upsert(self, df: DataFrame) -> str:
+    def upsert(self, df: DataFrame,
+               commit_extras: Optional[dict] = None) -> str:
         """The heart (SparkRDDWriteClient.java:149-159 →
         BaseSparkCommitActionExecutor.java:112-145): preCombine → index tag →
         partition into update/insert buckets → COW merge-rewrite of affected
         file groups / MOR delta append."""
-        return self._upsert_impl(df, UPSERT)
+        return self._upsert_impl(df, UPSERT, commit_extras=commit_extras)
 
-    def delete(self, keys_df: DataFrame) -> str:
+    def delete(self, keys_df: DataFrame,
+               commit_extras: Optional[dict] = None) -> str:
         """Hard delete by key (SparkRDDWriteClient.java:248-253,
         SparkDeleteHelper.java:49-105): dedup keys → tag → keep only existing
         → merge that drops them (COW) or delete-marker delta rows (MOR)."""
         return self._upsert_impl(keys_df.withColumn(API_DELETE, F.lit(True)),
-                                 DELETE)
+                                 DELETE, commit_extras=commit_extras)
 
-    def _upsert_impl(self, df: DataFrame, operation: str) -> str:
+    def _upsert_impl(self, df: DataFrame, operation: str,
+                     commit_extras: Optional[dict] = None) -> str:
         is_delete = operation == DELETE
         action = (tl.DELTA_COMMIT if self.tc.table_type == MERGE_ON_READ
                   else tl.COMMIT)
@@ -609,7 +616,8 @@ class HudiTable:
                     sort_mode=SORT_PARTITION, action_view=view,
                     profile_df=profile_src, combine_in_write=fuse,
                     seed_key_index=True, frozen_fgs=frozen_fgs)
-                self._complete(instant, operation, stats, schema)
+                self._complete(instant, operation, stats, schema,
+                               extra=commit_extras)
                 if (self._index_cache_on
                         and self._key_index_valid_at != instant.time):
                     # drop a stale cache — but keep the index _write_inserts
@@ -643,7 +651,8 @@ class HudiTable:
                                                   prepared, prof, is_delete,
                                                   frozen_fgs=frozen_fgs)
                     with _stage("upsert.complete"):
-                        self._complete(instant, operation, stats, schema)
+                        self._complete(instant, operation, stats, schema,
+                                       extra=commit_extras)
                     if self._index_cache_on:
                         if (not is_delete and not wrote_inserts
                                 and self._key_index is not None):
@@ -793,7 +802,8 @@ class HudiTable:
                             update_fgs, insert_profile, n_new_rows=n_new,
                             frozen_fgs=frozen_fgs)
             with _stage("upsert.complete"):
-                self._complete(instant, operation, stats, schema)
+                self._complete(instant, operation, stats, schema,
+                               extra=commit_extras)
             if self._index_cache_on:
                 update_only = not is_delete and not wrote_inserts
                 if update_only and self._key_index is not None:
@@ -1244,7 +1254,8 @@ class HudiTable:
         return stats, fg_map, schema
 
     # ------------------------------------------------------------------
-    def insert_overwrite(self, df: DataFrame) -> str:
+    def insert_overwrite(self, df: DataFrame,
+                         commit_extras: Optional[dict] = None) -> str:
         """Atomically replace only the partitions present in the input
         (SparkInsertOverwriteCommitActionExecutor — replacecommit, NOT Spark's
         mode=overwrite)."""
@@ -1257,11 +1268,13 @@ class HudiTable:
         stats, fg_map, schema = self._write_inserts(
             prepared, instant.time, pack_small_files=False,
             sort_mode=self.cfg.bulk_insert_sort_mode, action_view=view)
-        self._complete(instant, INSERT_OVERWRITE, stats, schema, replaced=replaced)
+        self._complete(instant, INSERT_OVERWRITE, stats, schema,
+                       replaced=replaced, extra=commit_extras)
         self._post_commit()
         return instant.time
 
-    def insert_overwrite_table(self, df: DataFrame) -> str:
+    def insert_overwrite_table(self, df: DataFrame,
+                               commit_extras: Optional[dict] = None) -> str:
         """Replace every partition (SparkInsertOverwriteTableCommitActionExecutor)."""
         instant = self._start(tl.REPLACE_COMMIT)
         prepared = self._prepare(df, instant.time, self.cfg.combine_before_insert)
@@ -1271,7 +1284,7 @@ class HudiTable:
             prepared, instant.time, pack_small_files=False,
             sort_mode=self.cfg.bulk_insert_sort_mode, action_view=view)
         self._complete(instant, INSERT_OVERWRITE_TABLE, stats, schema,
-                       replaced=replaced)
+                       replaced=replaced, extra=commit_extras)
         self._post_commit()
         return instant.time
 

