@@ -2868,38 +2868,37 @@ def aws_dms_cdc(spark, sf_dir):
                            F.col("Op").alias("op"), "o_orderstatus")
 
 
-# The driver's correctness gate samples a prefix of queries() in dict order.
-# Round 2 left 29 registered queries without a driver row; list them first so
-# round 3's sample covers them, followed by the flagship (the one r2-red row,
-# now fixed with explicit BIGINT casts), then everything else in registration
-# order.  Queries absent from this list keep their relative registration order
-# after the priority block.
+# The driver's correctness gate samples a prefix of queries() in dict order
+# (50 queries per round).  Round 4 rotation: the queries NEW in r4 first (no
+# driver row yet), then the 40 queries whose latest green row dates from r2's
+# code — r3 rewrote the MOR delta/merge, cleaning, and payload paths many of
+# them exercise, so they must be re-earned on the current code (VERDICT r3
+# "Next #2").  10 new + 40 stale = exactly the 50-query sample window.
+# Queries absent from this list keep their relative registration order after
+# the priority block.
 _PRIORITY = [
-    # never driver-sampled in r2
-    "dup_clusters", "join_q3_on_hudi", "join_q5_on_hudi", "sessionization",
-    "sequence_packing", "insert_overwrite_table", "truncate_reinsert",
-    "ingest_checkpointed", "timestamp_keygen_daily", "hudi_incr_pipeline",
-    "stratified_sample", "vocab_top100", "corpus_dedup_keep_one",
-    "windowed_agg_10min", "mor_skip_merge", "quality_filter_counts",
-    "global_index_partition_move", "asof_join_attribution",
-    "range_join_click_context", "tfidf_top_terms", "flatten_json_transform",
-    "repetition_bigram", "data_skipping_column_stats",
-    "zorder_clustering_scan", "point_lookup_pruned", "point_lookup_bloom",
-    "timestamp_keygen_epoch", "payload_partial_update", "aws_dms_cdc",
-    # r2's sole red row — BIGINT-cast fix needs a fresh driver row
-    "pipeline_training_corpus",
-    # new in r3 — need a first driver row
-    "catalog_sync_external_read", "chunk_documents_512",
-    "cap_per_source_100", "scheduled_clustering_execute",
-    "upgrade_downgrade_roundtrip",
-    # native Python DataSource (format("hudi_py")) — new in r3
-    "pyds_native_mor_snapshot", "pyds_native_stream",
-    # ORC base-file format — new in r3
-    "orc_base_cow_snapshot",
-    # native write side — new in r3
-    "pyds_native_write_roundtrip",
-    # Gopher rule filters — new in r3
-    "gopher_rule_filter", "gopher_repetition_rules",
+    # new in r4 — need a first driver row
+    "pyds_native_bootstrap", "async_clustering_ingest",
+    "global_bloom_upsert", "inmemory_index_lifecycle",
+    "partition_sort_layout", "bulk_insert_none_mode",
+    "occ_conflict_detection", "multi_table_ingest",
+    "metadata_table_listing", "show_partitions_commits",
+    # green in r1/r2 but not re-sampled on r3's rewritten code
+    "mor_compaction", "mor_incremental", "mor_read_optimized", "mor_delete",
+    "merge_into", "sql_dml", "update_delete_where", "rollback",
+    "savepoint_restore", "clustering_cleaning_archival",
+    "bootstrap_full_record", "bootstrap_metadata_only",
+    "insert_duplicate_semantics", "insert_overwrite_and_drop_partition",
+    "keygen_nonpartitioned", "global_index_partition_stickiness",
+    "bloom_index_upsert", "schema_evolution", "schema_widening",
+    "payload_default_event_time_guard", "snapshot_export",
+    "streaming_sink_events", "streaming_incremental_batch",
+    "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard", "dedup_exact",
+    "contamination_13gram", "semantic_dedup_survivors",
+    "ann_brute_force_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "embedding_cosine_pairs", "embedding_neardup_pairs",
+    "multimodal_features", "text_quality", "text_token_counts",
+    "lang_id_counts", "doc_fingerprint", "pii_scrub",
 ]
 
 
