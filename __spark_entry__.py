@@ -906,6 +906,49 @@ def scheduled_clustering_execute(spark, sf_dir):
                  .cast("long").alias("sum_qty")))
 
 
+@q("async_clustering_ingest", f"""
+WITH {_LI_DEDUP},
+  shifted AS (
+    SELECT l_orderkey + 10000000 AS l_orderkey, l_linenumber, l_quantity
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m')
+        ORDER BY {_LI_ORDER}) AS _rn
+      FROM lineitem WHERE l_orderkey % 17 = 3) WHERE _rn = 1)
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM li_d
+      UNION ALL SELECT * FROM shifted)
+""")
+def async_clustering_ingest(spark, sf_dir):
+    """Async clustering daemon (AsyncClusteringService.java /
+    SparkAsyncClusteringService.java): a scheduled plan drains on a worker
+    thread WHILE ingest keeps committing new-key inserts — frozen groups
+    guarantee the rewrite races with nothing, and the final snapshot equals
+    base ∪ inserted regardless of the interleaving."""
+    from incubator_hudi_spark.services.async_clustering import (
+        AsyncClusteringService, pending_clustering_instants)
+
+    def build():
+        t = _lineitem_table(spark, sf_dir,
+                            _new_path("async_cluster", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        # disjoint upserts → ≥2 small file groups per partition
+        t.upsert(li.filter("l_orderkey % 2 = 0"))
+        t.upsert(li.filter("l_orderkey % 2 = 1"))
+        svc = AsyncClusteringService(t)
+        st = svc.schedule_and_enqueue(sort_columns=["l_orderkey"])
+        assert st is not None
+        # ingest continues under the daemon: brand-new keys → insert lane,
+        # which avoids the frozen groups by construction
+        t.upsert(li.filter("l_orderkey % 17 = 3")
+                 .withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000))
+        assert svc.stop() == [st]
+        assert not pending_clustering_instants(t)
+        return {"t": t}
+    t = _recipe("async_cluster", sf_dir, build)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 @q("upgrade_downgrade_roundtrip", f"""
 WITH {_LI_DEDUP}
 SELECT l_orderkey, l_linenumber, l_quantity FROM li_d

@@ -176,3 +176,72 @@ def test_completed_with_inflight_residue_is_not_reexecuted(
         tl.Instant(ct, tl.REPLACE_COMMIT, tl.COMPLETED))
     assert md2.get("write_stats") == after_md.get("write_stats")
     assert t.read().count() == before           # committed files intact
+
+
+def test_async_clustering_interleaved_with_ingest(spark, tmp_table_path,
+                                                  lineitem):
+    """Daemon twin of async compaction (AsyncClusteringService.java /
+    SparkAsyncClusteringService.java): scheduled plans drain on a worker
+    thread while ingest keeps committing.  The frozen-group contract makes
+    the interleaving safe — new-key inserts land in fresh groups, updates
+    touching frozen groups are rejected until the plan executes."""
+    from incubator_hudi_spark.services.async_clustering import (
+        AsyncClusteringService, pending_clustering_instants)
+
+    t = _make(spark, tmp_table_path, lineitem)
+    before = t.read().count()
+    svc = AsyncClusteringService(t)
+    st = svc.schedule_and_enqueue(sort_columns=["l_orderkey"])
+    assert st is not None
+    # ingest continues while the worker clusters: brand-new keys only
+    n_new = 0
+    for i in range(3):
+        new = (lineitem.filter(f"l_orderkey % 17 = {i}")
+               .withColumn("l_orderkey",
+                           F.col("l_orderkey") + 10_000_000 * (i + 1)))
+        t.upsert(new)
+        n_new += (new.withColumn("_m", F.date_format("l_shipdate", "yyyy-MM"))
+                  .dropDuplicates(["l_orderkey", "l_linenumber", "_m"])
+                  .count())
+    done = svc.stop()
+    assert done == [st]
+    assert not pending_clustering_instants(t)
+    assert t.read().count() == before + n_new
+    # the plan's groups were swapped atomically (replacecommit completed)
+    assert any(i.time == st
+               for i in t.timeline.completed([tl.REPLACE_COMMIT]))
+    # updates flow again after the async execution
+    t.upsert(lineitem.limit(100).withColumn("l_quantity", F.lit(33.0)))
+    assert t.read().filter("l_quantity = 33.0").count() > 0
+
+
+def test_async_clustering_with_async_compaction_mor(spark, tmp_table_path,
+                                                    lineitem):
+    """Both daemons live on one MOR table: compaction folds logs while
+    clustering rewrites small groups — the timeline + frozen-group/pinned-
+    group contracts keep them disjoint (clustering plans exclude groups with
+    pending compaction and vice versa)."""
+    from incubator_hudi_spark.services.async_clustering import (
+        AsyncClusteringService)
+    from incubator_hudi_spark.services.async_compaction import (
+        AsyncCompactionService)
+
+    t = _make(spark, tmp_table_path, lineitem, table_type=MERGE_ON_READ)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+    t.upsert(lineitem.filter("l_orderkey % 11 = 2")
+             .withColumn("l_quantity", F.lit(77.25)))
+    before = t.read().count()
+
+    comp = AsyncCompactionService(t)
+    clus = AsyncClusteringService(t)
+    comp.schedule_and_enqueue()
+    clus.schedule_and_enqueue(sort_columns=["l_orderkey"])
+    new = (lineitem.filter("l_orderkey % 13 = 1")
+           .withColumn("l_orderkey", F.col("l_orderkey") + 50_000_000))
+    t.upsert(new)
+    comp.stop()
+    clus.stop()
+    exp_new = (new.withColumn("_m", F.date_format("l_shipdate", "yyyy-MM"))
+               .dropDuplicates(["l_orderkey", "l_linenumber", "_m"]).count())
+    assert t.read().count() == before + exp_new
+    assert t.read().filter("l_quantity = 77.25").count() > 0
