@@ -1007,6 +1007,26 @@ def bootstrap_metadata_only(spark, sf_dir):
     return t.read().select("p_partkey", "p_name", "p_retailprice")
 
 
+@q("pyds_native_bootstrap", """
+SELECT CAST(p_partkey AS VARCHAR) AS rk, p_partkey, p_name,
+       CASE WHEN p_partkey % 10 = 3 THEN p_retailprice + 1000.0
+            ELSE p_retailprice END AS p_retailprice
+FROM part
+""")
+def pyds_native_bootstrap(spark, sf_dir):
+    """format("hudi_py") over a METADATA_ONLY-bootstrapped table with a
+    post-adoption upsert: the read kernel derives the virtual skeleton for
+    external slices (shared pandas keygen → rk equals the engine's record
+    key) and serves the rewritten groups normally — parity with
+    HoodieBootstrapRelation.scala / HoodieBootstrapRDD.scala's stitch."""
+    from incubator_hudi_spark import pyds
+    t = _r_bootstrap_meta(spark, sf_dir)["t"]
+    pyds.register(spark)
+    return (spark.read.format("hudi_py").load(t.meta.base_path)
+            .select(F.col("_hoodie_record_key").alias("rk"),
+                    "p_partkey", "p_name", "p_retailprice"))
+
+
 # ---------------------------------------------------------------------------
 # data-pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------

@@ -75,6 +75,14 @@ class SlicePartition(InputPartition):
     commit_lo: Optional[str] = None   # exclusive
     commit_hi: Optional[str] = None   # inclusive
     drop_deletes: bool = True         # False for read-optimized (raw bases)
+    # METADATA_ONLY-bootstrapped slice: base_paths are the adopted EXTERNAL
+    # parquet files (no meta columns stored); the kernel derives the virtual
+    # skeleton — key via the pandas keygen, partition/commit-time/file-name
+    # from the literals below (HoodieBootstrapRelation.scala /
+    # HoodieBootstrapRDD.scala stitch physical skeleton files instead)
+    external: bool = False
+    base_instant: Optional[str] = None
+    key_fields: Optional[list] = None
 
 
 def _norm_path(path: Optional[str]) -> Optional[str]:
@@ -141,9 +149,16 @@ def _plan_slices(meta: TableMetaClient, query_type: str,
     ro = query_type == QUERY_READ_OPTIMIZED
     for sl in slices:
         if any(f.external for f in sl.base_files):
-            raise NotImplementedError(
-                "hudi_py: METADATA_ONLY-bootstrapped slices derive their meta "
-                "columns at read time — use HudiTable.read / read_hudi")
+            # METADATA_ONLY bootstrap group: exactly the adopted source file,
+            # no logs (updates rewrite the group instead, table.py) — ship
+            # the literals the kernel needs to derive the virtual skeleton
+            out.append(SlicePartition(
+                file_group=sl.file_group, partition=sl.partition,
+                base_paths=[f.path for f in sl.base_files],
+                commit_lo=commit_lo, commit_hi=commit_hi,
+                external=True, base_instant=sl.base_instant,
+                key_fields=list(meta.config.recordkey_fields)))
+            continue
         out.append(SlicePartition(
             file_group=sl.file_group,
             partition=sl.partition,
@@ -279,6 +294,30 @@ def _read_slice(part: SlicePartition, read_schema: StructType,
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(read_schema)
+    if part.external:
+        # METADATA_ONLY-bootstrapped slice: the adopted source file stores no
+        # meta columns — derive the virtual skeleton here, mirroring the
+        # DataFrame path's _scan_external (table.py) and the reference's
+        # skeleton stitch (HoodieBootstrapRDD.scala).  Keygen parity with the
+        # engine comes from sharing pyds_write's pandas keygen.
+        from .pyds_write import _record_key_series
+        if part.commit_hi is not None and (
+                part.base_instant > part.commit_hi
+                or (part.commit_lo is not None
+                    and part.base_instant <= part.commit_lo)):
+            return  # every row carries the bootstrap instant: window-pruned
+        for p in part.base_paths:
+            pdf = _read_file(p).to_pandas()
+            pdf[META_RECORD_KEY] = _record_key_series(pdf, part.key_fields)
+            pdf[META_PARTITION_PATH] = part.partition
+            pdf[META_COMMIT_TIME] = part.base_instant
+            pdf[META_COMMIT_SEQNO] = [
+                f"{part.base_instant}_{part.file_group}_{i}"
+                for i in range(len(pdf))]
+            pdf[META_FILE_NAME] = part.file_group
+            tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+            yield from _align(tbl, target).to_batches(max_chunksize=1 << 16)
+        return
     if not part.log_paths:
         # clean slice: stream parquet straight through; the commit-range
         # filter prunes row groups via the stored column's min/max stats

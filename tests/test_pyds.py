@@ -173,3 +173,49 @@ def test_file_uri_path_normalized(spark, tmp_table_path, sample):
     t = _make(spark, tmp_table_path, sample)
     got = spark.read.format("hudi_py").load("file://" + tmp_table_path)
     assert got.count() == t.read().count()
+
+
+def test_native_read_of_metadata_only_bootstrap(spark, tmp_path):
+    """format("hudi_py") over a METADATA_ONLY-bootstrapped table: the kernel
+    derives the virtual skeleton (key via the shared pandas keygen,
+    partition/commit-time/file-name literals) instead of raising — parity
+    with HoodieBootstrapRelation.scala's skeleton stitch and with our own
+    DataFrame path (_scan_external)."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    legacy = str(tmp_path / "legacy")
+    (li.withColumn("month", F.date_format("l_shipdate", "yyyy-MM"))
+       .repartition(4).write.partitionBy("month").parquet(legacy))
+    t = HudiTable.create(
+        spark, str(tmp_path / "t"), "adopted",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate")
+    c0 = t.bootstrap(legacy, mode="metadata_only")
+
+    native = spark.read.format("hudi_py").load(str(tmp_path / "t"))
+    # full parity with the DataFrame path, meta columns included except the
+    # seqno (both sides mint row-order ids; values are representation detail)
+    cols = [c for c in t.read().columns if c != "_hoodie_commit_seqno"]
+    _same(native.select(*cols), t.read().select(*cols))
+    assert native.filter(F.col("_hoodie_commit_time") == c0).count() \
+        == native.count()
+
+    # an upsert rewrites touched groups into engine-owned files; the native
+    # read serves the mix of external + rewritten slices
+    # deterministic batch: limit() can pick different rows across the
+    # upsert's internal actions (profile vs write)
+    c1 = t.upsert(li.filter("l_orderkey % 19 = 5")
+                  .withColumn("l_quantity", F.lit(424.0)))
+    native2 = spark.read.format("hudi_py").load(str(tmp_path / "t"))
+    _same(native2.select(*cols), t.read().select(*cols))
+    assert native2.filter("l_quantity = 424.0").count() \
+        == t.read().filter("l_quantity = 424.0").count()
+
+    # incremental window that excludes the bootstrap instant prunes the
+    # external slices entirely
+    inc = (spark.read.format("hudi_py")
+           .option("hoodie.datasource.query.type", "incremental")
+           .option("hoodie.datasource.read.begin.instanttime", c0)
+           .option("hoodie.datasource.read.end.instanttime", c1)
+           .load(str(tmp_path / "t")))
+    assert inc.count() == inc.filter(F.col("_hoodie_commit_time") == c1).count()
