@@ -1027,6 +1027,270 @@ def pyds_native_bootstrap(spark, sf_dir):
                     "p_partkey", "p_name", "p_retailprice"))
 
 
+@q("global_bloom_upsert", """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y') AS part,
+       CASE WHEN o_orderkey % 5 = 0 THEN 2.5 ELSE o_totalprice END AS price,
+       strftime(CASE WHEN o_orderkey % 5 = 0
+                     THEN o_orderdate + INTERVAL 24 MONTH
+                     ELSE o_orderdate END, '%Y-%m-%d') AS odate
+FROM orders
+""")
+def global_bloom_upsert(spark, sf_dir):
+    """GLOBAL_BLOOM with the DEFAULT update-partition-path=false
+    (SparkHoodieGlobalBloomIndex.java:70-143): the stats-pruned global
+    lookup tags cross-partition updates back to the record's EXISTING
+    partition — `part` keeps the original year while the row's o_orderdate
+    moved (contrast global_index_partition_move, which opts into moving)."""
+    def build():
+        from incubator_hudi_spark import HudiTable, WriteConfig
+        t = HudiTable.create(
+            spark, _new_path("global_bloom", sf_dir), name="orders_gb",
+            recordkey_fields=["o_orderkey"],
+            partition_expr="date_format(o_orderdate,'yyyy')",
+            precombine_field="o_orderdate",
+            write_config=WriteConfig(index_type="GLOBAL_BLOOM"))
+        o = _load(spark, sf_dir, "orders")
+        t.upsert(o)
+        t.upsert(o.filter("o_orderkey % 5 = 0")
+                 .withColumn("o_orderdate",
+                             F.expr("o_orderdate + INTERVAL 24 MONTHS"))
+                 .withColumn("o_totalprice", F.lit(2.5)))
+        return {"t": t}
+    t = _recipe("global_bloom", sf_dir, build)["t"]
+    return t.read().select(
+        "o_orderkey", F.col("_hoodie_partition_path").alias("part"),
+        F.col("o_totalprice").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"))
+
+
+@q("inmemory_index_lifecycle", f"""
+WITH {_LI_DEDUP},
+  shifted AS (
+    SELECT l_orderkey + 30000000 AS l_orderkey, l_linenumber, l_quantity
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m')
+        ORDER BY {_LI_ORDER}) AS _rn
+      FROM lineitem WHERE l_orderkey % 23 = 7) WHERE _rn = 1)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_orderkey % 6 = 2 AND l_orderkey < 30000000
+            THEN 1111.0 ELSE l_quantity END AS l_quantity
+FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM li_d
+      UNION ALL SELECT * FROM shifted)
+""")
+def inmemory_index_lifecycle(spark, sf_dir):
+    """INMEMORY index (SparkInMemoryHashIndex.java): a pinned (key,
+    partition, fg) DataFrame seeded by the first write, reused across
+    update-only batches, invalidated by inserts — the lifecycle is asserted
+    in-build; the snapshot must equal the plain-SIMPLE result."""
+    def build():
+        from incubator_hudi_spark.config import INDEX_INMEMORY
+        t = _lineitem_table(spark, sf_dir, _new_path("inmem_idx", sf_dir),
+                            index_type=INDEX_INMEMORY)
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)                      # empty-table write SEEDS the cache
+        assert t._key_index is not None
+        cached = t._key_index
+        t.upsert(li.filter("l_orderkey % 6 = 2")
+                 .withColumn("l_quantity", F.lit(1111.0)))
+        assert t._key_index is cached     # update-only batch reuses the pin
+        t.upsert(li.filter("l_orderkey % 23 = 7")
+                 .withColumn("l_orderkey", F.col("l_orderkey") + 30_000_000))
+        assert t._key_index is None       # inserts invalidate the cache
+        return {"t": t}
+    t = _recipe("inmem_idx", sf_dir, build)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@q("partition_sort_layout", f"""
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '{_TS_FMT_DUCK}') AS ship_ts, l_quantity
+FROM lineitem
+""")
+def partition_sort_layout(spark, sf_dir):
+    """bulk_insert sort_mode=PARTITION_SORT (BulkInsertSortMode.java /
+    RDDPartitionSortPartitioner): rows are key-sorted WITHIN each written
+    file (verified in-build from the files themselves) and the snapshot is
+    byte-identical to the input — layout is the only difference."""
+    def build():
+        import pyarrow.parquet as _pq
+
+        from incubator_hudi_spark.config import META_RECORD_KEY, SORT_PARTITION
+        t = _lineitem_table(spark, sf_dir, _new_path("psort", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        c = t.bulk_insert(li, sort_mode=SORT_PARTITION)
+        md = t.timeline.read_metadata(
+            next(i for i in t.timeline.completed() if i.time == c))
+        checked = 0
+        for s in md["write_stats"]:
+            keys = (_pq.read_table(t.meta.abs_path(s["path"]),
+                                   columns=[META_RECORD_KEY])
+                    .column(0).to_pylist())
+            assert keys == sorted(keys), f"unsorted file {s['path']}"
+            checked += 1
+        assert checked > 0
+        return {"t": t}
+    t = _recipe("psort", sf_dir, build)["t"]
+    return t.read().select(
+        "l_orderkey", "l_linenumber",
+        F.date_format("l_shipdate", _TS_FMT_SPARK).alias("ship_ts"),
+        "l_quantity")
+
+
+@q("bulk_insert_none_mode", f"""
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '{_TS_FMT_DUCK}') AS ship_ts, l_quantity
+FROM lineitem
+""")
+def bulk_insert_none_mode(spark, sf_dir):
+    """bulk_insert sort_mode=NONE (BulkInsertSortMode.NONE — writer
+    partitioning as-is, no sort exchange): fastest load path, same logical
+    snapshot; per-file key-range stats may overlap (no pruning guarantee)."""
+    def build():
+        from incubator_hudi_spark.config import SORT_NONE
+        t = _lineitem_table(spark, sf_dir, _new_path("bnone", sf_dir))
+        t.bulk_insert(_load(spark, sf_dir, "lineitem"), sort_mode=SORT_NONE)
+        return {"t": t}
+    t = _recipe("bnone", sf_dir, build)["t"]
+    return t.read().select(
+        "l_orderkey", "l_linenumber",
+        F.date_format("l_shipdate", _TS_FMT_SPARK).alias("ship_ts"),
+        "l_quantity")
+
+
+@q("occ_conflict_detection", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_orderkey % 7 = 1 THEN 909.5 ELSE l_quantity END AS l_quantity
+FROM li_d
+""")
+def occ_conflict_detection(spark, sf_dir):
+    """Optimistic concurrency control (TransactionManager +
+    SimpleConcurrentFileWritesConflictResolutionStrategy.java): writer B's
+    scope snapshots the timeline, writer A commits an overlapping update, B
+    must fail its pre-commit validation and leave NO visible data — the
+    final snapshot carries exactly A's update."""
+    def build():
+        from incubator_hudi_spark import HudiTable
+        from incubator_hudi_spark.concurrency import (ConcurrentWriteConflict,
+                                                      OccWriter)
+        path = _new_path("occ", sf_dir)
+        t = _lineitem_table(spark, sf_dir, path)
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)
+        with OccWriter(t):                     # B's scope opens (snapshot)
+            a = HudiTable.load(spark, path)    # independent writer A
+            a.upsert(li.filter("l_orderkey % 7 = 1")
+                     .withColumn("l_quantity", F.lit(909.5)))
+            try:                               # B updates the same keys
+                t.upsert(li.filter("l_orderkey % 7 = 1")
+                         .withColumn("l_quantity", F.lit(-1.0)))
+                raise AssertionError("expected ConcurrentWriteConflict")
+            except ConcurrentWriteConflict:
+                pass
+        return {"t": HudiTable.load(spark, path)}  # reopen: loser rolled back
+    t = _recipe("occ", sf_dir, build)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@q("multi_table_ingest", f"""
+WITH {_LI_DEDUP}
+SELECT 'lineitem' AS tbl, (SELECT count(*) FROM li_d WHERE l_orderkey % 4 = 1) AS n
+UNION ALL
+SELECT 'orders' AS tbl, (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS n
+""")
+def multi_table_ingest(spark, sf_dir):
+    """HoodieMultiTableDeltaStreamer (MultiTableIngestJob): one scheduler
+    driving N (source → table) pipelines, each with its own checkpoint in
+    its own commit metadata."""
+    def build():
+        from incubator_hudi_spark.sources.ingest import (DFSSource, IngestJob,
+                                                         MultiTableIngestJob)
+        li = _load(spark, sf_dir, "lineitem").filter("l_orderkey % 4 = 1")
+        o = _load(spark, sf_dir, "orders").filter("o_orderkey % 3 = 0")
+        src_li = _new_path("mti_src_li", sf_dir)
+        src_o = _new_path("mti_src_o", sf_dir)
+        li.write.mode("overwrite").parquet(src_li)
+        o.write.mode("overwrite").parquet(src_o)
+        t_li = _lineitem_table(spark, sf_dir, _new_path("mti_li", sf_dir))
+        t_o = _orders_table(spark, sf_dir, _new_path("mti_o", sf_dir))
+        job = MultiTableIngestJob([
+            IngestJob(t_li, DFSSource(spark, src_li, fmt="parquet")),
+            IngestJob(t_o, DFSSource(spark, src_o, fmt="parquet")),
+        ])
+        res = job.sync_once()
+        assert set(res) == {"lineitem", "orders"} and all(res.values())
+        # second sweep with no new source files is a no-op for both
+        assert all(v is None for v in job.sync_once().values())
+        return {"li": t_li, "o": t_o}
+    r = _recipe("mti", sf_dir, build)
+    a = (r["li"].read().agg(F.count(F.lit(1)).alias("n"))
+         .select(F.lit("lineitem").alias("tbl"), "n"))
+    b = (r["o"].read().agg(F.count(F.lit(1)).alias("n"))
+         .select(F.lit("orders").alias("tbl"), "n"))
+    return a.unionByName(b)
+
+
+@q("metadata_table_listing", f"""
+WITH {_LI_DEDUP}
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(CASE WHEN l_orderkey % 9 = 4 THEN 555.0
+                          ELSE l_quantity END AS DECIMAL(18,2))) * 100
+            AS BIGINT) AS sum_qty
+FROM li_d GROUP BY l_returnflag
+""")
+def metadata_table_listing(spark, sf_dir):
+    """Metadata-table file listing (HoodieBackedTableMetadata /
+    files partition): the checkpoint's (partition, file_group, path) listing
+    must equal the timeline-folded view EXACTLY (asserted in-build), and the
+    snapshot read on top is unchanged."""
+    def build():
+        from incubator_hudi_spark import metadata_table as mt
+        t = _lineitem_table(spark, sf_dir, _new_path("mdt", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li.filter("l_orderkey % 2 = 0"))
+        t.upsert(li.filter("l_orderkey % 2 = 1"))
+        t.upsert(li.filter("l_orderkey % 9 = 4")
+                 .withColumn("l_quantity", F.lit(555.0)))
+        ck = mt.write_checkpoint(t)
+        assert ck is not None
+        listed = {(r["partition"], r["file_group"], r["path"])
+                  for r in mt.files_df(t).filter("kind = 'base'").collect()}
+        actual = {(sl.partition, sl.file_group, f.path)
+                  for sl in t.view().latest_slices() for f in sl.base_files}
+        assert listed >= actual and actual, \
+            f"metadata listing diverges: {len(listed)} vs {len(actual)}"
+        return {"t": t}
+    t = _recipe("mdt", sf_dir, build)["t"]
+    return (t.read().groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+                 .cast("long").alias("sum_qty")))
+
+
+@q("show_partitions_commits", """
+SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS part FROM lineitem
+""")
+def show_partitions_commits(spark, sf_dir):
+    """SQL inspection commands (hudi-cli CommitsCommand /
+    FileSystemViewCommand surfaced as SHOW …): SHOW PARTITIONS lists the
+    live partition paths; SHOW COMMITS row count is asserted in-build."""
+    def build():
+        from incubator_hudi_spark.sql import HudiSqlSession
+        t = _lineitem_table(spark, sf_dir, _new_path("showcmd", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li.filter("l_orderkey % 2 = 0"))
+        t.upsert(li.filter("l_orderkey % 2 = 1"))
+        hs = HudiSqlSession(spark)
+        hs.register("show_t", t)
+        assert hs.sql("SHOW COMMITS show_t").count() == 2
+        return {"t": t, "hs": hs}
+    r = _recipe("showcmd", sf_dir, build)
+    return r["hs"].sql("SHOW PARTITIONS show_t").select(
+        F.col("partition").alias("part"))
+
+
 # ---------------------------------------------------------------------------
 # data-pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
