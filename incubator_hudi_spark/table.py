@@ -886,17 +886,28 @@ class HudiTable:
             n_buckets = min(n_buckets, self.cfg.write_parallelism)
         # Re-spread (one exchange over old ∪ fresh) only when it buys
         # something: (a) the rewrite set is so few files that the scan side
-        # alone can't keep the executors busy, or (b) passthrough batches
+        # alone can't keep the executors busy, (b) passthrough batches
         # have accumulated extra per-group files (each passthrough write may
         # add ~1 file/group) and a consolidating shuffle restores the
-        # one-file-per-group layout.  Otherwise the table side passes
-        # through in its scan partitions — zero exchanges on the big side —
-        # which is also the only shape that survives 100×: at scale
-        # rewrite_bytes trips the first guard anyway and the big side never
-        # shuffles.
+        # one-file-per-group layout, or (c) the rewrite set is SMALL-FILE
+        # BOUND (avg group ≪ target): passthrough would write TWO part
+        # files per touched group per batch (scan-side task + fresh-side
+        # task land in the same _fg dir separately), and with tiny groups
+        # the per-file open/footer overhead — not bytes — dominates the
+        # write, so halving the file count beats avoiding a cheap exchange
+        # (measured: 10×1% batches over 83 ~0.5 MB groups drop ~25% wall).
+        # Otherwise the table side passes through in its scan partitions —
+        # zero exchanges on the big side — which is the only shape that
+        # survives 100×: at scale groups approach target_file_size, (c) is
+        # false and rewrite_bytes trips the first guard anyway, so the big
+        # side never shuffles.
+        small_file_bound = (n_rewrite_files > 0
+                            and rewrite_bytes / n_rewrite_files
+                            < self.cfg.target_file_size_bytes // 8)
         respread = (rewrite_bytes < par * 24 * 1024 * 1024
-                    and (n_rewrite_files < min(par, 2 * len(rewrite_fgs)
-                                               if rewrite_fgs else par)
+                    and (small_file_bound
+                         or n_rewrite_files < min(par, 2 * len(rewrite_fgs)
+                                                  if rewrite_fgs else par)
                          or n_rewrite_files >= 3 * max(1, len(rewrite_fgs))))
         if not respread:
             fresh = fresh.repartition(n_buckets, F.col(FG))
@@ -981,8 +992,16 @@ class HudiTable:
         key_range = (min(mns), max(mxs)) if mns else None
         index_df = self._load_index(view, partitions, key_range,
                                     only_fgs=bloom_fgs)
+        # tagged stays UNPERSISTED in the common path: the routing below
+        # consumes it exactly once (a single coalesce projection), so the
+        # whole tag pipeline — broadcast the batch, semi-prune the index
+        # scan, broadcast the locations back — fuses into the one write job
+        # instead of paying a separate materialization round-trip per batch.
+        # Only the paths with a second consumer (the frozen-group probe, the
+        # multi-bucket range-join assignment) persist it.
         tagged = tag_locations(prepared, index_df, self.cfg.index_type,
-                               broadcast_incoming=True).persist()
+                               broadcast_incoming=True)
+        tagged_pinned = False
         try:
             # the stats-pruned rewrite superset may overlap a pending
             # clustering plan spuriously — probe the exact tagged locations;
@@ -990,29 +1009,55 @@ class HudiTable:
             # the frozen groups are dropped from the rewrite set (no-op
             # pass-through rewrites would version them and waste IO)
             if frozen_fgs and (frozen_fgs & rewrite_fgs):
+                tagged = tagged.persist()
+                tagged_pinned = True
                 self._check_frozen(tagged, FG_COL, frozen_fgs)
                 rewrite_fgs -= frozen_fgs
                 for fg in frozen_fgs:
                     fg_map.pop(fg, None)
-            updates = tagged.filter(F.col(FG_COL).isNotNull()) \
-                            .withColumn(FG, F.col(FG_COL)).drop(FG_COL)
-            inserts = tagged.filter(F.col(FG_COL).isNull()).drop(FG_COL)
             if is_delete:
                 plan = []
-                fresh = drop_deleted(updates)
+                fresh = drop_deleted(
+                    tagged.filter(F.col(FG_COL).isNotNull())
+                          .withColumn(FG, F.col(FG_COL)).drop(FG_COL))
             else:
                 rec_size = avg_record_size(self.meta, self.timeline,
                                            self.cfg.record_size_estimate)
                 plan = plan_insert_buckets(
                     {r[0]: r[1] for r in prof}, view, self.cfg, rec_size,
                     pack_small_files=False)
-                assigned = assign_insert_buckets(
-                    self.spark, inserts, plan,
-                    META_PARTITION_PATH, META_RECORD_KEY, FG)
                 for b in plan:
                     fg_map[b.file_group] = b.partition
-                fresh = drop_deleted(
-                    updates.unionByName(assigned, allowMissingColumns=True))
+                per_part: dict[str, int] = {}
+                for b in plan:
+                    per_part[b.partition] = per_part.get(b.partition, 0) + 1
+                if per_part and all(n == 1 for n in per_part.values()):
+                    # steady-state shape (one insert bucket per partition):
+                    # update-vs-insert routing is ONE projection — tagged fg
+                    # if the key exists, else the partition's planned bucket
+                    # (mirrors assign_insert_buckets' map-lookup fast case;
+                    # the null filter mirrors its inner-join drops)
+                    fg_of = F.create_map(*[x for b in plan
+                                           for x in (F.lit(b.partition),
+                                                     F.lit(b.file_group))])
+                    fresh = drop_deleted(
+                        tagged.withColumn(
+                            FG, F.coalesce(F.col(FG_COL),
+                                           fg_of[F.col(META_PARTITION_PATH)]))
+                        .drop(FG_COL)
+                        .filter(F.col(FG).isNotNull()))
+                else:
+                    if not tagged_pinned:
+                        tagged = tagged.persist()
+                        tagged_pinned = True
+                    updates = tagged.filter(F.col(FG_COL).isNotNull()) \
+                                    .withColumn(FG, F.col(FG_COL)).drop(FG_COL)
+                    inserts = tagged.filter(F.col(FG_COL).isNull()).drop(FG_COL)
+                    assigned = assign_insert_buckets(
+                        self.spark, inserts, plan,
+                        META_PARTITION_PATH, META_RECORD_KEY, FG)
+                    fresh = drop_deleted(
+                        updates.unionByName(assigned, allowMissingColumns=True))
             # no dropDuplicates: the fast lane requires combine_before_upsert,
             # so prepared is already unique per MERGE_KEY — skipping the
             # dedup drops one exchange+aggregate pair from the broadcast
@@ -1023,7 +1068,8 @@ class HudiTable:
             wrote_inserts = any(s.file_group not in rewrite_fgs for s in stats)
             return stats, fg_map, schema, wrote_inserts
         finally:
-            tagged.unpersist()
+            if tagged_pinned:
+                tagged.unpersist()
 
     def _upsert_cow(self, view: FileSystemView, instant_time: str,
                     updates: DataFrame, inserts: DataFrame,
