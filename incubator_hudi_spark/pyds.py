@@ -31,13 +31,14 @@ Execution model
   base+delta rows in pandas.  No SparkSession is touched outside the driver.
 
 Limitations (declared):
-- METADATA_ONLY-bootstrapped external slices raise with a pointer to the
-  DataFrame path (their meta columns are virtual, derived from keygen
-  expressions only the JVM path evaluates).
 - SQL ``CREATE TABLE … USING hudi_py`` resolves the schema but Spark 4.1
   does not forward the stored OPTIONS/LOCATION to Python-data-source scans
   (and ``hudi_py.`path``` syntax is rejected) — SQL-on-hudi goes through
   the catalog registrations in sync.py instead.
+  tests/test_pyds.py::test_sql_using_hudi_py_watch self-unskips when a
+  newer Spark starts forwarding them.
+(METADATA_ONLY-bootstrapped slices read natively since r4 — the kernel
+derives the virtual skeleton; see SlicePartition.external.)
 """
 
 from __future__ import annotations

@@ -219,3 +219,35 @@ def test_native_read_of_metadata_only_bootstrap(spark, tmp_path):
            .option("hoodie.datasource.read.end.instanttime", c1)
            .load(str(tmp_path / "t")))
     assert inc.count() == inc.filter(F.col("_hoodie_commit_time") == c1).count()
+
+
+def test_sql_using_hudi_py_watch(spark, tmp_path):
+    """Spark-version watch: `CREATE TABLE … USING hudi_py` with
+    OPTIONS/LOCATION.  Spark 4.1 resolves the schema but does not forward
+    the stored options/location to Python-data-source scans (documented in
+    pyds.py), so SQL-on-hudi rides sync.py's catalog registrations instead.
+    This test SKIPS while the limitation holds and goes active — asserting
+    full SQL parity — the moment the environment's Spark starts forwarding,
+    so the gap self-reports when it becomes closable."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    t = HudiTable.create(
+        spark, str(tmp_path / "t"), "sqlwatch",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate")
+    t.bulk_insert(li.filter("l_orderkey % 10 = 1"))
+    spark.sql("DROP TABLE IF EXISTS hudi_py_watch")
+    spark.sql(f"""
+        CREATE TABLE hudi_py_watch USING hudi_py
+        OPTIONS (path '{tmp_path / "t"}')""")
+    try:
+        n = spark.sql("SELECT count(*) AS n FROM hudi_py_watch").first().n
+    except Exception as e:
+        pytest.skip("Spark still does not forward OPTIONS/LOCATION to "
+                    f"Python-data-source scans: {type(e).__name__}: "
+                    f"{str(e)[:160]}")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hudi_py_watch")
+    # forwarding works now — the limitation is gone: demand full parity and
+    # fail loudly so the docs/gap get updated
+    assert n == t.read().count()
