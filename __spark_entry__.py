@@ -1255,11 +1255,28 @@ def metadata_table_listing(spark, sf_dir):
                  .withColumn("l_quantity", F.lit(555.0)))
         ck = mt.write_checkpoint(t)
         assert ck is not None
-        listed = {(r["partition"], r["file_group"], r["path"])
-                  for r in mt.files_df(t).filter("kind = 'base'").collect()}
+        # the checkpoint keeps EVERY live slice version (time travel), so
+        # the exact contract is: latest slices reconstructed FROM the
+        # listing == the timeline-folded view, both directions — a stale
+        # resurrected file OR a missing file must fail the gate
+        rows = mt.files_df(t).collect()
+        repl = {(r["partition"], r["file_group"])
+                for r in rows if r["kind"] == "replaced"}
+        latest: dict = {}
+        for r in rows:
+            if r["kind"] != "base" or (r["partition"], r["file_group"]) in repl:
+                continue
+            k = (r["partition"], r["file_group"])
+            cur = latest.get(k)
+            if cur is None or r["base_instant"] > cur[0]:
+                latest[k] = (r["base_instant"], {r["path"]})
+            elif r["base_instant"] == cur[0]:
+                cur[1].add(r["path"])
+        listed = {(p, fg, path) for (p, fg), (_, paths) in latest.items()
+                  for path in paths}
         actual = {(sl.partition, sl.file_group, f.path)
                   for sl in t.view().latest_slices() for f in sl.base_files}
-        assert listed >= actual and actual, \
+        assert listed == actual and actual, \
             f"metadata listing diverges: {len(listed)} vs {len(actual)}"
         return {"t": t}
     t = _recipe("mdt", sf_dir, build)["t"]

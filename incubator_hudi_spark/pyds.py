@@ -301,6 +301,9 @@ def _read_slice(part: SlicePartition, read_schema: StructType,
         # DataFrame path's _scan_external (table.py) and the reference's
         # skeleton stitch (HoodieBootstrapRDD.scala).  Keygen parity with the
         # engine comes from sharing pyds_write's pandas keygen.
+        import pandas as pd
+        import pyarrow.compute as pc
+
         from .pyds_write import _record_key_series
         if part.commit_hi is not None and (
                 part.base_instant > part.commit_hi
@@ -308,15 +311,37 @@ def _read_slice(part: SlicePartition, read_schema: StructType,
                     and part.base_instant <= part.commit_lo)):
             return  # every row carries the bootstrap instant: window-pruned
         for p in part.base_paths:
-            pdf = _read_file(p).to_pandas()
-            pdf[META_RECORD_KEY] = _record_key_series(pdf, part.key_fields)
-            pdf[META_PARTITION_PATH] = part.partition
-            pdf[META_COMMIT_TIME] = part.base_instant
-            pdf[META_COMMIT_SEQNO] = [
-                f"{part.base_instant}_{part.file_group}_{i}"
-                for i in range(len(pdf))]
-            pdf[META_FILE_NAME] = part.file_group
-            tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+            tbl = _read_file(p)
+            # adopted files may carry a soft-delete marker (e.g. an export
+            # of another CDC/Hudi table): snapshot semantics drop those rows
+            # exactly like the clean-slice path below and the DataFrame
+            # path's post-union drop_deleted
+            if part.drop_deletes and DELETE_MARKER in tbl.column_names:
+                keep = pc.invert(pc.coalesce(
+                    tbl.column(DELETE_MARKER).cast(pa.bool_()), False))
+                tbl = tbl.filter(keep)
+            # stay in arrow for the data columns (a full to_pandas would
+            # degrade nullable ints to float64 and break the _align cast);
+            # only the key FIELDS go through pandas for the shared keygen,
+            # arrow-backed so nullable ints stringify as "7", not "7.0"
+            kf = list(part.key_fields or ())
+            kpdf = tbl.select(kf).to_pandas(types_mapper=pd.ArrowDtype)
+            keys = _record_key_series(kpdf, kf)
+            n = tbl.num_rows
+            tbl = (tbl
+                   .append_column(META_RECORD_KEY,
+                                  pa.array(keys, pa.string()))
+                   .append_column(META_PARTITION_PATH,
+                                  pa.array([part.partition] * n, pa.string()))
+                   .append_column(META_COMMIT_TIME,
+                                  pa.array([part.base_instant] * n,
+                                           pa.string()))
+                   .append_column(META_COMMIT_SEQNO, pa.array(
+                       [f"{part.base_instant}_{part.file_group}_{i}"
+                        for i in range(n)], pa.string()))
+                   .append_column(META_FILE_NAME,
+                                  pa.array([part.file_group] * n,
+                                           pa.string())))
             yield from _align(tbl, target).to_batches(max_chunksize=1 << 16)
         return
     if not part.log_paths:

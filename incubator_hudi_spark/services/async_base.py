@@ -1,0 +1,73 @@
+"""Shared daemon machinery for async table services.
+
+Reference: AsyncCompactService.java / AsyncClusteringService.java both extend
+HoodieAsyncService (queue of pending instants drained by a worker pool);
+this is the same factoring — one queue/daemon/stop implementation, each
+service supplying only its schedule and execute steps.
+
+Driver-thread based: Spark is thread-safe for concurrent job submission from
+one SparkSession, so a daemon worker drains instants while the ingest loop
+keeps committing.  The timeline serializes correctness (each service's
+plan pins/freezes its file groups; see the concrete services).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+
+class AsyncInstantService:
+    """``enqueue()`` scheduled instants; a daemon thread executes them via
+    the subclass's ``_execute``.  ``stop()`` drains outstanding work and
+    joins; errors surface there."""
+
+    #: seconds stop() waits for the worker to finish its last item
+    join_timeout_s: float = 120.0
+
+    def __init__(self, table):
+        self.table = table
+        self._q: "queue.Queue[Optional[str]]" = queue.Queue()
+        self.completed: list[str] = []
+        self.errors: list[Exception] = []
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # subclasses implement ------------------------------------------------
+    def _schedule(self, **schedule_kw) -> Optional[str]:
+        raise NotImplementedError
+
+    def _execute(self, instant_time: str) -> None:
+        raise NotImplementedError
+
+    # shared machinery ----------------------------------------------------
+    def schedule_and_enqueue(self, **schedule_kw) -> Optional[str]:
+        t = self._schedule(**schedule_kw)
+        if t is not None:
+            self._q.put(t)
+        return t
+
+    def enqueue(self, instant_time: str) -> None:
+        self._q.put(instant_time)
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                self._execute(item)
+                self.completed.append(item)
+            except Exception as e:  # surfaced on stop()
+                self.errors.append(e)
+            finally:
+                self._q.task_done()
+
+    def stop(self, raise_errors: bool = True) -> list[str]:
+        self._q.join()
+        self._q.put(None)
+        self._worker.join(timeout=self.join_timeout_s)
+        if self.errors and raise_errors:
+            raise self.errors[0]
+        return list(self.completed)

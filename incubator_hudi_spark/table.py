@@ -65,11 +65,18 @@ class HudiTable:
         # manager factory: _pre_commit_hook(instant_time, touched_fgs))
         self._pre_commit_hook = None
         # INMEMORY index state (SparkInMemoryHashIndex.java): a persisted
-        # (key, partition, fg) DataFrame cached across write batches,
-        # validated against the last completed data instant
+        # (key, partition, fg) DataFrame cached across write batches.
+        # Validity token = the SET of completed data-action instant times at
+        # validation (plus a ("pending", instant) sentinel while a seeding
+        # write is inflight).  Comparing the whole set — not just the newest
+        # time — catches commits that complete at a buried instant time:
+        # executing a scheduled clustering/compaction plan completes a
+        # replacecommit at its old SCHEDULED time, which can sort before the
+        # cache's validation point while replacing file groups the cache
+        # still maps keys to (stale routing there silently loses rows).
         self._key_index: Optional[DataFrame] = None
         self._key_index_parts: set = set()
-        self._key_index_valid_at: Optional[str] = None
+        self._key_index_valid_token = None
         # NOTE: commit bookkeeping (streaming batch-id stamps, ingest
         # checkpoints) is threaded through the write ops as an explicit
         # ``commit_extras`` argument into _complete() — never a mutable
@@ -140,7 +147,13 @@ class HudiTable:
                 pass
         self._key_index = None
         self._key_index_parts = set()
-        self._key_index_valid_at = None
+        self._key_index_valid_token = None
+
+    def _data_instants_token(self) -> frozenset:
+        """Cache-validity token: every completed data-action instant time.
+        One timeline listing — the same cost as last_completed()."""
+        return frozenset(i.time for i in
+                         self.timeline.completed(tl.DATA_ACTIONS))
 
     @property
     def _index_cache_on(self) -> bool:
@@ -167,9 +180,8 @@ class HudiTable:
             return load_key_index(self.spark, self.meta, view, it,
                                   partitions, key_range, tc=self.tc,
                                   only_fgs=only_fgs)
-        last = self.timeline.last_completed(tl.DATA_ACTIONS)
-        last_t = last.time if last else None
-        if self._key_index is not None and self._key_index_valid_at != last_t:
+        tok = self._data_instants_token()
+        if self._key_index is not None and self._key_index_valid_token != tok:
             self._invalidate_key_index()  # out-of-band commit → stale
         need = set(partitions or [])
         if self._key_index is None:
@@ -178,7 +190,7 @@ class HudiTable:
             df.count()  # materialize now so every later job hits the cache
             self._key_index = df
             self._key_index_parts = set(need)
-            self._key_index_valid_at = last_t
+            self._key_index_valid_token = tok
         else:
             missing = sorted(need - self._key_index_parts)
             if missing:
@@ -488,7 +500,9 @@ class HudiTable:
             assigned.unpersist()
             self._key_index = idx
             self._key_index_parts = {b.partition for b in plan}
-            self._key_index_valid_at = instant_time
+            # commit not completed yet — the caller revalidates the sentinel
+            # into a real token right after its _complete()
+            self._key_index_valid_token = ("pending", instant_time)
         return stats, fg_map, schema
 
     def _sort_cols(self, sort_mode: str) -> Optional[list[str]]:
@@ -618,11 +632,15 @@ class HudiTable:
                     seed_key_index=True, frozen_fgs=frozen_fgs)
                 self._complete(instant, operation, stats, schema,
                                extra=commit_extras)
-                if (self._index_cache_on
-                        and self._key_index_valid_at != instant.time):
-                    # drop a stale cache — but keep the index _write_inserts
-                    # just seeded from this very commit's write frame
-                    self._invalidate_key_index()
+                if self._index_cache_on:
+                    if (self._key_index_valid_token
+                            == ("pending", instant.time)):
+                        # the index _write_inserts just seeded from this very
+                        # commit's write frame is now valid as of the commit
+                        self._key_index_valid_token = \
+                            self._data_instants_token()
+                    else:
+                        self._invalidate_key_index()
                 self._post_commit()
                 return instant.time
             # ---- COW fast-update lane: one pre-write action total --------
@@ -656,7 +674,8 @@ class HudiTable:
                     if self._index_cache_on:
                         if (not is_delete and not wrote_inserts
                                 and self._key_index is not None):
-                            self._key_index_valid_at = instant.time
+                            self._key_index_valid_token = \
+                                self._data_instants_token()
                         else:
                             self._invalidate_key_index()
                     prepared.unpersist()
@@ -673,11 +692,10 @@ class HudiTable:
             # is already the correct routing).  Saves the full-scan profile
             # action per steady-state batch; only the short-circuiting
             # broadcast-size probe below remains.
-            last_data = self.timeline.last_completed(tl.DATA_ACTIONS)
             cache_covers = (
                 self._index_cache_on
                 and self._key_index is not None
-                and self._key_index_valid_at == (last_data.time if last_data else None)
+                and self._key_index_valid_token == self._data_instants_token()
                 and set(view.partitions()) <= self._key_index_parts)
             if cache_covers:
                 # broadcast-size guard (shared with the cold lane): stops
@@ -810,7 +828,7 @@ class HudiTable:
                     # an update-only commit rewrites/appends WITHIN existing
                     # file groups — every cached location stays correct, so
                     # the cache survives its own commit
-                    self._key_index_valid_at = instant.time
+                    self._key_index_valid_token = self._data_instants_token()
                 else:
                     self._invalidate_key_index()
         except _ClusteringConflict:

@@ -31,7 +31,7 @@ def test_seeded_index_matches_scan_and_routes_updates(
     t = _make(spark, tmp_table_path)
     c1 = t.upsert(lineitem)                      # empty table → seeds index
     assert t._key_index is not None
-    assert t._key_index_valid_at == c1
+    assert c1 in t._key_index_valid_token
     # seeded index must agree with a fresh file scan
     from incubator_hudi_spark.indexing import load_key_index
     scanned = load_key_index(spark, t.meta, t.view(), tc=t.tc)
@@ -76,7 +76,7 @@ def test_seed_survives_commit_and_skips_rescan(spark, tmp_table_path, lineitem):
 def test_mor_first_commit_seeds_index(spark, tmp_table_path, lineitem):
     t = _make(spark, tmp_table_path, MERGE_ON_READ)
     c1 = t.upsert(lineitem)
-    assert t._key_index is not None and t._key_index_valid_at == c1
+    assert t._key_index is not None and c1 in t._key_index_valid_token
     upd = lineitem.filter("l_orderkey % 11 = 2") \
                   .withColumn("l_quantity", F.lit(55.0))
     t.upsert(upd)
@@ -110,3 +110,53 @@ def test_out_of_band_commit_invalidates_seed(spark, tmp_table_path, lineitem):
         extra.select("l_orderkey", "l_linenumber", "l_shipdate").distinct().count()
     assert snap.filter("l_orderkey >= 90000000")\
                .filter("l_quantity != 77.0").count() == 0
+
+
+def test_buried_replacecommit_invalidates_cache(spark, tmp_table_path,
+                                                lineitem):
+    """A scheduled clustering plan executes at its old SCHEDULED instant
+    time, which sorts BEFORE later data commits — a newest-instant staleness
+    check misses it and the cached key index keeps routing updates into the
+    replaced (invisible) file groups: silent row loss.  The validity token
+    compares the full completed-instant set, so the buried replacecommit
+    invalidates the cache."""
+    from incubator_hudi_spark.services.clustering import (run_clustering,
+                                                          schedule_clustering)
+
+    t = _make(spark, tmp_table_path)
+    # several small groups per partition so a plan exists
+    t.upsert(lineitem.filter("l_orderkey % 2 = 0"))
+    t.upsert(lineitem.filter("l_orderkey % 2 = 1"))
+    parts = sorted({r[0] for r in
+                    t.read().select("_hoodie_partition_path").distinct()
+                    .collect()})
+    frozen_parts, free_parts = parts[:2], parts[2:]
+    assert free_parts
+    st = schedule_clustering(t, sort_columns=["l_orderkey"],
+                             partitions=frozen_parts)
+    assert st is not None
+    # update-only upsert OUTSIDE the frozen partitions (filter by month —
+    # twin keys exist across months, so a key-only filter would leak into
+    # the frozen partitions): cache retained, validated at a commit NEWER
+    # than the scheduled plan's instant
+    month = F.date_format("l_shipdate", "yyyy-MM")
+    upd = (lineitem.filter(month.isin(free_parts))
+           .withColumn("l_quantity", F.lit(41.0)))
+    t.upsert(upd)
+    assert t._key_index is not None            # cache survived (update-only)
+    n_before = t.read().count()
+    # the daemon executes the plan: replacecommit completes at st — an
+    # instant time BURIED behind the later update commit
+    assert run_clustering(t, instant_time=st) == st
+    # updates into the clustered partitions must route to the NEW groups
+    upd2 = (lineitem.filter(month.isin(frozen_parts))
+            .withColumn("l_quantity", F.lit(42.5)))
+    t.upsert(upd2)
+    snap = t.read()
+    assert snap.count() == n_before            # no rows vanished
+    assert snap.filter("l_quantity = 42.5").count() > 0
+    # and the updated keys are still readable exactly once
+    dups = (snap.groupBy("l_orderkey", "l_linenumber",
+                         "_hoodie_partition_path")
+            .count().filter("count > 1").count())
+    assert dups == 0

@@ -251,3 +251,37 @@ def test_sql_using_hudi_py_watch(spark, tmp_path):
     # forwarding works now — the limitation is gone: demand full parity and
     # fail loudly so the docs/gap get updated
     assert n == t.read().count()
+
+
+def test_native_bootstrap_soft_delete_and_nullable_ints(spark, tmp_path):
+    """External-slice kernel edge cases: adopted files carrying a
+    _hoodie_is_deleted marker are snapshot-filtered (parity with the
+    DataFrame path's drop_deleted), and nullable int columns survive the
+    arrow path (no pandas float64 degradation breaking the schema cast)."""
+    from incubator_hudi_spark.config import DELETE_MARKER
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    legacy = str(tmp_path / "legacy")
+    (li.withColumn(DELETE_MARKER, F.expr("l_orderkey % 5 = 0"))
+       .withColumn("maybe_null",
+                   F.when(F.col("l_orderkey") % 3 == 0,
+                          F.col("l_orderkey")).cast("long"))
+       .withColumn("month", F.date_format("l_shipdate", "yyyy-MM"))
+       .coalesce(2).write.partitionBy("month").parquet(legacy))
+    t = HudiTable.create(
+        spark, str(tmp_path / "t"), "adopted2",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate")
+    t.bootstrap(legacy, mode="metadata_only")
+    native = spark.read.format("hudi_py").load(str(tmp_path / "t"))
+    eng = t.read()
+    # soft-deleted rows dropped on BOTH paths
+    assert native.filter("l_orderkey % 5 = 0").count() == 0
+    assert eng.filter("l_orderkey % 5 = 0").count() == 0
+    cols = [c for c in eng.columns if c != "_hoodie_commit_seqno"]
+    _same(native.select(*cols), eng.select(*cols))
+    # nullable int column readable with exact values
+    assert dict(native.dtypes)["maybe_null"] == "bigint"
+    assert native.filter("maybe_null IS NOT NULL")\
+                 .filter("maybe_null != l_orderkey").count() == 0
