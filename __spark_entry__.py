@@ -1027,6 +1027,67 @@ def pyds_native_bootstrap(spark, sf_dir):
                     "p_partkey", "p_name", "p_retailprice"))
 
 
+@q("prepped_write_variants", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_orderkey % 9 = 3 THEN 777.0 ELSE l_quantity END AS l_quantity
+FROM li_d WHERE l_orderkey % 17 <> 4
+""")
+def prepped_write_variants(spark, sf_dir):
+    """*_prepped write variants (SparkRDDWriteClient.java:162-167, :182-188,
+    deletePreppedRecords): the caller guarantees per-key uniqueness, so the
+    preCombine window is skipped — batches built from the table's own
+    snapshot (already unique per (key, partition)) round-trip exactly."""
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("prepped", sf_dir))
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)
+        cols = li.columns
+        upd = (t.read().filter("l_orderkey % 9 = 3").select(*cols)
+               .withColumn("l_quantity", F.lit(777.0)))
+        t.upsert_prepped(upd)
+        dels = (t.read().filter("l_orderkey % 17 = 4")
+                .select("l_orderkey", "l_linenumber", "l_shipdate"))
+        t.delete_prepped(dels)
+        return {"t": t}
+    t = _recipe("prepped", sf_dir, build)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@q("schema_provider_ingest", """
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey % 6 = 5
+""")
+def schema_provider_ingest(spark, sf_dir):
+    """Schema providers (FilebasedSchemaProvider / RowBasedSchemaProvider +
+    DeltaSync's Avro conform step): a schemaless JSON drop-folder is read
+    under a file-provided schema and conformed (missing column → typed null,
+    extra column dropped, string numbers cast) before the upsert."""
+    def build():
+        from incubator_hudi_spark.sources.ingest import DFSSource, IngestJob
+        from incubator_hudi_spark.sources.schema import (conform,
+                                                         file_based_schema)
+        o = _load(spark, sf_dir, "orders").filter("o_orderkey % 6 = 5")
+        src = _new_path("schprov_src", sf_dir)
+        (o.selectExpr("o_orderkey", "CAST(o_totalprice AS STRING) AS "
+                      "o_totalprice", "o_orderstatus",
+                      "CAST(o_orderdate AS STRING) AS o_orderdate",
+                      "'junk' AS extra_col")
+         .write.mode("overwrite").json(src))
+        ddl_path = _new_path("schprov_ddl", sf_dir) + ".ddl"
+        with open(ddl_path, "w") as f:
+            f.write("o_orderkey bigint, o_totalprice double, "
+                    "o_orderstatus string, o_orderdate timestamp_ntz")
+        schema = file_based_schema(ddl_path)
+        t = _orders_table(spark, sf_dir, _new_path("schprov", sf_dir))
+        job = IngestJob(t, DFSSource(spark, src, fmt="json"),
+                        transform=lambda df: conform(df, schema))
+        assert job.sync_once() is not None
+        return {"t": t}
+    t = _recipe("schprov", sf_dir, build)["t"]
+    return t.read().select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
 @q("global_bloom_upsert", """
 SELECT o_orderkey,
        strftime(o_orderdate, '%Y') AS part,
