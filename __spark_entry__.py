@@ -1088,6 +1088,70 @@ def schema_provider_ingest(spark, sf_dir):
     return t.read().select("o_orderkey", "o_totalprice", "o_orderstatus")
 
 
+@q("span_dedup_corpus", """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS span_id,
+         array_to_string(ws[CAST(i AS INT)*10+1 : CAST(i AS INT)*10+10], ' ') AS span
+  FROM w, unnest(range(0, greatest(CAST(ceil(len(ws)/10.0) AS BIGINT), 1))) AS t(i)),
+nz AS (SELECT * FROM spans WHERE length(span) > 0),
+counts AS (SELECT md5(span) AS h, count(DISTINCT doc_id) AS n_docs
+           FROM nz GROUP BY 1),
+kept AS (SELECT nz.doc_id, nz.span_id, nz.span
+         FROM nz JOIN counts ON md5(nz.span) = counts.h
+         WHERE counts.n_docs <= 1),
+rebuilt AS (SELECT doc_id, string_agg(span, ' ' ORDER BY span_id) AS text
+            FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+""")
+def span_dedup_corpus(spark, sf_dir):
+    """Corpus-wide span dedup (CCNet/Gopher paragraph-dedup generalized to
+    10-word windows): spans occurring in >1 document vanish from every
+    document, surviving spans reassemble in order — the 30 planted duplicate
+    docs degrade to empty text, unique prose is untouched.  Plan: span
+    explode → hash count (1 shuffle) → hash join (1 shuffle) → doc rebuild
+    (1 shuffle); nothing quadratic at 100 TB."""
+    from incubator_hudi_spark.operators.text import dedup_spans
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (docs.filter("doc_id < 30")
+               .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return dedup_spans(docs.unionByName(planted), span_words=10)
+
+
+@q("token_budget_mix", """
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS t FROM documents),
+totals AS (SELECT source, sum(t) AS tot FROM toks GROUP BY source),
+rates AS (
+  SELECT source,
+         CAST(floor(least(1.0, (CASE source WHEN 'src0' THEN 0.5
+                                            WHEN 'src1' THEN 0.3
+                                            WHEN 'src2' THEN 0.2 END * 20000)
+                          / greatest(tot, 1)) * 10000) AS BIGINT) AS thresh
+  FROM totals WHERE source IN ('src0', 'src1', 'src2'))
+SELECT k.doc_id, k.source
+FROM toks k JOIN rates USING (source)
+WHERE ('0x' || substring(md5('mix' || CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 10000 < thresh
+""")
+def token_budget_mix(spark, sf_dir):
+    """Training-corpus source mixing to a token budget: each source is
+    hash-Bernoulli-sampled so its expected token mass hits
+    weight × total_budget — one tiny per-source aggregate plus a codegen'd
+    filter, no shuffle of the corpus, no per-source window funnel."""
+    from incubator_hudi_spark.operators.sampling import sample_token_budget
+    docs = _load(spark, sf_dir, "documents")
+    out = sample_token_budget(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, total_budget=20_000,
+        hash_family="md5")
+    return out.select("doc_id", "source")
+
+
 @q("global_bloom_upsert", """
 SELECT o_orderkey,
        strftime(o_orderdate, '%Y') AS part,

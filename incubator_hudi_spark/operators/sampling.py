@@ -95,3 +95,31 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int,
     w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
     return (df.withColumn("_cap_rn", F.row_number().over(w))
               .filter(F.col("_cap_rn") <= cap).drop("_cap_rn"))
+
+
+def sample_token_budget(df: DataFrame, weights: Mapping[str, float],
+                        total_budget: int,
+                        source_col: str = "source",
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        hash_family: str = "md5",
+                        salt: str = "mix") -> DataFrame:
+    """Training-corpus source mixing: sample each source down so its
+    expected token mass matches ``weights[source] * total_budget`` (sources
+    absent from ``weights`` get weight 0 and drop).  Selection is
+    deterministic content-hash Bernoulli — no per-source ordering, no
+    window funnel — so the plan is one tiny per-source aggregate (collected
+    to the driver: O(#sources) rows) plus a single codegen'd filtered scan;
+    the big side never shuffles at any scale.  Whitespace tokenization
+    stands in for the BPE count (swap ``token_expr`` ideas via text.py's
+    token counters if needed)."""
+    toks = F.size(F.split(F.col(text_col), r"\s+"))
+    totals = {r[0]: r[1] for r in
+              (df.groupBy(source_col).agg(F.sum(toks).alias("t")).collect())}
+    rate_of: Column = F.lit(0)
+    for src in sorted(set(weights) & set(totals)):
+        budget = weights[src] * total_budget
+        rate = min(1.0, budget / max(totals[src], 1))
+        rate_of = F.when(F.col(source_col) == src,
+                         F.lit(int(rate * DENOM))).otherwise(rate_of)
+    return df.filter(_bucket(F.col(id_col), hash_family, salt) < rate_of)

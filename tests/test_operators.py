@@ -421,3 +421,61 @@ def test_gopher_repetition_filter(spark):
     assert not g["liney"]["repetition_pass"]
     assert g["paray"]["para_dup_frac"] > 0.3
     assert not g["paray"]["repetition_pass"]
+
+
+def test_dedup_spans_removes_corpus_wide_boilerplate(spark):
+    """Span-level corpus dedup: spans shared by >max_occurrences docs vanish
+    from every doc; unique prose survives in original order; fully-duplicate
+    docs degrade to empty text."""
+    from incubator_hudi_spark.operators.text import dedup_spans
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 u1 u2 u3"),   # boiler + unique
+        (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 v1 v2 v3"),   # same boiler
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),            # unique only
+        (4, ""),                                           # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_spans(df, span_words=10).collect()}
+    assert out[1] == "u1 u2 u3"          # boilerplate span removed
+    assert out[2] == "v1 v2 v3"
+    assert out[3] == "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    assert out[4] == ""
+    # order preserved across multiple surviving spans
+    long = " ".join(f"a{i}" for i in range(25))
+    df2 = spark.createDataFrame([(9, long)], "doc_id long, text string")
+    assert dedup_spans(df2, span_words=10).first()["text"] == long
+
+
+def test_sample_token_budget_hits_expected_mass(spark):
+    from incubator_hudi_spark.operators.sampling import sample_token_budget
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    toks = docs.selectExpr("source", "size(split(text, '\\\\s+')) t")
+    totals = {r[0]: r[1] for r in
+              toks.groupBy("source").sum("t").collect()}
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    budget = 2000
+    out = sample_token_budget(docs, weights, budget)
+    got = sorted(r[0] for r in out.select("doc_id").collect())
+    assert {r[0] for r in out.select("source").distinct().collect()} \
+        <= set(weights)                   # unlisted sources dropped
+    # selection is deterministic hash-Bernoulli — the kept set is exactly
+    # computable, not statistical
+    import hashlib
+    exp = []
+    for r in docs.select("doc_id", "source").collect():
+        s = r["source"]
+        if s not in weights:
+            continue
+        rate = min(1.0, weights[s] * budget / max(totals[s], 1))
+        b = int(hashlib.md5(f"mix{r['doc_id']}".encode())
+                .hexdigest()[:15], 16) % 10000
+        if b < int(rate * 10000):
+            exp.append(r["doc_id"])
+    assert got == sorted(exp)
+    # deterministic across invocations
+    a = sorted(r[0] for r in out.select("doc_id").collect())
+    b = sorted(r[0] for r in
+               sample_token_budget(docs, weights, budget)
+               .select("doc_id").collect())
+    assert a == b
