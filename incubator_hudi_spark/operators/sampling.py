@@ -116,10 +116,9 @@ def sample_token_budget(df: DataFrame, weights: Mapping[str, float],
     toks = F.size(F.split(F.col(text_col), r"\s+"))
     totals = {r[0]: r[1] for r in
               (df.groupBy(source_col).agg(F.sum(toks).alias("t")).collect())}
-    rate_of: Column = F.lit(0)
-    for src in sorted(set(weights) & set(totals)):
-        budget = weights[src] * total_budget
-        rate = min(1.0, budget / max(totals[src], 1))
-        rate_of = F.when(F.col(source_col) == src,
-                         F.lit(int(rate * DENOM))).otherwise(rate_of)
-    return df.filter(_bucket(F.col(id_col), hash_family, salt) < rate_of)
+    rates = {src: min(1.0, weights[src] * total_budget
+                      / max(totals[src] or 0, 1))
+             for src in sorted(set(weights) & set(totals))}
+    return sample_stratified(df, source_col, rates, default_rate=0.0,
+                             id_col=id_col, hash_family=hash_family,
+                             salt=salt)

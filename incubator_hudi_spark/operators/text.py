@@ -440,6 +440,9 @@ def dedup_spans(df: DataFrame, span_words: int = 10,
                         F.array_sort(F.collect_list(
                             F.struct("span_id", "span"))),
                         lambda s: s["span"]), " ").alias(text_col)))
-    # documents whose every span was removed survive with empty text
-    return (df.select(id_col).join(rebuilt, id_col, "left")
-              .withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))))
+    # documents whose every span was removed survive with empty text; all
+    # non-text columns pass through untouched (schema-preserving, like the
+    # sibling operators — downstream per-source/per-lang steps keep working)
+    return (df.drop(text_col).join(rebuilt, id_col, "left")
+              .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+              .select(*df.columns))

@@ -168,7 +168,8 @@ class HudiTable:
     def _load_index(self, view: FileSystemView,
                     partitions: Optional[list],
                     key_range: Optional[tuple],
-                    only_fgs: Optional[set] = None) -> DataFrame:
+                    only_fgs: Optional[set] = None,
+                    token: Optional[frozenset] = None) -> DataFrame:
         """Key→location index for tagging.  INMEMORY (and SIMPLE with
         cache_simple_index) keeps the scan result persisted across batches
         (valid while no commit has changed any key→file-group mapping;
@@ -180,7 +181,14 @@ class HudiTable:
             return load_key_index(self.spark, self.meta, view, it,
                                   partitions, key_range, tc=self.tc,
                                   only_fgs=only_fgs)
-        tok = self._data_instants_token()
+        # `token` must be captured BEFORE the caller built `view` (the same
+        # read-ordering rule as pending-compaction-before-view below): a
+        # commit completing between token capture and view build makes the
+        # token MISS an instant the view saw — the next batch then safely
+        # over-invalidates.  Computing the token here, AFTER the view, has
+        # the loss-shaped failure: a rebuild from the pre-commit view would
+        # be stamped with a post-commit token and trusted forever.
+        tok = token if token is not None else self._data_instants_token()
         if self._key_index is not None and self._key_index_valid_token != tok:
             self._invalidate_key_index()  # out-of-band commit → stale
         need = set(partitions or [])
@@ -589,6 +597,13 @@ class HudiTable:
         persisted = False
         tagged = None
         try:
+            # cache-validity token FIRST, before any timeline-derived state:
+            # a daemon commit landing after this capture but before the view
+            # build leaves the token missing that instant → the next batch
+            # over-invalidates (safe); the reverse order would stamp a stale
+            # view with a fresh token (silent row loss)
+            tok0 = (self._data_instants_token()
+                    if self._index_cache_on else None)
             # pending-compaction targets MUST be read BEFORE the view is
             # built: an async compactor may complete between the two reads,
             # and reading in this order guarantees every compaction that can
@@ -636,9 +651,11 @@ class HudiTable:
                     if (self._key_index_valid_token
                             == ("pending", instant.time)):
                         # the index _write_inserts just seeded from this very
-                        # commit's write frame is now valid as of the commit
-                        self._key_index_valid_token = \
-                            self._data_instants_token()
+                        # commit's write frame reflects exactly the pre-write
+                        # timeline plus our own commit — NOT a fresh listing,
+                        # which would absorb concurrent daemon commits the
+                        # cache knows nothing about
+                        self._key_index_valid_token = tok0 | {instant.time}
                     else:
                         self._invalidate_key_index()
                 self._post_commit()
@@ -667,15 +684,17 @@ class HudiTable:
                         stats, fg_map, schema, wrote_inserts = \
                             self._upsert_cow_fast(view, instant.time,
                                                   prepared, prof, is_delete,
-                                                  frozen_fgs=frozen_fgs)
+                                                  frozen_fgs=frozen_fgs,
+                                                  token=tok0)
                     with _stage("upsert.complete"):
                         self._complete(instant, operation, stats, schema,
                                        extra=commit_extras)
                     if self._index_cache_on:
                         if (not is_delete and not wrote_inserts
                                 and self._key_index is not None):
+                            # pre-write token + our own commit (see seed lane)
                             self._key_index_valid_token = \
-                                self._data_instants_token()
+                                tok0 | {instant.time}
                         else:
                             self._invalidate_key_index()
                     prepared.unpersist()
@@ -695,7 +714,7 @@ class HudiTable:
             cache_covers = (
                 self._index_cache_on
                 and self._key_index is not None
-                and self._key_index_valid_token == self._data_instants_token()
+                and self._key_index_valid_token == tok0
                 and set(view.partitions()) <= self._key_index_parts)
             if cache_covers:
                 # broadcast-size guard (shared with the cold lane): stops
@@ -717,7 +736,7 @@ class HudiTable:
                 # after cap+1 rows instead of scanning the batch.
                 with _stage("upsert.load_index"):
                     index_df = self._load_index(
-                        view, sorted(view.partitions()), None)
+                        view, sorted(view.partitions()), None, token=tok0)
                 cap = self.cfg.index_broadcast_max_rows
                 if prof is not None:    # fast-lane fall-through: size known
                     bc = sum(r[1] for r in prof) <= cap
@@ -738,7 +757,8 @@ class HudiTable:
                 key_range = (min(r[2] for r in prof), max(r[3] for r in prof)) if prof else None
 
                 with _stage("upsert.load_index"):
-                    index_df = self._load_index(view, partitions, key_range)
+                    index_df = self._load_index(view, partitions, key_range,
+                                                token=tok0)
                 n_rows = sum(r[1] for r in prof)
                 bc = n_rows <= self.cfg.index_broadcast_max_rows
             # the tagging join consumes prepared twice (broadcast probe +
@@ -827,8 +847,12 @@ class HudiTable:
                 if update_only and self._key_index is not None:
                     # an update-only commit rewrites/appends WITHIN existing
                     # file groups — every cached location stays correct, so
-                    # the cache survives its own commit
-                    self._key_index_valid_token = self._data_instants_token()
+                    # the cache survives its own commit.  Pre-write token +
+                    # our own instant: a daemon commit that completed DURING
+                    # the write stays missing from the token, so the next
+                    # batch invalidates instead of trusting a cache that
+                    # never saw it.
+                    self._key_index_valid_token = tok0 | {instant.time}
                 else:
                     self._invalidate_key_index()
         except _ClusteringConflict:
@@ -945,7 +969,8 @@ class HudiTable:
 
     def _upsert_cow_fast(self, view: FileSystemView, instant_time: str,
                          prepared: DataFrame, prof: list, is_delete: bool,
-                         frozen_fgs: Optional[set] = None):
+                         frozen_fgs: Optional[set] = None,
+                         token: Optional[frozenset] = None):
         """COW fast-update lane: one pre-write Spark action in the common
         case (the per-partition batch profile the caller already ran); the
         bloom-prune branch below adds a second, bounded action (a distinct
@@ -1009,7 +1034,7 @@ class HudiTable:
         mxs = [r[3] for r in prof if r[3] is not None]
         key_range = (min(mns), max(mxs)) if mns else None
         index_df = self._load_index(view, partitions, key_range,
-                                    only_fgs=bloom_fgs)
+                                    only_fgs=bloom_fgs, token=token)
         # tagged stays UNPERSISTED in the common path: the routing below
         # consumes it exactly once (a single coalesce projection), so the
         # whole tag pipeline — broadcast the batch, semi-prune the index

@@ -479,3 +479,25 @@ def test_sample_token_budget_hits_expected_mass(spark):
                sample_token_budget(docs, weights, budget)
                .select("doc_id").collect())
     assert a == b
+
+
+def test_dedup_spans_preserves_schema(spark):
+    from incubator_hudi_spark.operators.text import dedup_spans
+    df = spark.createDataFrame(
+        [(1, "srcA", "en", "w1 w2 w3"), (2, "srcB", "de", "w1 w2 w3")],
+        "doc_id long, source string, lang string, text string")
+    out = dedup_spans(df, span_words=3)
+    assert out.columns == df.columns      # non-text columns survive, in order
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["source"] == "srcA" and rows[2]["lang"] == "de"
+    assert rows[1]["text"] == "" and rows[2]["text"] == ""  # shared span
+
+
+def test_sample_token_budget_null_text_source(spark):
+    from incubator_hudi_spark.operators.sampling import sample_token_budget
+    df = spark.createDataFrame(
+        [(1, "good", "w1 w2"), (2, "nulls", None), (3, "nulls", None)],
+        "doc_id long, source string, text string")
+    out = sample_token_budget(df, {"good": 0.5, "nulls": 0.5},
+                              total_budget=10)
+    assert out.filter("source = 'nulls'").count() in (0, 2)  # no crash
