@@ -627,6 +627,17 @@ class HudiTable:
             frozen_fgs = set(pending_clustering_fgs(self))
             with _stage("upsert.view"):
                 view = self.view()
+            # snapshot-stability check: a commit completing between the
+            # token capture and the view build leaves tok0 ⊂ view-state.
+            # REBUILDING an index from this view stamped with tok0 is safe
+            # (token ⊆ what the index reflects → next batch over-
+            # invalidates), but REUSING a cache whose stored token == tok0
+            # is not — cache and view would straddle that commit.  Drop the
+            # cache when unstable; the rebuild below then aligns with the
+            # view.  One timeline listing; commits are rare vs batch time.
+            if (self._index_cache_on and self._key_index is not None
+                    and self._data_instants_token() != tok0):
+                self._invalidate_key_index()
             if not is_delete and not view.latest_slices():
                 # first commit into an empty table: every record is an
                 # insert — skip index load, tagging, and the merge window
