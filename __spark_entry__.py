@@ -3338,36 +3338,40 @@ def aws_dms_cdc(spark, sf_dir):
 
 
 # The driver's correctness gate samples a prefix of queries() in dict order
-# (50 queries per round).  Round 4 rotation: the queries NEW in r4 first (no
-# driver row yet), then the 40 queries whose latest green row dates from r2's
-# code — r3 rewrote the MOR delta/merge, cleaning, and payload paths many of
-# them exercise, so they must be re-earned on the current code (VERDICT r3
-# "Next #2").  10 new + 40 stale = exactly the 50-query sample window.
+# (50 queries per round).  Round 5 rotation (VERDICT r4 "Next #1"): the 4
+# queries registered in r4 but never driver-sampled first, then the queries
+# NEW in r5, then the r3-earned rows whose code paths r4 rewrote (fused
+# fast-lane upsert in table.py, pyds.py native reads, streaming sink
+# stamping) — 4 + 2 + 44 = the 50-query window.  The 6 r3 rows deferred to
+# r6 are pure corpus operators untouched since they were earned
+# (vocab/tfidf/repetition/gopher-repetition/windowed-agg/stratified-sample).
 # Queries absent from this list keep their relative registration order after
 # the priority block.
 _PRIORITY = [
-    # new in r4 — need a first driver row
-    "pyds_native_bootstrap", "async_clustering_ingest",
-    "global_bloom_upsert", "inmemory_index_lifecycle",
-    "partition_sort_layout", "bulk_insert_none_mode",
-    "occ_conflict_detection", "multi_table_ingest",
-    "metadata_table_listing", "show_partitions_commits",
-    # green in r1/r2 but not re-sampled on r3's rewritten code
-    "mor_compaction", "mor_incremental", "mor_read_optimized", "mor_delete",
-    "merge_into", "sql_dml", "update_delete_where", "rollback",
-    "savepoint_restore", "clustering_cleaning_archival",
-    "bootstrap_full_record", "bootstrap_metadata_only",
-    "insert_duplicate_semantics", "insert_overwrite_and_drop_partition",
-    "keygen_nonpartitioned", "global_index_partition_stickiness",
-    "bloom_index_upsert", "schema_evolution", "schema_widening",
-    "payload_default_event_time_guard", "snapshot_export",
-    "streaming_sink_events", "streaming_incremental_batch",
-    "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard", "dedup_exact",
-    "contamination_13gram", "semantic_dedup_survivors",
-    "ann_brute_force_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "embedding_cosine_pairs", "embedding_neardup_pairs",
-    "multimodal_features", "text_quality", "text_token_counts",
-    "lang_id_counts", "doc_fingerprint", "pii_scrub",
+    # registered in r4 but never sampled — need a first driver row
+    "prepped_write_variants", "schema_provider_ingest",
+    "span_dedup_corpus", "token_budget_mix",
+    # new in r5 — need a first driver row
+    "async_compaction_ingest", "incremental_glob",
+    # green in r3 but not re-sampled on r4's rewritten fast-lane/pyds/sink
+    "cow_upsert_snapshot", "bulk_insert_roundtrip", "filter_exists",
+    "insert_overwrite_table", "truncate_reinsert",
+    "pyds_native_write_roundtrip", "pyds_native_mor_snapshot",
+    "pyds_native_stream", "ingest_checkpointed",
+    "catalog_sync_external_read", "scheduled_clustering_execute",
+    "cow_snapshot_agg_q1", "cow_incremental_pull", "cow_point_in_time",
+    "cow_delete", "keygen_complex", "mor_snapshot", "mor_skip_merge",
+    "orc_base_cow_snapshot", "upgrade_downgrade_roundtrip",
+    "pipeline_training_corpus", "dup_clusters",
+    "join_q3_on_hudi", "join_q5_on_hudi", "sessionization",
+    "sequence_packing", "timestamp_keygen_daily", "timestamp_keygen_epoch",
+    "hudi_incr_pipeline", "chunk_documents_512", "cap_per_source_100",
+    "corpus_dedup_keep_one", "gopher_rule_filter", "quality_filter_counts",
+    "global_index_partition_move", "asof_join_attribution",
+    "range_join_click_context", "flatten_json_transform",
+    "data_skipping_column_stats", "zorder_clustering_scan",
+    "point_lookup_pruned", "point_lookup_bloom",
+    "payload_partial_update", "aws_dms_cdc",
 ]
 
 
