@@ -108,9 +108,15 @@ class FileSlice:
 class FileSystemView:
     """Fold the completed timeline into file groups/slices."""
 
-    def __init__(self, meta: TableMetaClient, as_of: Optional[str] = None):
+    def __init__(self, meta: TableMetaClient, as_of: Optional[str] = None,
+                 active_instants: Optional[list] = None):
         self.meta = meta
         self.as_of = as_of
+        # caller-provided snapshot of the ACTIVE timeline listing: lets a
+        # write batch build its cache-validity token and its view from the
+        # SAME single `.hoodie` listing (token ≡ view state by construction
+        # — no capture-ordering argument, no stability re-check needed)
+        self._active_instants = active_instants
         # (partition, fg) -> {base_instant -> FileSlice}
         self._groups: dict[tuple[str, str], dict[str, FileSlice]] = {}
         # (partition, fg) -> instant at which the group was replaced
@@ -141,8 +147,14 @@ class FileSystemView:
             except Exception:
                 self._groups, self._replaced = {}, {}
                 lo = None
+        acts_folded = set(tl.DATA_ACTIONS) | {tl.CLEAN}
+        if self._active_instants is not None:
+            completed = [i for i in self._active_instants
+                         if i.state == tl.COMPLETED and i.action in acts_folded]
+        else:
+            completed = self.meta.timeline.completed(sorted(acts_folded))
         instants = [
-            i for i in self.meta.timeline.completed(list(tl.DATA_ACTIONS) + [tl.CLEAN])
+            i for i in completed
             if (self.as_of is None or i.time <= self.as_of)
             and (lo is None or i.time > lo)
         ]

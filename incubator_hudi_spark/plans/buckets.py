@@ -40,11 +40,19 @@ def new_fg_id() -> str:
     return uuid.uuid4().hex[:16]
 
 
-def avg_record_size(meta, timeline, default: int) -> int:
+def avg_record_size(meta, timeline, default: int, active=None) -> int:
     """Recalculate average record size from recent commit stats
-    (UpsertPartitioner.java:160-163)."""
+    (UpsertPartitioner.java:160-163).  ``active``: optional
+    ``timeline.instants()`` snapshot so a write batch pays no extra
+    timeline listing here."""
+    from .. import timeline as tl
+    if active is not None:
+        data = [i for i in active if i.state == tl.COMPLETED
+                and i.action in tl.DATA_ACTIONS]
+    else:
+        data = timeline.completed_data_instants()
     total_b, total_r = 0, 0
-    for ins in timeline.completed_data_instants()[-5:]:
+    for ins in data[-5:]:
         md = timeline.read_metadata(ins)
         for st in md.get("write_stats", []):
             total_b += st.get("size") or 0

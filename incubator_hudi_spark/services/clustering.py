@@ -114,11 +114,19 @@ def schedule_clustering(table, sort_columns: Optional[Sequence[str]] = None,
     return t
 
 
-def pending_clustering_plans(table) -> list[tuple[tl.Instant, dict]]:
+def pending_clustering_plans(table, active=None) -> list[tuple[tl.Instant, dict]]:
     """Pending (requested/inflight) replacecommit instants that carry a
-    clustering plan."""
+    clustering plan.  ``active``: optional ``timeline.instants()`` snapshot
+    to derive pendings from instead of a fresh listing (keeps a write batch
+    at one active-timeline listing)."""
+    if active is not None:
+        done = {(i.time, i.action) for i in active if i.state == tl.COMPLETED}
+        pend = [i for i in active if i.state != tl.COMPLETED
+                and (i.time, i.action) not in done]
+    else:
+        pend = table.timeline.pending()
     out = []
-    for p in table.timeline.pending():
+    for p in pend:
         if p.action != tl.REPLACE_COMMIT:
             continue
         try:
@@ -130,10 +138,10 @@ def pending_clustering_plans(table) -> list[tuple[tl.Instant, dict]]:
     return out
 
 
-def pending_clustering_fgs(table) -> dict[str, str]:
+def pending_clustering_fgs(table, active=None) -> dict[str, str]:
     """file_group → pending clustering instant time, for conflict checks."""
     out: dict[str, str] = {}
-    for p, md in pending_clustering_plans(table):
+    for p, md in pending_clustering_plans(table, active):
         for op in md.get("operations", []):
             out[op["file_group"]] = p.time
     return out

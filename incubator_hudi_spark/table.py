@@ -131,8 +131,10 @@ class HudiTable:
     def timeline(self) -> tl.Timeline:
         return self.meta.timeline
 
-    def view(self, as_of: Optional[str] = None) -> FileSystemView:
-        return FileSystemView(self.meta, as_of=as_of)
+    def view(self, as_of: Optional[str] = None,
+             active_instants: Optional[list] = None) -> FileSystemView:
+        return FileSystemView(self.meta, as_of=as_of,
+                              active_instants=active_instants)
 
     # ------------------------------------------------------------------
     # INMEMORY index cache (SparkInMemoryHashIndex.java — generalised to a
@@ -149,11 +151,43 @@ class HudiTable:
         self._key_index_parts = set()
         self._key_index_valid_token = None
 
-    def _data_instants_token(self) -> frozenset:
+    def _data_instants_token(self, active: Optional[list] = None) -> frozenset:
         """Cache-validity token: every completed data-action instant time.
-        One timeline listing — the same cost as last_completed()."""
-        return frozenset(i.time for i in
-                         self.timeline.completed(tl.DATA_ACTIONS))
+        Pass ``active`` (a ``timeline.instants()`` snapshot) to derive the
+        token from an existing listing instead of paying a fresh one."""
+        if active is None:
+            active = self.timeline.instants()
+        return frozenset(i.time for i in active
+                         if i.state == tl.COMPLETED
+                         and i.action in tl.DATA_ACTIONS)
+
+    def _token_still_valid(self, stored, current: frozenset) -> bool:
+        """Is a cached key index stamped with ``stored`` still trustworthy
+        when the active timeline now shows ``current``?
+
+        - equal → yes (nothing committed since the stamp).
+        - ``current`` has an instant ``stored`` never saw → no (a foreign
+          commit may have remapped keys).
+        - ``current`` only SHRANK → yes iff every missing instant now sits
+          in the archive dir: archival moves an oldest prefix of completed
+          instants out of the active timeline without touching key→file-
+          group mappings (services/archival.py).  Safe because archival
+          retains ≥ archive_min_commits newest instants — a foreign commit
+          can never vanish into the archive without an even newer foreign
+          instant staying active (which fails the superset check above).
+          Anything else missing (a restore deleting commits) → no.
+        One archive-dir listing, paid only on the rare shrink; callers
+        re-stamp the cache with ``current`` on success so the next batch
+        compares equal again."""
+        if stored == current:
+            return True
+        if not isinstance(stored, frozenset):   # None / ("pending", t)
+            return False
+        if not (current <= stored):
+            return False
+        missing = stored - current
+        archived = {i.time for i in self.timeline.archived_instants()}
+        return missing <= archived
 
     @property
     def _index_cache_on(self) -> bool:
@@ -189,8 +223,13 @@ class HudiTable:
         # the loss-shaped failure: a rebuild from the pre-commit view would
         # be stamped with a post-commit token and trusted forever.
         tok = token if token is not None else self._data_instants_token()
-        if self._key_index is not None and self._key_index_valid_token != tok:
-            self._invalidate_key_index()  # out-of-band commit → stale
+        if self._key_index is not None:
+            if self._token_still_valid(self._key_index_valid_token, tok):
+                # archival may have shrunk the active set without touching
+                # mappings — re-stamp so the next batch compares equal
+                self._key_index_valid_token = tok
+            else:
+                self._invalidate_key_index()  # out-of-band commit → stale
         need = set(partitions or [])
         if self._key_index is None:
             df = load_key_index(self.spark, self.meta, view, INDEX_SIMPLE,
@@ -224,8 +263,13 @@ class HudiTable:
     # schema bookkeeping (TableSchemaResolver.java:55,154-179 — schema rides
     # in the last commit's metadata; evolution = compatible adds)
     # ------------------------------------------------------------------
-    def stored_schema(self) -> Optional[StructType]:
-        last = self.timeline.last_completed(tl.DATA_ACTIONS)
+    def stored_schema(self, active: Optional[list] = None) -> Optional[StructType]:
+        if active is not None:
+            comp = [i for i in active if i.state == tl.COMPLETED
+                    and i.action in tl.DATA_ACTIONS]
+            last = comp[-1] if comp else None
+        else:
+            last = self.timeline.last_completed(tl.DATA_ACTIONS)
         if last is None:
             # degenerate corner: every data instant archived (deep restore
             # after heavy archival) — the schema still rides in the newest
@@ -284,8 +328,9 @@ class HudiTable:
                    {p.name for p in prev.fields}]
         return StructType(fields)
 
-    def _read_schema(self, extra_bool_cols: Sequence[str] = ()) -> StructType:
-        s = self.stored_schema()
+    def _read_schema(self, extra_bool_cols: Sequence[str] = (),
+                     active: Optional[list] = None) -> StructType:
+        s = self.stored_schema(active)
         if s is None:
             raise ValueError("table has no completed commits")
         fields = list(s.fields)
@@ -308,11 +353,18 @@ class HudiTable:
             # any instant exists (UpgradeDowngrade at write-client init)
             from .services.upgrade import check_write_version
             check_write_version(self)
+        # once per table instance, like the reference (rollback-on-start
+        # happens at WRITE-CLIENT init, not per commit — a live writer's own
+        # prior batches can't be crash debris, and under single-writer mode
+        # nobody else writes); saves a timeline listing + metadata reads on
+        # every steady-state batch
         if action in tl.DATA_ACTIONS and self._pre_commit_hook is None \
-                and not getattr(self, "_recovering", False):
+                and not getattr(self, "_recovering", False) \
+                and not getattr(self, "_recovered_on_start", False):
             self._recovering = True
             try:
                 self._recover_dangling()
+                self._recovered_on_start = True
             finally:
                 self._recovering = False
         t = tl.new_instant_time()
@@ -360,10 +412,11 @@ class HudiTable:
         out = with_commit_meta(out, instant_time)
         return ordered_meta_projection(out, [f.name for f in df.schema.fields])
 
-    def _commit_schema(self, prepared: DataFrame) -> StructType:
+    def _commit_schema(self, prepared: DataFrame,
+                       active: Optional[list] = None) -> StructType:
         drop = {FG, API_DELETE}
         new = StructType([f for f in prepared.schema.fields if f.name not in drop])
-        return self._evolve(self.stored_schema(), new)
+        return self._evolve(self.stored_schema(active), new)
 
     # ==================================================================
     # WRITE OPERATORS
@@ -588,8 +641,11 @@ class HudiTable:
         instant = self._start(action)
         prepared = self._prepare(df, instant.time,
                                  combine=self.cfg.combine_before_upsert)
+        # THE batch's single active-timeline listing (shared by the schema
+        # check, the validity token, the pending sets, and the view below)
+        active = self.timeline.instants()
         # validate evolution on the raw batch BEFORE any union coerces types
-        self._commit_schema(prepared)
+        self._commit_schema(prepared, active)
         # workload profiles run on the RAW keyed batch, not the deduped one:
         # identical partition set, conservative (≥) counts and key ranges —
         # so the preCombine shuffle never materializes just to be counted
@@ -597,47 +653,51 @@ class HudiTable:
         persisted = False
         tagged = None
         try:
-            # cache-validity token FIRST, before any timeline-derived state:
-            # a daemon commit landing after this capture but before the view
-            # build leaves the token missing that instant → the next batch
-            # over-invalidates (safe); the reverse order would stamp a stale
-            # view with a fresh token (silent row loss)
-            tok0 = (self._data_instants_token()
-                    if self._index_cache_on else None)
-            # pending-compaction targets MUST be read BEFORE the view is
-            # built: an async compactor may complete between the two reads,
-            # and reading in this order guarantees every compaction that can
-            # land mid-write is either (a) pending here → logs get bumped to
-            # its instant, or (b) already completed → the view's latest slice
-            # IS its new base.  (Reverse order loses writes: stale view base
-            # + empty pending → orphaned log.)
-            pending_compaction: dict[str, str] = {}
-            if self.tc.table_type == MERGE_ON_READ:
-                for p in self.timeline.pending():
-                    if p.action == tl.COMPACTION:
-                        plan = self.timeline.read_metadata(p)
-                        for op in plan.get("operations", []):
-                            fg = op["file_group"]
-                            pending_compaction[fg] = max(
-                                pending_compaction.get(fg, ""), p.time)
-            # file groups frozen by a scheduled clustering plan: updates/
-            # deletes that touch them are rejected (SparkRejectUpdateStrategy)
-            # — checked exactly against the tagged batch in each lane below
-            from .services.clustering import pending_clustering_fgs
-            frozen_fgs = set(pending_clustering_fgs(self))
+            # ONE active-timeline listing per batch: the cache-validity
+            # token, the pending-compaction set, and the file-system view
+            # are all derived from this single snapshot, so token ≡ view
+            # state by construction — no capture-ordering argument between
+            # them, and no stability re-check.  A daemon commit landing
+            # after this listing is invisible to ALL THREE consistently;
+            # the next batch's fresh listing sees it and over-invalidates
+            # the cache (safe direction).
             with _stage("upsert.view"):
-                view = self.view()
-            # snapshot-stability check: a commit completing between the
-            # token capture and the view build leaves tok0 ⊂ view-state.
-            # REBUILDING an index from this view stamped with tok0 is safe
-            # (token ⊆ what the index reflects → next batch over-
-            # invalidates), but REUSING a cache whose stored token == tok0
-            # is not — cache and view would straddle that commit.  Drop the
-            # cache when unstable; the rebuild below then aligns with the
-            # view.  One timeline listing; commits are rare vs batch time.
-            if (self._index_cache_on and self._key_index is not None
-                    and self._data_instants_token() != tok0):
-                self._invalidate_key_index()
+                tok0 = (self._data_instants_token(active)
+                        if self._index_cache_on else None)
+                # pending compactions from the SAME snapshot as the view:
+                # every compaction is either (a) pending in the snapshot →
+                # logs get bumped to its instant, or (b) completed in it →
+                # the view's latest slice IS its new base.  (A mixed read
+                # order loses writes: stale view base + empty pending →
+                # orphaned log.)
+                pending_compaction: dict[str, str] = {}
+                if self.tc.table_type == MERGE_ON_READ:
+                    done = {(i.time, i.action) for i in active
+                            if i.state == tl.COMPLETED}
+                    for p in active:
+                        if (p.action == tl.COMPACTION
+                                and p.state != tl.COMPLETED
+                                and (p.time, p.action) not in done):
+                            plan = self.timeline.read_metadata(p)
+                            for op in plan.get("operations", []):
+                                fg = op["file_group"]
+                                pending_compaction[fg] = max(
+                                    pending_compaction.get(fg, ""), p.time)
+                # file groups frozen by a scheduled clustering plan:
+                # updates/deletes that touch them are rejected
+                # (SparkRejectUpdateStrategy) — checked exactly against the
+                # tagged batch in each lane below
+                from .services.clustering import pending_clustering_fgs
+                frozen_fgs = set(pending_clustering_fgs(self, active))
+                view = self.view(active_instants=active)
+            if self._index_cache_on and self._key_index is not None:
+                if self._token_still_valid(self._key_index_valid_token, tok0):
+                    # archival-only shrink keeps the cache; re-stamp so the
+                    # equality checks below (cache_covers, _load_index) and
+                    # the own-commit extension all work from tok0
+                    self._key_index_valid_token = tok0
+                else:
+                    self._invalidate_key_index()
             if not is_delete and not view.latest_slices():
                 # first commit into an empty table: every record is an
                 # insert — skip index load, tagging, and the merge window
@@ -696,7 +756,7 @@ class HudiTable:
                             self._upsert_cow_fast(view, instant.time,
                                                   prepared, prof, is_delete,
                                                   frozen_fgs=frozen_fgs,
-                                                  token=tok0)
+                                                  token=tok0, active=active)
                     with _stage("upsert.complete"):
                         self._complete(instant, operation, stats, schema,
                                        extra=commit_extras)
@@ -912,7 +972,8 @@ class HudiTable:
 
     def _anti_join_rewrite(self, view: FileSystemView, instant_time: str,
                            fresh: DataFrame, batch_keys: DataFrame,
-                           rewrite_fgs: set, fg_map: dict):
+                           rewrite_fgs: set, fg_map: dict,
+                           active: Optional[list] = None):
         """Shared COW broadcast anti-join rewrite kernel: stored rows of the
         rewrite set pass through IN THEIR SCAN PARTITIONS minus the batch's
         keys (broadcast LEFT ANTI — the table side never shuffles); only the
@@ -924,7 +985,7 @@ class HudiTable:
             fresh = fresh.drop(API_DELETE)
         parts = []
         if rewrite_fgs:
-            old = self._read_fg_files(view, rewrite_fgs)
+            old = self._read_fg_files(view, rewrite_fgs, active=active)
             parts.append(drop_deleted(
                 old.join(F.broadcast(batch_keys), on=MERGE_KEY,
                          how="left_anti")))
@@ -970,7 +1031,7 @@ class HudiTable:
         if respread:
             merged = merged.repartition(n_buckets, F.col(FG))
         merged = merged.withColumn(META_FILE_NAME, F.col(FG))
-        schema = self._commit_schema(merged)
+        schema = self._commit_schema(merged, active)
         stats = write_instant_files(merged, self.meta, instant_time, fg_map,
                                     self.cfg,
                                     sort_cols=[FG, META_RECORD_KEY],
@@ -981,7 +1042,8 @@ class HudiTable:
     def _upsert_cow_fast(self, view: FileSystemView, instant_time: str,
                          prepared: DataFrame, prof: list, is_delete: bool,
                          frozen_fgs: Optional[set] = None,
-                         token: Optional[frozenset] = None):
+                         token: Optional[frozenset] = None,
+                         active: Optional[list] = None):
         """COW fast-update lane: one pre-write Spark action in the common
         case (the per-partition batch profile the caller already ran); the
         bloom-prune branch below adds a second, bounded action (a distinct
@@ -1076,7 +1138,8 @@ class HudiTable:
                           .withColumn(FG, F.col(FG_COL)).drop(FG_COL))
             else:
                 rec_size = avg_record_size(self.meta, self.timeline,
-                                           self.cfg.record_size_estimate)
+                                           self.cfg.record_size_estimate,
+                                           active=active)
                 plan = plan_insert_buckets(
                     {r[0]: r[1] for r in prof}, view, self.cfg, rec_size,
                     pack_small_files=False)
@@ -1118,7 +1181,8 @@ class HudiTable:
             # build (the hash build collapses duplicates anyway)
             batch_keys = prepared.select(*MERGE_KEY)
             stats, schema = self._anti_join_rewrite(
-                view, instant_time, fresh, batch_keys, rewrite_fgs, fg_map)
+                view, instant_time, fresh, batch_keys, rewrite_fgs, fg_map,
+                active=active)
             wrote_inserts = any(s.file_group not in rewrite_fgs for s in stats)
             return stats, fg_map, schema, wrote_inserts
         finally:
@@ -1653,14 +1717,16 @@ class HudiTable:
                                 ">": c > v, ">=": c >= v}[op])
         return df
 
-    def _read_fg_files(self, view: FileSystemView, fgs: set[str]) -> DataFrame:
+    def _read_fg_files(self, view: FileSystemView, fgs: set[str],
+                       active: Optional[list] = None) -> DataFrame:
         slices = [sl for sl in view.latest_slices() if sl.file_group in fgs]
         return self._read_slices(slices, read_optimized=False, raw=True,
-                                 view=view)
+                                 view=view, active=active)
 
     def _read_slices(self, slices: list[FileSlice], read_optimized: bool,
                      raw: bool = False, skip_merge: bool = False,
-                     cluster_by_fg: bool = False, view=None) -> DataFrame:
+                     cluster_by_fg: bool = False, view=None,
+                     active: Optional[list] = None) -> DataFrame:
         """Clean slices (no logs) → plain parquet scan; dirty slices →
         base ∪ deltas → latest-wins window → drop deletes
         (MergeOnReadSnapshotRelation.scala:94-138 / HoodieMergeOnReadRDD.scala
@@ -1674,7 +1740,7 @@ class HudiTable:
         reference compactor's one-task-per-file-group merge); in the window
         fallback the merge window partitions by file group so the window
         shuffle doubles as the write clustering."""
-        schema = self._read_schema()
+        schema = self._read_schema(active=active)
         out_cols = [f.name for f in schema.fields]
 
         def is_ext(sl):
@@ -1693,7 +1759,8 @@ class HudiTable:
         if ext_clean:
             parts.append(self._scan_external(ext_clean, schema))
         if dirty:
-            dschema = self._read_schema(extra_bool_cols=[API_DELETE, DELETE_MARKER])
+            dschema = self._read_schema(extra_bool_cols=[API_DELETE, DELETE_MARKER],
+                                        active=active)
             int_dirty = [sl for sl in dirty if not is_ext(sl)]
             ext_dirty = [sl for sl in dirty if is_ext(sl)]
             bases = []
@@ -1930,24 +1997,25 @@ class HudiTable:
     def _post_commit(self) -> None:
         """Post-commit services (SparkRDDWriteClient.java:263-281): inline
         compaction trigger + auto-clean/archival when configured."""
+        # one listing feeds every eligibility gate below; the services that
+        # actually FIRE re-list for themselves (rare vs the steady state)
+        data = [i for i in self.timeline.instants()
+                if i.state == tl.COMPLETED and i.action in tl.DATA_ACTIONS]
         if self.cfg.inline_compaction and self.tc.table_type == MERGE_ON_READ:
             from .services.compaction import maybe_inline_compact
             maybe_inline_compact(self)
         if self.cfg.metadata_checkpoint_commits:
             from . import metadata_table as mt
             last = mt.latest_checkpoint_time(self.meta)
-            fresh = [i for i in self.timeline.completed_data_instants()
-                     if last is None or i.time > last]
+            fresh = [i for i in data if last is None or i.time > last]
             if len(fresh) >= self.cfg.metadata_checkpoint_commits:
                 mt.write_checkpoint(self)
         # hoodie.clean.automatic / archival after write (postWrite,
         # SparkRDDWriteClient.java:263-281) — both no-ops until the table
         # exceeds retention, so the steady-state driver cost is one listing
-        if self.cfg.auto_clean and len(
-                self.timeline.completed_data_instants()) > \
-                self.cfg.clean_retain_commits:
+        if self.cfg.auto_clean and len(data) > self.cfg.clean_retain_commits:
             self.clean()
-        if self.cfg.auto_archive:
+        if self.cfg.auto_archive and len(data) > self.cfg.archive_max_commits:
             self.archive()
 
     def schedule_compaction(self, **kw) -> Optional[str]:

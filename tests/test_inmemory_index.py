@@ -160,3 +160,66 @@ def test_buried_replacecommit_invalidates_cache(spark, tmp_table_path,
                          "_hoodie_partition_path")
             .count().filter("count > 1").count())
     assert dups == 0
+
+
+def test_archival_shrink_keeps_cache(spark, tmp_table_path, lineitem):
+    """Archival moves completed instants out of the active timeline without
+    changing any key→file-group mapping, so the cached key index must
+    SURVIVE an archival event (the validity token is archival-insensitive:
+    a stored token that differs from the current one only by instants now
+    in the archive dir is still valid).  A shrink NOT explained by the
+    archive (restore) still invalidates."""
+    t = _make(spark, tmp_table_path)
+    t.cfg = t.cfg.with_(clean_retain_commits=1)
+    small = lineitem.filter("l_orderkey % 50 = 3")
+    t.upsert(small)
+    upd = small.withColumn("l_quantity", F.lit(7.0))
+    for i in range(4):
+        t.upsert(upd.withColumn("l_extendedprice",
+                                F.col("l_extendedprice") + i))
+    t.clean()
+    assert t._key_index is not None
+    idx_before = t._key_index
+    # deterministic archival event between two batches
+    t.cfg = t.cfg.with_(archive_min_commits=2, archive_max_commits=3)
+    moved = t.archive()
+    assert moved > 0, "test needs an actual archival event"
+    t.upsert(upd.withColumn("l_extendedprice", F.col("l_extendedprice") + 99))
+    # cache survived: the SAME persisted DataFrame object routed the batch
+    assert t._key_index is idx_before
+    # direct semantics of the validity rule
+    cur = t._data_instants_token()
+    archived = {i.time for i in t.timeline.archived_instants()}
+    assert archived, "archival must have populated the archive dir"
+    some_archived = next(iter(archived))
+    assert t._token_still_valid(cur, cur)
+    assert t._token_still_valid(cur | {some_archived}, cur)      # archival shrink
+    assert not t._token_still_valid(cur | {"99999999999999999"}, cur)  # restore
+    assert not t._token_still_valid(cur - set(list(cur)[:1]), cur)     # foreign commit
+    assert not t._token_still_valid(None, cur)
+    assert not t._token_still_valid(("pending", "x"), cur)
+
+
+def test_one_active_listing_per_steady_batch(spark, tmp_table_path, lineitem):
+    """The write batch derives its validity token, pending sets, schema
+    check, and file-system view from ONE active-timeline listing (a
+    counting fake on Timeline.instants; the archive dir is separate and
+    only consulted when the active set shrinks)."""
+    t = _make(spark, tmp_table_path)
+    small = lineitem.filter("l_orderkey % 50 = 3")
+    t.upsert(small)                            # cold: seeds cache + recovery
+    upd = small.withColumn("l_quantity", F.lit(9.0))
+    t.upsert(upd)                              # warm the lane
+    calls = {"n": 0}
+    real = type(t.timeline).instants
+    def counting(self_tl):
+        calls["n"] += 1
+        return real(self_tl)
+    import unittest.mock as mock
+    with mock.patch.object(type(t.timeline), "instants", counting):
+        t.upsert(upd.withColumn("l_extendedprice",
+                                F.col("l_extendedprice") + 1))
+    # exactly: 1 listing for the batch planning (token + pending sets +
+    # schema check + view, all from the same snapshot) and 1 for the
+    # post-commit service-eligibility gates
+    assert calls["n"] == 2, f"expected 2 active listings, saw {calls['n']}"
