@@ -202,6 +202,16 @@ class WriteConfig:
     # True forces the broadcast path whenever semantically eligible (skips
     # the size guard only); False always uses the window merge.
     cow_broadcast_merge: Optional[bool] = None
+    # COW fast-lane pre-write probe strategy:
+    #   "profile"  — one per-batch workload-profile action over the raw
+    #                keyed batch (count/min/max per partition); tagging
+    #                fuses into the write job (measured fastest at sf0.1).
+    #   "warm_tag" — with a warm covering cached index: bounded
+    #                limit(cap+1) size probe + one tag-profile action over
+    #                the PINNED index (exact touched-group set, no batch
+    #                profile).  Wins when groups are near target size and
+    #                the batch touches few of them.
+    fast_lane_probe: str = "profile"
     # MOR merged read/compaction: when a dirty slice-set's total log bytes is
     # under this, the base side is split by a broadcast of the log key set —
     # untouched keys pass through in their scan partitions (ZERO shuffle of

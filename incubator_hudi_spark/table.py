@@ -743,14 +743,37 @@ class HudiTable:
                 fast_lane = False       # bootstrap groups need the general lane
             prof = None
             if fast_lane:
-                with _stage("upsert.profile"):
-                    prof = profile_src.groupBy(META_PARTITION_PATH).agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.min(META_RECORD_KEY).alias("mn"),
-                        F.max(META_RECORD_KEY).alias("mx")).collect()
-                if sum(r[1] for r in prof) <= self.cfg.index_broadcast_max_rows:
+                cap = self.cfg.index_broadcast_max_rows
+                # "warm_tag" probe strategy: with a warm covering cached
+                # index the per-batch workload-profile collect is replaced
+                # by a bounded limit(cap+1) size probe here plus one
+                # tag-profile action over the PINNED index inside
+                # _upsert_cow_fast (exact touched-group set).  Default
+                # "profile" keeps the fused single-write-job shape, which
+                # measures faster on small-file-bound layouts (see
+                # BASELINE.md probe-strategy A/B).
+                warm_index = (
+                    self.cfg.fast_lane_probe == "warm_tag"
+                    and self._index_cache_on
+                    and self._key_index is not None
+                    and self._key_index_valid_token == tok0
+                    and set(view.partitions()) <= self._key_index_parts)
+                if warm_index:
                     prepared = prepared.persist()
                     persisted = True
+                    with _stage("upsert.bc_probe"):
+                        bc_fast = prepared.limit(cap + 1).count() <= cap
+                else:
+                    with _stage("upsert.profile"):
+                        prof = profile_src.groupBy(META_PARTITION_PATH).agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.min(META_RECORD_KEY).alias("mn"),
+                            F.max(META_RECORD_KEY).alias("mx")).collect()
+                    bc_fast = sum(r[1] for r in prof) <= cap
+                if bc_fast:
+                    if not persisted:
+                        prepared = prepared.persist()
+                        persisted = True
                     with _stage("upsert.write"):
                         stats, fg_map, schema, wrote_inserts = \
                             self._upsert_cow_fast(view, instant.time,
@@ -1045,86 +1068,126 @@ class HudiTable:
                          token: Optional[frozenset] = None,
                          active: Optional[list] = None):
         """COW fast-update lane: one pre-write Spark action in the common
-        case (the per-partition batch profile the caller already ran); the
-        bloom-prune branch below adds a second, bounded action (a distinct
-        key-collect gated to ≤ ``bloom_prune_max_batch_keys`` batch rows).
+        case; the bloom-prune branch below adds a second, bounded action (a
+        distinct key-collect gated to ≤ ``bloom_prune_max_batch_keys``
+        batch rows).
 
-        The general lane pays a per-batch index-join action
-        (``tagged.groupBy(fg).count()``) just to learn which file groups to
-        rewrite.  Here the rewrite set comes from driver-side key-range
-        pruning of the manifest stats instead (the BLOOM index's min/max
-        ranges, fsview.base_key_range — a superset of the touched groups by
-        construction: a stored key is always inside its file's key range).
-        Exact key→file-group routing still happens through the index join,
-        but lazily, fused into the single write job.
+        Two entry shapes:
 
-        Inserts open new hash-bucketed file groups planned from the raw
-        per-partition counts (an upper bound — over-planned buckets stay
-        empty and write no files); small-file packing is skipped in this
-        lane (clustering restores layout), which keeps the plan free of
-        phantom rewrites.
+        - ``prof`` given (cold / uncached index): the caller's per-partition
+          batch profile drives driver-side key-range pruning of the manifest
+          stats (the BLOOM index's min/max ranges, fsview.base_key_range — a
+          superset of the touched groups by construction: a stored key is
+          always inside its file's key range).  Exact key→file-group routing
+          still happens through the index join, lazily, fused into the
+          single write job.
+        - ``prof is None`` (WARM covering cached index): no batch profile
+          ran at all.  One tag-profile action over the PINNED index
+          (broadcast batch ⋈ in-memory key index — no table scan, no batch
+          re-scan: ``prepared`` is persisted by the caller) yields the
+          EXACT touched-group set, exact per-partition insert counts, and
+          materializes ``tagged`` for reuse inside the write job.  Strictly
+          tighter than the stats superset, so the bloom second stage is
+          unnecessary.
+
+        Inserts open new hash-bucketed file groups planned from the
+        per-partition counts (raw counts are an upper bound in the prof
+        shape — over-planned buckets stay empty and write no files);
+        small-file packing is skipped in this lane (clustering restores
+        layout), which keeps the plan free of phantom rewrites.
 
         At 100 TB this is the steady-state writer shape: scan only the
-        stats-pruned slice set, broadcast the (small) batch key set for the
+        touched slice set, broadcast the (small) batch key set for the
         anti-join, zero full-table shuffles, one file per touched group.
         """
-        from .fsview import base_key_range
-        by_part = {r[0]: (r[2], r[3]) for r in prof}
-        rewrite: list[FileSlice] = []
-        for sl in view.latest_slices():
-            rng_b = by_part.get(sl.partition)
-            if rng_b is None:
-                continue
-            lo, hi = rng_b
-            rng = base_key_range(sl)
-            if rng is None or lo is None \
-                    or not (hi < rng[0] or lo > rng[1]):
-                rewrite.append(sl)
-        # bloom second stage (write side): for SMALL batches on tables with
-        # a bloom sidecar, collect the batch's keys and drop range-surviving
-        # slices whose bloom proves none present — on hash/unsorted layouts
-        # ranges all overlap and this is what bounds the rewrite set.  A
-        # fresh bloom has no false negatives (stale/logged slices are kept),
-        # so the set stays a superset of the touched groups.
-        n_batch = sum(r[1] for r in prof)
-        bloom_fgs = None
-        if (len(rewrite) > 8
-                and n_batch <= self.cfg.bloom_prune_max_batch_keys):
-            from .bloom import load_blooms, prune_slices_by_bloom
-            blooms = load_blooms(self.meta)
-            if blooms:
-                ks = [r[0] for r in
-                      prepared.select(META_RECORD_KEY).distinct().collect()]
-                rewrite = prune_slices_by_bloom(rewrite, blooms, ks)
-                # every stored location of a batch (key, partition) is in a
-                # bloom-positive slice — the tagging scan can skip the rest
-                bloom_fgs = {sl.file_group for sl in rewrite}
-        rewrite_fgs = {sl.file_group for sl in rewrite}
-        fg_map = {sl.file_group: sl.partition for sl in rewrite}
-
-        partitions = sorted(by_part)
-        mns = [r[2] for r in prof if r[2] is not None]
-        mxs = [r[3] for r in prof if r[3] is not None]
-        key_range = (min(mns), max(mxs)) if mns else None
-        index_df = self._load_index(view, partitions, key_range,
-                                    only_fgs=bloom_fgs, token=token)
-        # tagged stays UNPERSISTED in the common path: the routing below
-        # consumes it exactly once (a single coalesce projection), so the
-        # whole tag pipeline — broadcast the batch, semi-prune the index
-        # scan, broadcast the locations back — fuses into the one write job
-        # instead of paying a separate materialization round-trip per batch.
-        # Only the paths with a second consumer (the frozen-group probe, the
-        # multi-bucket range-join assignment) persist it.
-        tagged = tag_locations(prepared, index_df, self.cfg.index_type,
-                               broadcast_incoming=True)
         tagged_pinned = False
+        if prof is None:
+            # warm lane: exact routing from the pinned index
+            index_df = self._load_index(view, sorted(view.partitions()),
+                                        None, token=token)
+            tagged = tag_locations(prepared, index_df, self.cfg.index_type,
+                                   broadcast_incoming=True).persist()
+            tagged_pinned = True
+            with _stage("upsert.tag_profile"):
+                tag_prof = tagged.groupBy(
+                    META_PARTITION_PATH, FG_COL).count().collect()
+            rewrite_fgs = {r[1] for r in tag_prof if r[1] is not None}
+            fg_map = {r[1]: r[0] for r in tag_prof if r[1] is not None}
+            insert_counts: dict[str, int] = {}
+            for r in tag_prof:
+                if r[1] is None:
+                    insert_counts[r[0]] = insert_counts.get(r[0], 0) + r[2]
+        else:
+            from .fsview import base_key_range
+            by_part = {r[0]: (r[2], r[3]) for r in prof}
+            rewrite: list[FileSlice] = []
+            for sl in view.latest_slices():
+                rng_b = by_part.get(sl.partition)
+                if rng_b is None:
+                    continue
+                lo, hi = rng_b
+                rng = base_key_range(sl)
+                if rng is None or lo is None \
+                        or not (hi < rng[0] or lo > rng[1]):
+                    rewrite.append(sl)
+            # bloom second stage (write side): for SMALL batches on tables
+            # with a bloom sidecar, collect the batch's keys and drop range-
+            # surviving slices whose bloom proves none present — on hash/
+            # unsorted layouts ranges all overlap and this is what bounds
+            # the rewrite set.  A fresh bloom has no false negatives (stale/
+            # logged slices are kept), so the set stays a superset of the
+            # touched groups.
+            n_batch = sum(r[1] for r in prof)
+            bloom_fgs = None
+            if (len(rewrite) > 8
+                    and n_batch <= self.cfg.bloom_prune_max_batch_keys):
+                from .bloom import load_blooms, prune_slices_by_bloom
+                blooms = load_blooms(self.meta)
+                if blooms:
+                    ks = [r[0] for r in
+                          prepared.select(META_RECORD_KEY).distinct().collect()]
+                    rewrite = prune_slices_by_bloom(rewrite, blooms, ks)
+                    # every stored location of a batch (key, partition) is
+                    # in a bloom-positive slice — the tagging scan can skip
+                    # the rest
+                    bloom_fgs = {sl.file_group for sl in rewrite}
+            rewrite_fgs = {sl.file_group for sl in rewrite}
+            fg_map = {sl.file_group: sl.partition for sl in rewrite}
+            insert_counts = {r[0]: r[1] for r in prof}
+
+            partitions = sorted(by_part)
+            mns = [r[2] for r in prof if r[2] is not None]
+            mxs = [r[3] for r in prof if r[3] is not None]
+            key_range = (min(mns), max(mxs)) if mns else None
+            index_df = self._load_index(view, partitions, key_range,
+                                        only_fgs=bloom_fgs, token=token)
+            # tagged stays UNPERSISTED in this shape: the routing below
+            # consumes it exactly once (a single coalesce projection), so
+            # the whole tag pipeline — broadcast the batch, semi-prune the
+            # index scan, broadcast the locations back — fuses into the one
+            # write job instead of paying a separate materialization
+            # round-trip per batch.  Only the paths with a second consumer
+            # (the frozen-group probe, the multi-bucket range-join
+            # assignment) persist it.
+            tagged = tag_locations(prepared, index_df, self.cfg.index_type,
+                                   broadcast_incoming=True)
         try:
-            # the stats-pruned rewrite superset may overlap a pending
-            # clustering plan spuriously — probe the exact tagged locations;
-            # once the probe proves no batch key lives in a frozen group,
-            # the frozen groups are dropped from the rewrite set (no-op
-            # pass-through rewrites would version them and waste IO)
             if frozen_fgs and (frozen_fgs & rewrite_fgs):
+                if prof is None:
+                    # warm lane: rewrite_fgs is EXACT — a batch key provably
+                    # lives in a frozen group (SparkRejectUpdateStrategy)
+                    from .services.clustering import ClusteringUpdateConflict
+                    raise ClusteringUpdateConflict(
+                        f"update touches file groups "
+                        f"{sorted(frozen_fgs & rewrite_fgs)[:3]} in a "
+                        "pending clustering plan; run_clustering() first or "
+                        "roll the plan back")
+                # the stats-pruned rewrite superset may overlap a pending
+                # clustering plan spuriously — probe the exact tagged
+                # locations; once the probe proves no batch key lives in a
+                # frozen group, the frozen groups are dropped from the
+                # rewrite set (no-op pass-through rewrites would version
+                # them and waste IO)
                 tagged = tagged.persist()
                 tagged_pinned = True
                 self._check_frozen(tagged, FG_COL, frozen_fgs)
@@ -1136,12 +1199,19 @@ class HudiTable:
                 fresh = drop_deleted(
                     tagged.filter(F.col(FG_COL).isNotNull())
                           .withColumn(FG, F.col(FG_COL)).drop(FG_COL))
+            elif not insert_counts:
+                # update-only batch, known exactly (warm lane): every row
+                # already carries its tagged group — no bucket planning
+                plan = []
+                fresh = drop_deleted(
+                    tagged.filter(F.col(FG_COL).isNotNull())
+                          .withColumn(FG, F.col(FG_COL)).drop(FG_COL))
             else:
                 rec_size = avg_record_size(self.meta, self.timeline,
                                            self.cfg.record_size_estimate,
                                            active=active)
                 plan = plan_insert_buckets(
-                    {r[0]: r[1] for r in prof}, view, self.cfg, rec_size,
+                    insert_counts, view, self.cfg, rec_size,
                     pack_small_files=False)
                 for b in plan:
                     fg_map[b.file_group] = b.partition

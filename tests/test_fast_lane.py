@@ -153,3 +153,101 @@ def test_missing_stats_fall_back_to_rewrite(spark, tmp_table_path, lineitem):
     snap = t2.read()
     assert snap.filter("l_quantity = 7777.0").count() == 1
     assert snap.count() == n_before
+
+
+def _warm_table(spark, path, lineitem):
+    from incubator_hudi_spark.config import INDEX_INMEMORY
+    t = make_table(spark, path)
+    t.cfg = t.cfg.with_(index_type=INDEX_INMEMORY, fast_lane_probe="warm_tag")
+    t.bulk_insert(lineitem)
+    t.upsert(lineitem.limit(0))            # no-op warms nothing; real warm:
+    t.upsert(lineitem.filter("l_orderkey % 97 = 0")
+             .withColumn("l_quantity", F.lit(1.0)))   # loads + pins index
+    assert t._key_index is not None
+    return t
+
+
+def test_warm_tag_probe_matches_profile_lane(spark, tmp_table_path, lineitem):
+    """warm_tag probe strategy (exact tag-profile over the pinned index,
+    no per-batch workload profile) produces snapshots identical to the
+    default profile strategy for update-only, mixed update+insert (incl. a
+    brand-new partition), and delete batches."""
+    warm = _warm_table(spark, tmp_table_path + "_wt", lineitem)
+    base = make_table(spark, tmp_table_path + "_pf")
+    from incubator_hudi_spark.config import INDEX_INMEMORY
+    base.cfg = base.cfg.with_(index_type=INDEX_INMEMORY)
+    base.bulk_insert(lineitem)
+    base.upsert(lineitem.limit(0))
+    base.upsert(lineitem.filter("l_orderkey % 97 = 0")
+                .withColumn("l_quantity", F.lit(1.0)))
+
+    # 1. update-only
+    upd = (lineitem.filter("l_orderkey % 11 = 4")
+           .withColumn("l_quantity", F.lit(77.0)))
+    warm.upsert(upd)
+    base.upsert(upd)
+    # the update-only batch kept the cache + the exact lane ran
+    assert warm._key_index is not None
+
+    # 2. mixed: updates + inserts into existing AND brand-new partitions
+    ins_new = (lineitem.filter("l_orderkey % 13 = 2")
+               .withColumn("l_orderkey", F.col("l_orderkey") + 9_000_000)
+               .withColumn("l_shipdate", F.expr("l_shipdate + INTERVAL 40 YEARS")))
+    mixed = upd.withColumn("l_quantity", F.lit(78.0)).unionByName(ins_new)
+    warm.upsert(mixed)
+    base.upsert(mixed)
+
+    # 3. delete a slice of keys
+    dels = lineitem.filter("l_orderkey % 19 = 6")
+    warm.delete(dels.select("l_orderkey", "l_linenumber", "l_shipdate"))
+    base.delete(dels.select("l_orderkey", "l_linenumber", "l_shipdate"))
+
+    a = warm.read().drop("_hoodie_commit_time", "_hoodie_file_name",
+                         "_hoodie_commit_seqno")
+    b = base.read().drop("_hoodie_commit_time", "_hoodie_file_name",
+                         "_hoodie_commit_seqno")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_warm_tag_exact_rewrite_set(spark, tmp_table_path, lineitem):
+    """With warm_tag the rewrite set is EXACT: a partition-local update
+    rewrites files only in the touched partition."""
+    warm = _warm_table(spark, tmp_table_path, lineitem)
+    part = (lineitem.selectExpr("date_format(l_shipdate,'yyyy-MM') m")
+            .groupBy("m").count().orderBy(F.desc("count")).first()[0])
+    loc = (lineitem.filter(F.date_format("l_shipdate", "yyyy-MM") == part)
+           .withColumn("l_quantity", F.lit(55.0)))
+    c = warm.upsert(loc)
+    touched_parts = {s.partition for s in warm.view().latest_slices()
+                     if s.base_instant == c}
+    assert touched_parts == {part}, touched_parts
+    got = warm.read().filter("l_quantity = 55.0").count()
+    exp = loc.selectExpr("l_orderkey", "l_linenumber",
+                         "date_format(l_shipdate,'yyyy-MM') m").distinct().count()
+    assert got == exp
+
+
+def test_warm_tag_frozen_group_conflict(spark, tmp_table_path, lineitem):
+    """warm_tag's exact set makes the frozen-group check driver-side: an
+    update into a clustering-frozen group raises immediately."""
+    from incubator_hudi_spark.config import INDEX_INMEMORY
+    from incubator_hudi_spark.services.clustering import (
+        ClusteringUpdateConflict, schedule_clustering)
+    warm = HudiTable.create(
+        spark, tmp_table_path, name="li",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy')",
+        precombine_field="l_shipdate")
+    # tiny target size → several groups per partition → clusterable plan
+    warm.cfg = warm.cfg.with_(index_type=INDEX_INMEMORY,
+                              fast_lane_probe="warm_tag",
+                              target_file_size_bytes=64 * 1024)
+    warm.bulk_insert(lineitem)
+    warm.upsert(lineitem.filter("l_orderkey % 97 = 0")
+                .withColumn("l_quantity", F.lit(1.0)))
+    assert warm._key_index is not None
+    st = schedule_clustering(warm, sort_columns=["l_orderkey"])
+    assert st is not None
+    with pytest.raises(ClusteringUpdateConflict):
+        warm.upsert(lineitem.withColumn("l_quantity", F.lit(9.0)))
