@@ -1101,12 +1101,17 @@ spans AS (
 nz AS (SELECT * FROM spans WHERE length(span) > 0),
 counts AS (SELECT md5(span) AS h, count(DISTINCT doc_id) AS n_docs
            FROM nz GROUP BY 1),
-kept AS (SELECT nz.doc_id, nz.span_id, nz.span
-         FROM nz JOIN counts ON md5(nz.span) = counts.h
-         WHERE counts.n_docs <= 1),
-rebuilt AS (SELECT doc_id, string_agg(span, ' ' ORDER BY span_id) AS text
-            FROM kept GROUP BY doc_id)
-SELECT d.doc_id, coalesce(r.text, '') AS text
+joined AS (SELECT nz.doc_id, nz.span_id, nz.span, counts.n_docs
+           FROM nz JOIN counts ON md5(nz.span) = counts.h),
+rebuilt AS (SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN n_docs <= 1 THEN span END,
+                                       ' ' ORDER BY span_id), '') AS text,
+                   count(*) AS n_total,
+                   count(CASE WHEN n_docs <= 1 THEN 1 END) AS n_kept
+            FROM joined GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN r.n_total IS NULL OR r.n_kept = r.n_total THEN d.text
+            ELSE r.text END AS text
 FROM docs d LEFT JOIN rebuilt r USING (doc_id)
 """)
 def span_dedup_corpus(spark, sf_dir):

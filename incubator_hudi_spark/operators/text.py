@@ -411,8 +411,11 @@ def dedup_spans(df: DataFrame, span_words: int = 10,
     consecutive non-overlapping ``span_words``-word spans; spans whose exact
     text occurs in MORE than ``max_occurrences`` documents corpus-wide are
     removed from every document, and the surviving spans are reassembled in
-    their original order.  Boilerplate (headers, license blurbs, mirrored
-    articles) disappears while unique prose survives.
+    their original order.  Reassembly joins spans with single spaces, so a
+    document that LOST a span also has its whitespace runs (tabs, newlines,
+    double spaces) normalized; documents with no removed span keep their
+    original text byte-for-byte.  Boilerplate (headers, license blurbs,
+    mirrored articles) disappears while unique prose survives.
 
     100 TB shape: spans are derived with array expressions (no word-level
     explode — the span explode is ~1/span_words the row count), counted with
@@ -432,17 +435,30 @@ def dedup_spans(df: DataFrame, span_words: int = 10,
              .withColumn("span_hash", F.md5("span")))
     counts = (seg.groupBy("span_hash")
                  .agg(F.countDistinct(id_col).alias("n_docs")))
-    kept = (seg.join(counts, "span_hash")
-               .filter(F.col("n_docs") <= max_occurrences))
-    rebuilt = (kept.groupBy(id_col)
+    keep = F.col("n_docs") <= max_occurrences
+    # one aggregate yields the reassembled text AND the kept/total span
+    # counts (collect_list drops the nulls the `when` leaves for removed
+    # spans), so the untouched-document check below costs no extra shuffle
+    rebuilt = (seg.join(counts, "span_hash")
+               .groupBy(id_col)
                .agg(F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("span_id", "span"))),
-                        lambda s: s["span"]), " ").alias(text_col)))
-    # documents whose every span was removed survive with empty text; all
-    # non-text columns pass through untouched (schema-preserving, like the
-    # sibling operators — downstream per-source/per-lang steps keep working)
-    return (df.drop(text_col).join(rebuilt, id_col, "left")
-              .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(keep,
+                                       F.struct("span_id", "span")))),
+                            lambda s: s["span"]), " ").alias("_rebuilt"),
+                    F.count(F.lit(1)).alias("_n_total"),
+                    F.count(F.when(keep, 1)).alias("_n_kept")))
+    # Reassembly joins surviving spans with single spaces, so a CHANGED
+    # document's whitespace runs (tabs, newlines, double spaces) collapse.
+    # Documents with NO removed span keep their original text verbatim —
+    # including all original whitespace (and documents with no spans at
+    # all: empty/whitespace-only text).  Documents whose every span was
+    # removed survive with empty text; all non-text columns pass through
+    # untouched (schema-preserving, like the sibling operators).
+    untouched = (F.col("_n_total").isNull()
+                 | (F.col("_n_kept") == F.col("_n_total")))
+    return (df.join(rebuilt, id_col, "left")
+              .withColumn(text_col, F.when(untouched, F.col(text_col))
+                                     .otherwise(F.col("_rebuilt")))
               .select(*df.columns))

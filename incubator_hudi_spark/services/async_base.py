@@ -15,7 +15,13 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Optional
+
+
+class ServiceStopTimeout(Exception):
+    """stop() gave up waiting for the worker (a hung ``_execute``); the
+    daemon thread is abandoned (it is a daemon — process exit kills it)."""
 
 
 class AsyncInstantService:
@@ -23,7 +29,9 @@ class AsyncInstantService:
     the subclass's ``_execute``.  ``stop()`` drains outstanding work and
     joins; errors surface there."""
 
-    #: seconds stop() waits for the worker to finish its last item
+    #: seconds stop() waits for the worker to drain the queue AND finish
+    #: its last item; a hung _execute raises ServiceStopTimeout instead of
+    #: deadlocking the caller
     join_timeout_s: float = 120.0
 
     def __init__(self, table):
@@ -31,6 +39,7 @@ class AsyncInstantService:
         self._q: "queue.Queue[Optional[str]]" = queue.Queue()
         self.completed: list[str] = []
         self.errors: list[Exception] = []
+        self._stopped = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -49,6 +58,10 @@ class AsyncInstantService:
         return t
 
     def enqueue(self, instant_time: str) -> None:
+        if self._stopped:
+            raise RuntimeError(
+                "service already stopped — enqueue() after stop() would "
+                "never execute (the worker has exited)")
         self._q.put(instant_time)
 
     def _run(self) -> None:
@@ -65,9 +78,25 @@ class AsyncInstantService:
                 self._q.task_done()
 
     def stop(self, raise_errors: bool = True) -> list[str]:
-        self._q.join()
+        """Drain outstanding work with a deadline, then retire the worker.
+        Idempotent: a second stop() returns immediately.  A hung
+        ``_execute`` raises ServiceStopTimeout after ``join_timeout_s``
+        instead of blocking forever (Queue.join has no timeout, so the
+        drain polls ``unfinished_tasks`` against the deadline)."""
+        if self._stopped:
+            if self.errors and raise_errors:
+                raise self.errors[0]
+            return list(self.completed)
+        self._stopped = True
+        deadline = time.monotonic() + self.join_timeout_s
+        while self._q.unfinished_tasks:
+            if time.monotonic() > deadline:
+                raise ServiceStopTimeout(
+                    f"worker still busy after {self.join_timeout_s}s "
+                    f"({self._q.unfinished_tasks} item(s) outstanding)")
+            time.sleep(0.05)
         self._q.put(None)
-        self._worker.join(timeout=self.join_timeout_s)
+        self._worker.join(timeout=max(0.0, deadline - time.monotonic()) + 5)
         if self.errors and raise_errors:
             raise self.errors[0]
         return list(self.completed)

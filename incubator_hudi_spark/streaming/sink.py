@@ -48,7 +48,16 @@ def last_stamped_batch(timeline, query_id: str) -> Optional[int]:
 
 class HudiStreamingSink:
     """Callable for ``writeStream.foreachBatch``; also usable directly for
-    manual micro-batching (``sink(df, i)``)."""
+    manual micro-batching (``sink(df, i)``).
+
+    Single-writer-per-``query_id`` assumption: the stamp-probe cache skips
+    instants at or below its high-water mark, so a stamped commit completing
+    at a BURIED instant time — possible only when a second concurrent writer
+    shares this ``query_id`` (e.g. a native HudiStreamBulkWriter on the same
+    stream) — would go unseen until a fresh sink re-scans.  Structured
+    Streaming itself guarantees one running query per checkpoint/query id,
+    so this matches the engine's (and the reference sink's) operating model;
+    do not share a query_id across concurrently-running writers."""
 
     def __init__(self, table, operation: str = "upsert",
                  query_id: str = "default",

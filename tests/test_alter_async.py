@@ -259,3 +259,47 @@ def test_sink_stamp_probe_is_incremental(spark, tmp_path, li):
         type(t.timeline).read_metadata = orig
     # a FRESH sink (crash replay) still full-scans and agrees
     assert HudiStreamingSink(t, query_id="probe").last_committed_batch() == 1
+
+
+def test_async_service_stop_deadline_and_guards():
+    """stop() must not deadlock on a hung _execute (bounded by
+    join_timeout_s), must be idempotent, and enqueue() after stop() must
+    refuse instead of queueing work that can never run."""
+    import threading
+    import time as _time
+
+    from incubator_hudi_spark.services.async_base import (
+        AsyncInstantService, ServiceStopTimeout)
+
+    class Hang(AsyncInstantService):
+        def __init__(self):
+            self.release = threading.Event()
+            super().__init__(table=None)
+        def _execute(self, instant_time):
+            self.release.wait(timeout=30)
+
+    s = Hang()
+    s.join_timeout_s = 0.5
+    s.enqueue("t1")
+    t0 = _time.monotonic()
+    try:
+        s.stop()
+        assert False, "stop() should have timed out on the hung execute"
+    except ServiceStopTimeout:
+        pass
+    assert _time.monotonic() - t0 < 5, "deadline not honored"
+    s.release.set()                      # unhang; worker drains and exits
+
+    class Quick(AsyncInstantService):
+        def _execute(self, instant_time):
+            pass
+
+    q = Quick(table=None)
+    q.enqueue("a")
+    assert q.stop() == ["a"]
+    assert q.stop() == ["a"]             # idempotent second stop
+    try:
+        q.enqueue("b")
+        assert False, "enqueue after stop must refuse"
+    except RuntimeError:
+        pass

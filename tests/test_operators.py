@@ -447,6 +447,25 @@ def test_dedup_spans_removes_corpus_wide_boilerplate(spark):
     assert dedup_spans(df2, span_words=10).first()["text"] == long
 
 
+def test_dedup_spans_untouched_docs_keep_whitespace(spark):
+    """Documents with no removed span keep their text byte-for-byte
+    (tabs/newlines/double spaces survive); only documents that actually
+    lost a span get single-space-rejoined."""
+    from incubator_hudi_spark.operators.text import dedup_spans
+    messy = "m1\tm2  m3\nm4 m5"                      # unique, messy ws
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    changed = boiler + "\nz1\tz2  z3"                # loses the boiler span
+    rows = [(1, messy), (2, boiler + " q1"), (3, changed),
+            (4, "   ")]                               # whitespace-only doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_spans(df, span_words=10).collect()}
+    assert out[1] == messy                            # untouched → verbatim
+    assert out[4] == "   "                            # no spans → verbatim
+    assert out[3] == "z1 z2 z3"                       # changed → normalized
+    assert out[2] == "q1"
+
+
 def test_sample_token_budget_hits_expected_mass(spark):
     from incubator_hudi_spark.operators.sampling import sample_token_budget
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

@@ -243,9 +243,16 @@ def test_sql_using_hudi_py_watch(spark, tmp_path):
     try:
         n = spark.sql("SELECT count(*) AS n FROM hudi_py_watch").first().n
     except Exception as e:
+        # skip ONLY the known forwarding gap: our reader raises its
+        # distinctive "path option required" ValueError when Spark hands it
+        # empty options.  Any OTHER failure (schema bug, kernel regression)
+        # must fail the test, not masquerade as the Spark limitation.
+        msg = str(e)
+        if ".load(path) / .option('path'" not in msg:
+            raise
         pytest.skip("Spark still does not forward OPTIONS/LOCATION to "
                     f"Python-data-source scans: {type(e).__name__}: "
-                    f"{str(e)[:160]}")
+                    f"{msg[:160]}")
     finally:
         spark.sql("DROP TABLE IF EXISTS hudi_py_watch")
     # forwarding works now — the limitation is gone: demand full parity and
