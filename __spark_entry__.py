@@ -423,6 +423,28 @@ def cow_incremental_pull(spark, sf_dir):
                       "l_quantity")
 
 
+@q("incremental_glob", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '{_TS_FMT_DUCK}') AS ship_ts,
+       l_quantity + 1000.0 AS l_quantity
+FROM li_d WHERE l_linenumber = 1 AND strftime(l_shipdate, '%Y') = '1996'
+""")
+def incremental_glob(spark, sf_dir):
+    """Incremental pull with INCR_PATH_GLOB (DataSourceOptions.scala:87-99,
+    applied in IncrementalRelation.scala:64-181): the change stream (c1, c2]
+    restricted to slices whose partition/file path matches the glob — here
+    the 1996-* monthly partitions.  Driver-side slice filtering, so the scan
+    never opens a pruned file."""
+    from incubator_hudi_spark import QUERY_INCREMENTAL
+    r = _r_cow_upserted(spark, sf_dir)
+    inc = r["t"].read(QUERY_INCREMENTAL, begin=r["c1"], end=r["c2"],
+                      path_glob="1996-*/*")
+    return inc.select("l_orderkey", "l_linenumber",
+                      F.date_format("l_shipdate", _TS_FMT_SPARK).alias("ship_ts"),
+                      "l_quantity")
+
+
 @q("cow_point_in_time", f"""
 WITH {_LI_DEDUP}
 SELECT l_orderkey, l_linenumber,
@@ -946,6 +968,49 @@ def async_clustering_ingest(spark, sf_dir):
         assert not pending_clustering_instants(t)
         return {"t": t}
     t = _recipe("async_cluster", sf_dir, build)["t"]
+    return t.read().select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@q("async_compaction_ingest", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_orderkey % 7 = 2 THEN l_quantity + 5000
+            WHEN l_orderkey % 5 = 1 THEN l_quantity + 1000
+            ELSE l_quantity END AS l_quantity
+FROM li_d
+""")
+def async_compaction_ingest(spark, sf_dir):
+    """Async compaction daemon under live ingest (SparkAsyncCompactService.java;
+    streaming trigger HoodieStreamingSink.scala:92-94): a scheduled
+    compaction plan drains on a worker thread WHILE upserts keep landing.
+    The plan pins its file groups at their planned log set; a delta
+    committed mid-compaction appends a log BUMPED PAST the compaction
+    instant (pending-compaction-before-view ordering), so the merged read
+    after stop() sees base′ ∪ post-plan logs — the interleaving cannot
+    lose the concurrent update."""
+    from incubator_hudi_spark.services.async_compaction import (
+        AsyncCompactionService, pending_compaction_instants)
+
+    def build():
+        t = _lineitem_table(spark, sf_dir, _new_path("async_compact", sf_dir),
+                            table_type="MERGE_ON_READ",
+                            inline_compaction=False)
+        li = _load(spark, sf_dir, "lineitem")
+        t.upsert(li)                                       # base files
+        t.upsert(li.filter("l_orderkey % 5 = 1")           # dirty logs
+                 .withColumn("l_quantity", F.col("l_quantity") + 1000.0))
+        svc = AsyncCompactionService(t)
+        st = svc.schedule_and_enqueue()
+        assert st is not None
+        # ingest continues under the daemon — this delta may land before,
+        # during, or after the compaction executes; all interleavings must
+        # converge to the same snapshot
+        t.upsert(li.filter("l_orderkey % 7 = 2")
+                 .withColumn("l_quantity", F.col("l_quantity") + 5000.0))
+        assert svc.stop() == [st]
+        assert not pending_compaction_instants(t)
+        return {"t": t}
+    t = _recipe("async_compact", sf_dir, build)["t"]
     return t.read().select("l_orderkey", "l_linenumber", "l_quantity")
 
 

@@ -311,3 +311,29 @@ def incremental_window(timeline, begin, end):
         md = timeline.read_metadata(ins)
         touched.update(st["file_group"] for st in md.get("write_stats", []))
     return instants, hi, touched
+
+
+def filter_slices_by_glob(slices, path_glob: Optional[str]):
+    """Incremental path-glob filter (DataSourceOptions.scala:87-99
+    INCR_PATH_GLOB; applied in IncrementalRelation.scala:64-181): keep only
+    slices one of whose files' PARTITION-LAYOUT path
+    ``<partition_path>/<file name>`` fnmatches ``*<glob>``.  The reference
+    matches the glob against full file paths under the base path (its
+    physical layout IS partition dirs); this engine's physical layout is
+    instant dirs, so the glob is matched against the logical
+    partition/file path — user-facing globs like ``'2024-0*/*'`` stay
+    portable.  Shared by table._read_incremental and the native DataSource
+    planner so the two cannot desync."""
+    if not path_glob:
+        return slices
+    import fnmatch
+    import os as _os
+    pat = "*" + path_glob
+
+    def _hit(sl) -> bool:
+        names = ([_os.path.basename(f.path) for f in sl.base_files]
+                 + [_os.path.basename(lf.path) for lf in sl.log_files])
+        return any(fnmatch.fnmatch(f"{sl.partition}/{n}", pat)
+                   for n in names)
+
+    return [sl for sl in slices if _hit(sl)]

@@ -125,20 +125,22 @@ def _stored_schema(meta: TableMetaClient) -> StructType:
 def _plan_slices(meta: TableMetaClient, query_type: str,
                  begin: Optional[str], end: Optional[str],
                  partitions: Optional[Sequence[str]],
-                 as_of: Optional[str] = None) -> list[SlicePartition]:
+                 as_of: Optional[str] = None,
+                 path_glob: Optional[str] = None) -> list[SlicePartition]:
     """Mirror of table._read_incremental / snapshot slice resolution."""
     from .fsview import FileSystemView
 
     commit_lo = commit_hi = None
     if query_type == QUERY_INCREMENTAL:
-        from .fsview import incremental_window
+        from .fsview import filter_slices_by_glob, incremental_window
         instants, hi, touched = incremental_window(meta.timeline, begin, end)
         if not instants:
             return []
         commit_hi, commit_lo = hi, begin
         view = FileSystemView(meta, as_of=commit_hi)
-        slices = [sl for sl in view.latest_slices(partitions)
-                  if sl.file_group in touched]
+        slices = filter_slices_by_glob(
+            [sl for sl in view.latest_slices(partitions)
+             if sl.file_group in touched], path_glob)
     else:
         # time travel = fold the timeline only up to as_of (the DataFrame
         # path's read(as_of=...) — no row filter needed: later commits'
@@ -410,6 +412,9 @@ class HudiBatchReader(DataSourceReader):
         parts = options.get("hoodie.datasource.read.partitions")
         self._partitions = ([p.strip() for p in parts.split(",") if p.strip()]
                             if parts else None)
+        # INCR_PATH_GLOB (DataSourceOptions.scala:87-99)
+        self._path_glob = options.get(
+            "hoodie.datasource.read.incr.path.glob")
         meta = _meta(options)
         self._payload = meta.config.payload
         self._precombine = meta.config.precombine_field
@@ -418,7 +423,8 @@ class HudiBatchReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         meta = TableMetaClient(self._path)
         planned = _plan_slices(meta, self._query_type, self._begin, self._end,
-                               self._partitions, as_of=self._as_of)
+                               self._partitions, as_of=self._as_of,
+                               path_glob=self._path_glob)
         # zero-slice plans (empty incremental window) still need one task
         return planned or [SlicePartition(file_group="", partition="")]
 

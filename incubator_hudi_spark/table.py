@@ -1681,13 +1681,21 @@ class HudiTable:
              begin: Optional[str] = None, end: Optional[str] = None,
              as_of: Optional[str] = None,
              partitions: Optional[Sequence[str]] = None,
-             merge_type: str = "payload_combine") -> DataFrame:
+             merge_type: str = "payload_combine",
+             path_glob: Optional[str] = None) -> DataFrame:
         """``merge_type`` (MOR snapshot only, DataSourceOptions.scala:54-61):
         ``payload_combine`` (default) key-merges logs against the base;
         ``skip_merge`` concatenates base + log rows without merging — the
-        cheap mode for pipelines that re-aggregate by key anyway."""
+        cheap mode for pipelines that re-aggregate by key anyway.
+        ``path_glob`` (incremental only, DataSourceOptions.scala:87-99
+        INCR_PATH_GLOB): restrict the pull to slices whose
+        ``partition/file`` path matches ``*<glob>``."""
         if query_type == QUERY_INCREMENTAL:
-            return self._read_incremental(begin, end, partitions)
+            return self._read_incremental(begin, end, partitions, path_glob)
+        if path_glob is not None:
+            raise ValueError("path_glob applies to incremental queries only "
+                             "(INCR_PATH_GLOB); use partitions=[...] to "
+                             "restrict snapshot reads")
         view = self.view(as_of=as_of or end)
         slices = view.latest_slices(partitions)
         return self._read_slices(slices,
@@ -2036,7 +2044,8 @@ class HudiTable:
         return out.select(*cols)
 
     def _read_incremental(self, begin: Optional[str], end: Optional[str],
-                          partitions: Optional[Sequence[str]]) -> DataFrame:
+                          partitions: Optional[Sequence[str]],
+                          path_glob: Optional[str] = None) -> DataFrame:
         """Change-stream in (begin, end]: latest value of every key changed in
         the range (IncrementalRelation.scala:64-181 /
         MergeOnReadIncrementalRelation.scala:95-111).  File set = commits'
@@ -2052,9 +2061,11 @@ class HudiTable:
         instants, hi, touched = incremental_window(self.timeline, begin, end)
         if not instants:
             return self.spark.createDataFrame([], self._read_schema())
+        from .fsview import filter_slices_by_glob
         view = self.view(as_of=hi)
         slices = [sl for sl in view.latest_slices(partitions)
                   if sl.file_group in touched]
+        slices = filter_slices_by_glob(slices, path_glob)
         df = self._read_slices(slices, read_optimized=False, view=view)
         cond = F.col(META_COMMIT_TIME) <= F.lit(hi)
         if begin is not None:

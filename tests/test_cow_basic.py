@@ -260,3 +260,35 @@ def test_bulk_insert_sort_modes(spark, tmp_table_path, lineitem):
     for mode in (SORT_PARTITION, SORT_NONE):
         assert a.exceptAll(snaps[mode]).count() == 0
         assert snaps[mode].exceptAll(a).count() == 0
+
+
+def test_incremental_path_glob(spark, tmp_table_path, lineitem):
+    """INCR_PATH_GLOB parity (DataSourceOptions.scala:87-99): the
+    incremental pull restricted by a partition/file glob returns exactly
+    the changed rows whose partition matches; snapshot reads reject the
+    option (incremental-only, like the reference)."""
+    t = HudiTable.create(spark, tmp_table_path, "t",
+                         recordkey_fields=["l_orderkey", "l_linenumber"],
+                         partition_expr="date_format(l_shipdate,'yyyy-MM')",
+                         precombine_field="l_shipdate")
+    c1 = t.upsert(lineitem)
+    c2 = t.upsert(lineitem.filter("l_linenumber = 2")
+                  .withColumn("l_quantity", F.lit(888.0)))
+    year = (lineitem.selectExpr("date_format(l_shipdate,'yyyy') y")
+            .groupBy("y").count().orderBy(F.desc("count")).first()[0])
+    from incubator_hudi_spark.config import QUERY_INCREMENTAL
+    inc = t.read(QUERY_INCREMENTAL, begin=c1, end=c2,
+                 path_glob=f"{year}-*/*")
+    exp = (lineitem.filter("l_linenumber = 2")
+           .filter(F.date_format("l_shipdate", "yyyy") == year)
+           .selectExpr("l_orderkey", "l_linenumber",
+                       "date_format(l_shipdate,'yyyy-MM') m")
+           .distinct().count())
+    assert inc.count() == exp
+    assert (inc.filter(F.date_format("l_shipdate", "yyyy") != year)
+            .count() == 0)
+    # unfiltered pull is a strict superset
+    assert t.read(QUERY_INCREMENTAL, begin=c1, end=c2).count() >= exp
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.read(path_glob="*")             # snapshot: incremental-only option

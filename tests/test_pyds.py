@@ -292,3 +292,33 @@ def test_native_bootstrap_soft_delete_and_nullable_ints(spark, tmp_path):
     assert dict(native.dtypes)["maybe_null"] == "bigint"
     assert native.filter("maybe_null IS NOT NULL")\
                  .filter("maybe_null != l_orderkey").count() == 0
+
+
+def test_native_incremental_path_glob(spark, tmp_path):
+    """hoodie.datasource.read.incr.path.glob on the native DataSource
+    matches table.read(path_glob=...) exactly (shared planner)."""
+    from incubator_hudi_spark.config import QUERY_INCREMENTAL
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    t = HudiTable.create(
+        spark, str(tmp_path / "t"), "globt",
+        recordkey_fields=["l_orderkey", "l_linenumber"],
+        partition_expr="date_format(l_shipdate,'yyyy-MM')",
+        precombine_field="l_shipdate")
+    c1 = t.upsert(li)
+    c2 = t.upsert(li.filter("l_linenumber = 1")
+                  .withColumn("l_quantity", F.lit(321.0)))
+    year = (li.selectExpr("date_format(l_shipdate,'yyyy') y")
+            .groupBy("y").count().orderBy(F.desc("count")).first()[0])
+    native = (spark.read.format("hudi_py")
+              .option("hoodie.datasource.query.type", "incremental")
+              .option("hoodie.datasource.read.begin.instanttime", c1)
+              .option("hoodie.datasource.read.end.instanttime", c2)
+              .option("hoodie.datasource.read.incr.path.glob", f"{year}-*/*")
+              .load(str(tmp_path / "t")))
+    api = t.read(QUERY_INCREMENTAL, begin=c1, end=c2,
+                 path_glob=f"{year}-*/*")
+    a = {tuple(r) for r in
+         native.select("l_orderkey", "l_linenumber", "l_quantity").collect()}
+    b = {tuple(r) for r in
+         api.select("l_orderkey", "l_linenumber", "l_quantity").collect()}
+    assert a == b and a
