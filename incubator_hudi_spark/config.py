@@ -232,5 +232,11 @@ class WriteConfig:
     # deletes a shared file when no retained slice references it.
     mor_grouped_deltas: bool = True
 
+    def __post_init__(self):
+        if self.fast_lane_probe not in ("profile", "warm_tag"):
+            raise ValueError(
+                f"fast_lane_probe must be 'profile' or 'warm_tag', got "
+                f"{self.fast_lane_probe!r}")
+
     def with_(self, **kw) -> "WriteConfig":
         return replace(self, **kw)

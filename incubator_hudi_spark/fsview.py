@@ -149,8 +149,7 @@ class FileSystemView:
                 lo = None
         acts_folded = set(tl.DATA_ACTIONS) | {tl.CLEAN}
         if self._active_instants is not None:
-            completed = [i for i in self._active_instants
-                         if i.state == tl.COMPLETED and i.action in acts_folded]
+            completed = tl.completed_from(self._active_instants, acts_folded)
         else:
             completed = self.meta.timeline.completed(sorted(acts_folded))
         instants = [

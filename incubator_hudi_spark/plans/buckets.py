@@ -47,8 +47,7 @@ def avg_record_size(meta, timeline, default: int, active=None) -> int:
     timeline listing here."""
     from .. import timeline as tl
     if active is not None:
-        data = [i for i in active if i.state == tl.COMPLETED
-                and i.action in tl.DATA_ACTIONS]
+        data = tl.completed_from(active, tl.DATA_ACTIONS)
     else:
         data = timeline.completed_data_instants()
     total_b, total_r = 0, 0

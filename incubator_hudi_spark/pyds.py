@@ -412,9 +412,17 @@ class HudiBatchReader(DataSourceReader):
         parts = options.get("hoodie.datasource.read.partitions")
         self._partitions = ([p.strip() for p in parts.split(",") if p.strip()]
                             if parts else None)
-        # INCR_PATH_GLOB (DataSourceOptions.scala:87-99)
+        # INCR_PATH_GLOB (DataSourceOptions.scala:87-99) — incremental
+        # only, and rejected otherwise (parity with table.read(path_glob=)):
+        # silently returning an UNfiltered snapshot to a user who set a
+        # glob would be worse than an error
         self._path_glob = options.get(
             "hoodie.datasource.read.incr.path.glob")
+        if self._path_glob and self._query_type != QUERY_INCREMENTAL:
+            raise ValueError(
+                "hudi_py: hoodie.datasource.read.incr.path.glob applies to "
+                "incremental queries only (INCR_PATH_GLOB); use "
+                "hoodie.datasource.read.partitions to restrict snapshots")
         meta = _meta(options)
         self._payload = meta.config.payload
         self._precombine = meta.config.precombine_field

@@ -40,6 +40,7 @@ class AsyncInstantService:
         self.completed: list[str] = []
         self.errors: list[Exception] = []
         self._stopped = False
+        self._stop_timed_out = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -68,6 +69,9 @@ class AsyncInstantService:
         while True:
             item = self._q.get()
             if item is None:
+                # mark the sentinel done too: unfinished_tasks == 0 then
+                # means "worker retired cleanly", which stop() relies on
+                self._q.task_done()
                 return
             try:
                 self._execute(item)
@@ -84,6 +88,14 @@ class AsyncInstantService:
         instead of blocking forever (Queue.join has no timeout, so the
         drain polls ``unfinished_tasks`` against the deadline)."""
         if self._stopped:
+            # a prior stop() timed out: report honestly.  Still wedged →
+            # re-raise (never report a clean stop over outstanding work);
+            # unwedged since (sentinel consumed, unfinished == 0) → fall
+            # through to the normal error/completed report.
+            if self._stop_timed_out and self._q.unfinished_tasks:
+                raise ServiceStopTimeout(
+                    f"worker still busy ({self._q.unfinished_tasks} "
+                    "item(s) outstanding since the timed-out stop)")
             if self.errors and raise_errors:
                 raise self.errors[0]
             return list(self.completed)
@@ -91,9 +103,14 @@ class AsyncInstantService:
         deadline = time.monotonic() + self.join_timeout_s
         while self._q.unfinished_tasks:
             if time.monotonic() > deadline:
+                # enqueue the sentinel anyway: if the hung _execute ever
+                # returns, the worker drains it and retires instead of
+                # blocking in q.get() forever
+                self._stop_timed_out = True
+                self._q.put(None)
                 raise ServiceStopTimeout(
                     f"worker still busy after {self.join_timeout_s}s "
-                    f"({self._q.unfinished_tasks} item(s) outstanding)")
+                    f"({self._q.unfinished_tasks - 1} item(s) outstanding)")
             time.sleep(0.05)
         self._q.put(None)
         self._worker.join(timeout=max(0.0, deadline - time.monotonic()) + 5)

@@ -119,20 +119,39 @@ def pending_clustering_plans(table, active=None) -> list[tuple[tl.Instant, dict]
     clustering plan.  ``active``: optional ``timeline.instants()`` snapshot
     to derive pendings from instead of a fresh listing (keeps a write batch
     at one active-timeline listing)."""
-    if active is not None:
-        done = {(i.time, i.action) for i in active if i.state == tl.COMPLETED}
-        pend = [i for i in active if i.state != tl.COMPLETED
-                and (i.time, i.action) not in done]
-    else:
-        pend = table.timeline.pending()
+    pend = (tl.pending_from(active) if active is not None
+            else table.timeline.pending())
     out = []
     for p in pend:
         if p.action != tl.REPLACE_COMMIT:
             continue
-        try:
-            md = table.timeline.read_metadata(p)
-        except FileNotFoundError:
-            continue
+        # an async executor may transition the plan between the caller's
+        # listing and this read (requested → inflight deletes the requested
+        # file).  Chase it; a plan that COMPLETED in that window must still
+        # freeze its groups for this batch — the caller's view predates the
+        # replace, so writing into the replaced groups would be lost.  The
+        # completed replacecommit's metadata carries no "clustering" flag,
+        # so reconstruct a frozen-set-only plan from its replaced groups.
+        md = None
+        for st in (p.state, tl.REQUESTED, tl.INFLIGHT):
+            try:
+                md = table.timeline.read_metadata(
+                    tl.Instant(p.time, tl.REPLACE_COMMIT, st))
+                break
+            except FileNotFoundError:
+                continue
+        if md is None:
+            try:
+                done_md = table.timeline.read_metadata(
+                    tl.Instant(p.time, tl.REPLACE_COMMIT, tl.COMPLETED))
+            except FileNotFoundError:
+                continue          # rolled back mid-race — nothing pending
+            replaced = done_md.get("replaced_file_groups") or []
+            if not replaced:
+                continue
+            md = {"clustering": True,
+                  "operations": [{"partition": pr, "file_group": fg}
+                                 for pr, fg in replaced]}
         if md.get("clustering"):
             out.append((p, md))
     return out

@@ -157,9 +157,8 @@ class HudiTable:
         token from an existing listing instead of paying a fresh one."""
         if active is None:
             active = self.timeline.instants()
-        return frozenset(i.time for i in active
-                         if i.state == tl.COMPLETED
-                         and i.action in tl.DATA_ACTIONS)
+        return frozenset(i.time for i in
+                         tl.completed_from(active, tl.DATA_ACTIONS))
 
     def _token_still_valid(self, stored, current: frozenset) -> bool:
         """Is a cached key index stamped with ``stored`` still trustworthy
@@ -265,8 +264,7 @@ class HudiTable:
     # ------------------------------------------------------------------
     def stored_schema(self, active: Optional[list] = None) -> Optional[StructType]:
         if active is not None:
-            comp = [i for i in active if i.state == tl.COMPLETED
-                    and i.action in tl.DATA_ACTIONS]
+            comp = tl.completed_from(active, tl.DATA_ACTIONS)
             last = comp[-1] if comp else None
         else:
             last = self.timeline.last_completed(tl.DATA_ACTIONS)
@@ -355,9 +353,14 @@ class HudiTable:
             check_write_version(self)
         # once per table instance, like the reference (rollback-on-start
         # happens at WRITE-CLIENT init, not per commit — a live writer's own
-        # prior batches can't be crash debris, and under single-writer mode
-        # nobody else writes); saves a timeline listing + metadata reads on
-        # every steady-state batch
+        # COMPLETED batches can't be crash debris, and under single-writer
+        # mode nobody else writes); saves a timeline listing + metadata
+        # reads on every steady-state batch.  A data write that STARTED but
+        # never completed on this instance (exception after _start) IS
+        # debris, so _last_started re-arms recovery for the next write.
+        if action in tl.DATA_ACTIONS \
+                and getattr(self, "_last_started", None) is not None:
+            self._recovered_on_start = False
         if action in tl.DATA_ACTIONS and self._pre_commit_hook is None \
                 and not getattr(self, "_recovering", False) \
                 and not getattr(self, "_recovered_on_start", False):
@@ -369,6 +372,8 @@ class HudiTable:
                 self._recovering = False
         t = tl.new_instant_time()
         ins = self.timeline.create_requested(t, action)
+        if action in tl.DATA_ACTIONS and not getattr(self, "_recovering", False):
+            self._last_started = t
         return self.timeline.transition_to_inflight(ins)
 
     def _complete(self, instant: tl.Instant, operation: str,
@@ -396,6 +401,8 @@ class HudiTable:
         else:
             done = self.timeline.transition_to_completed(instant, md,
                                                          completed_action)
+        if getattr(self, "_last_started", None) == instant.time:
+            self._last_started = None    # batch completed — not debris
         for cb in getattr(self, "_commit_callbacks", []):
             cb(done.time, md)  # HoodieWriteCommitCallback equivalent
         return done
@@ -672,17 +679,41 @@ class HudiTable:
                 # orphaned log.)
                 pending_compaction: dict[str, str] = {}
                 if self.tc.table_type == MERGE_ON_READ:
-                    done = {(i.time, i.action) for i in active
-                            if i.state == tl.COMPLETED}
-                    for p in active:
-                        if (p.action == tl.COMPACTION
-                                and p.state != tl.COMPLETED
-                                and (p.time, p.action) not in done):
-                            plan = self.timeline.read_metadata(p)
-                            for op in plan.get("operations", []):
-                                fg = op["file_group"]
-                                pending_compaction[fg] = max(
-                                    pending_compaction.get(fg, ""), p.time)
+                    for p in tl.pending_from(active):
+                        if p.action != tl.COMPACTION:
+                            continue
+                        # the async compactor may TRANSITION this instant
+                        # between our listing and this read (requested →
+                        # inflight deletes the requested file; completion
+                        # lands as a .commit).  Chase the plan through the
+                        # states; a compaction that completed AFTER the
+                        # snapshot must still bump logs to its instant —
+                        # the snapshot view predates its new base, so (a)
+                        # of the invariant applies, with the fgs taken
+                        # from the completed commit's write stats.
+                        plan = None
+                        for st in (p.state, tl.REQUESTED, tl.INFLIGHT):
+                            try:
+                                plan = self.timeline.read_metadata(
+                                    tl.Instant(p.time, tl.COMPACTION, st))
+                                break
+                            except FileNotFoundError:
+                                continue
+                        if plan is not None:
+                            fgs = [op["file_group"]
+                                   for op in plan.get("operations", [])]
+                        else:
+                            try:
+                                done_md = self.timeline.read_metadata(
+                                    tl.Instant(p.time, tl.COMMIT,
+                                               tl.COMPLETED))
+                            except FileNotFoundError:
+                                continue  # rolled back/unscheduled mid-race
+                            fgs = [s["file_group"] for s in
+                                   done_md.get("write_stats", [])]
+                        for fg in fgs:
+                            pending_compaction[fg] = max(
+                                pending_compaction.get(fg, ""), p.time)
                 # file groups frozen by a scheduled clustering plan:
                 # updates/deletes that touch them are rejected
                 # (SparkRejectUpdateStrategy) — checked exactly against the
@@ -742,6 +773,7 @@ class HudiTable:
                                  for f in sl.base_files):
                 fast_lane = False       # bootstrap groups need the general lane
             prof = None
+            probe_bc = None
             if fast_lane:
                 cap = self.cfg.index_broadcast_max_rows
                 # "warm_tag" probe strategy: with a warm covering cached
@@ -763,6 +795,7 @@ class HudiTable:
                     persisted = True
                     with _stage("upsert.bc_probe"):
                         bc_fast = prepared.limit(cap + 1).count() <= cap
+                    probe_bc = bc_fast   # reused by the fall-through lanes
                 else:
                     with _stage("upsert.profile"):
                         prof = profile_src.groupBy(META_PARTITION_PATH).agg(
@@ -817,6 +850,8 @@ class HudiTable:
                 index_df = self._key_index
                 if prof is not None:    # fast-lane fall-through: size known
                     bc = sum(r[1] for r in prof) <= cap
+                elif probe_bc is not None:
+                    bc = probe_bc       # warm fall-through: probe already ran
                 else:
                     with _stage("upsert.bc_probe"):
                         bc = prepared.limit(cap + 1).count() <= cap
@@ -834,6 +869,8 @@ class HudiTable:
                 cap = self.cfg.index_broadcast_max_rows
                 if prof is not None:    # fast-lane fall-through: size known
                     bc = sum(r[1] for r in prof) <= cap
+                elif probe_bc is not None:
+                    bc = probe_bc       # warm fall-through: probe already ran
                 else:
                     bc = prepared.limit(cap + 1).count() <= cap
             else:
@@ -955,6 +992,8 @@ class HudiTable:
             for st in (tl.REQUESTED, tl.INFLIGHT):
                 self.timeline.delete_instant(
                     tl.Instant(instant.time, action, st))
+            if getattr(self, "_last_started", None) == instant.time:
+                self._last_started = None    # cleaned up here — not debris
             raise
         finally:
             if persisted:
@@ -2080,8 +2119,7 @@ class HudiTable:
         compaction trigger + auto-clean/archival when configured."""
         # one listing feeds every eligibility gate below; the services that
         # actually FIRE re-list for themselves (rare vs the steady state)
-        data = [i for i in self.timeline.instants()
-                if i.state == tl.COMPLETED and i.action in tl.DATA_ACTIONS]
+        data = tl.completed_from(self.timeline.instants(), tl.DATA_ACTIONS)
         if self.cfg.inline_compaction and self.tc.table_type == MERGE_ON_READ:
             from .services.compaction import maybe_inline_compact
             maybe_inline_compact(self)

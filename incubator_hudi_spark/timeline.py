@@ -67,6 +67,27 @@ def new_instant_time() -> str:
         time.sleep(0.001)
 
 
+def completed_from(instants: Iterable["Instant"],
+                   actions: Optional[Iterable[str]] = None) -> list["Instant"]:
+    """COMPLETED instants of ``actions`` from an existing listing — the
+    snapshot-based twin of Timeline.completed(), shared so every consumer
+    of a per-batch ``timeline.instants()`` snapshot applies the same filter."""
+    acts = set(actions) if actions else None
+    return [i for i in instants if i.state == COMPLETED
+            and (acts is None or i.action in acts)]
+
+
+def pending_from(instants: Iterable["Instant"]) -> list["Instant"]:
+    """Pending instants from an existing listing — the snapshot-based twin
+    of Timeline.pending(), preserving its subtlety: an instant whose
+    (time, action) pair has a COMPLETED twin is not pending (compactions
+    complete under a different action, so the pair — not the time — keys
+    the done-set)."""
+    done = {(i.time, i.action) for i in instants if i.state == COMPLETED}
+    return [i for i in instants if i.state != COMPLETED
+            and (i.time, i.action) not in done]
+
+
 @dataclass(frozen=True, order=True)
 class Instant:
     time: str
@@ -115,21 +136,13 @@ class Timeline:
         return sorted(out, key=lambda i: (i.time, i.action, i.state))
 
     def completed(self, actions: Optional[Iterable[str]] = None) -> list[Instant]:
-        acts = set(actions) if actions else None
-        return [
-            i for i in self.instants()
-            if i.state == COMPLETED and (acts is None or i.action in acts)
-        ]
+        return completed_from(self.instants(), actions)
 
     def completed_data_instants(self) -> list[Instant]:
         return self.completed(DATA_ACTIONS)
 
     def pending(self) -> list[Instant]:
-        seen_completed = {(i.time, i.action) for i in self.instants() if i.state == COMPLETED}
-        return [
-            i for i in self.instants()
-            if i.state != COMPLETED and (i.time, i.action) not in seen_completed
-        ]
+        return pending_from(self.instants())
 
     def last_completed(self, actions: Optional[Iterable[str]] = None) -> Optional[Instant]:
         comp = self.completed(actions)

@@ -292,3 +292,31 @@ def test_incremental_path_glob(spark, tmp_table_path, lineitem):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         t.read(path_glob="*")             # snapshot: incremental-only option
+
+
+def test_failed_write_rearms_recovery(spark, tmp_table_path, lineitem):
+    """Rollback-on-start runs once per instance, but a write that fails
+    AFTER starting its instant re-arms it: the next write on the SAME
+    instance must clean the debris (review finding: once-per-instance
+    recovery must not let in-process failures accumulate)."""
+    t = HudiTable.create(spark, tmp_table_path, "t",
+                         recordkey_fields=["l_orderkey", "l_linenumber"],
+                         partition_expr="date_format(l_shipdate,'yyyy-MM')",
+                         precombine_field="l_shipdate")
+    t.upsert(lineitem)
+    n = t.read().count()
+    # incompatible type change fails AFTER _start (schema gate) and leaves
+    # a dangling inflight instant
+    bad = lineitem.withColumn("l_quantity",
+                              F.col("l_quantity").cast("string"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.upsert(bad)
+    from incubator_hudi_spark import timeline as tl
+    assert any(p.action in tl.DATA_ACTIONS for p in t.timeline.pending()), \
+        "test premise: the failed write left a dangling instant"
+    # next write on the SAME instance recovers it
+    t.upsert(lineitem.limit(50).withColumn("l_quantity", F.lit(4.0)))
+    assert not [p for p in t.timeline.pending()
+                if p.action in tl.DATA_ACTIONS]
+    assert t.read().count() == n

@@ -236,3 +236,57 @@ def test_mor_delete_then_reinsert_survives(spark, tmp_table_path, lineitem):
     assert back.filter("l_quantity != 42.0").count() == 0
     t.run_compaction()
     assert t.read().filter("l_orderkey % 25 = 7").count() == n_exp
+
+
+def test_upsert_survives_compaction_completing_after_listing(
+        spark, tmp_table_path, lineitem):
+    """Race fix (review finding): an async compactor may TRANSITION the
+    pending compaction instant between the batch's timeline listing and
+    its plan-metadata read (requested → inflight deletes the requested
+    file; completion lands as a .commit).  The batch must chase the plan
+    through the states — a compaction that completed after the snapshot
+    still bumps the delta to its instant, so the new log attaches to the
+    COMPACTED slice instead of orphaning under the stale base."""
+    import unittest.mock as mock
+
+    from incubator_hudi_spark import MERGE_ON_READ
+    from incubator_hudi_spark import timeline as tl
+    from incubator_hudi_spark.services.compaction import (run_compaction,
+                                                          schedule_compaction)
+
+    t = HudiTable.create(spark, tmp_table_path, "t",
+                         recordkey_fields=["l_orderkey", "l_linenumber"],
+                         partition_expr="date_format(l_shipdate,'yyyy-MM')",
+                         precombine_field="l_shipdate",
+                         table_type=MERGE_ON_READ)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+    t.upsert(lineitem)
+    n = t.read().count()
+    t.upsert(lineitem.filter("l_orderkey % 7 = 1")
+             .withColumn("l_quantity", F.lit(61.0)))
+    st = schedule_compaction(t)
+    assert st is not None
+    # the "listing" a racing batch would have seen: compaction still pending
+    stale = t.timeline.instants()
+    assert any(i.time == st and i.state != tl.COMPLETED for i in stale)
+    # the daemon wins the race: plan executes, completes as a .commit
+    assert run_compaction(t, st) == st
+    # now the batch plans from the STALE listing (first instants() call)
+    real = type(t.timeline).instants
+    calls = {"n": 0}
+    def racing(self_tl):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real(self_tl)
+    upd = (lineitem.filter("l_orderkey % 7 = 1")
+           .withColumn("l_quantity", F.lit(62.0)))
+    with mock.patch.object(type(t.timeline), "instants", racing):
+        t.upsert(upd)
+    assert calls["n"] >= 1
+    snap = t.read()
+    assert snap.count() == n                       # nothing lost
+    exp = (lineitem.filter("l_orderkey % 7 = 1")
+           .selectExpr("l_orderkey", "l_linenumber",
+                       "date_format(l_shipdate,'yyyy-MM') m")
+           .distinct().count())
+    got = snap.filter("l_quantity = 62.0").count()
+    assert got == exp, f"update lost in the race window: {got}/{exp}"

@@ -245,3 +245,53 @@ def test_async_clustering_with_async_compaction_mor(spark, tmp_table_path,
                .dropDuplicates(["l_orderkey", "l_linenumber", "_m"]).count())
     assert t.read().count() == before + exp_new
     assert t.read().filter("l_quantity = 77.25").count() > 0
+
+
+def test_upsert_conflicts_when_clustering_completes_after_listing(
+        spark, tmp_table_path, lineitem):
+    """Race fix (review finding): a clustering plan that COMPLETES between
+    the batch's timeline listing and its plan read must still freeze its
+    groups for that batch — the stale view would route updates into the
+    REPLACED groups (lost on replace), so the batch conservatively raises
+    ClusteringUpdateConflict; the caller's retry re-lists and routes to the
+    new groups."""
+    import unittest.mock as mock
+
+    import pytest
+    from incubator_hudi_spark import HudiTable
+    from incubator_hudi_spark import timeline as tl
+    from incubator_hudi_spark.services.clustering import (
+        ClusteringUpdateConflict, run_clustering, schedule_clustering)
+    from pyspark.sql import functions as F
+
+    t = HudiTable.create(spark, tmp_table_path, "t",
+                         recordkey_fields=["l_orderkey", "l_linenumber"],
+                         partition_expr="date_format(l_shipdate,'yyyy')",
+                         precombine_field="l_shipdate")
+    t.cfg = t.cfg.with_(target_file_size_bytes=64 * 1024)
+    t.bulk_insert(lineitem)
+    n = t.read().count()
+    st = schedule_clustering(t, sort_columns=["l_orderkey"])
+    assert st is not None
+    stale = t.timeline.instants()
+    assert any(i.time == st and i.state != tl.COMPLETED for i in stale)
+    assert run_clustering(t, instant_time=st) == st      # daemon wins
+    real = type(t.timeline).instants
+    calls = {"n": 0}
+    def racing(self_tl):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real(self_tl)
+    upd = lineitem.withColumn("l_quantity", F.lit(63.0))
+    with mock.patch.object(type(t.timeline), "instants", racing):
+        with pytest.raises(ClusteringUpdateConflict):
+            t.upsert(upd)
+    # retry with a fresh listing succeeds and routes to the NEW groups
+    t.upsert(upd)
+    snap = t.read()
+    # the full-table upsert collapses bulk_insert's duplicate-key twins
+    # (one row per (key, partition) — standard upsert semantics)
+    exp = (lineitem.selectExpr("l_orderkey", "l_linenumber",
+                               "date_format(l_shipdate,'yyyy') y")
+           .distinct().count())
+    assert snap.count() == exp
+    assert snap.filter("l_quantity = 63.0").count() == exp
