@@ -234,9 +234,15 @@ class FileSystemView:
         return None
 
     def all_slices(self) -> list[tuple[tuple[str, str], list[FileSlice]]]:
-        """Every (file group → slices newest-first), for cleaning/compaction planning."""
+        """Every (file group → slices newest-first), for cleaning/compaction
+        planning.  Groups with NO slices are skipped: _build registers a
+        group before deciding a log stat is a true orphan (base compacted
+        away), so a group can exist holding only orphaned-log bookkeeping —
+        there is nothing for a planner to keep or delete in it."""
         out = []
         for key, slices in self._groups.items():
+            if not slices:
+                continue
             ordered = [slices[b] for b in sorted(slices, reverse=True)]
             out.append((key, ordered))
         return out
