@@ -203,15 +203,27 @@ class WriteConfig:
     # the size guard only); False always uses the window merge.
     cow_broadcast_merge: Optional[bool] = None
     # COW fast-lane pre-write probe strategy:
+    #   "auto" (default) — per batch: "warm_tag" when the previous batch's
+    #                row count says the batch touches a MINORITY of file
+    #                groups (keys < 0.5 × groups — the point-fix/CDC/GDPR
+    #                shape), else "profile" (the full-spread shape).  First
+    #                batch runs "profile" (no history).  Homogeneous
+    #                workloads are routed correctly from batch 2.
+    #   "warm_tag" — with a warm cached index: bounded limit(cap+1) size
+    #                probe + one tag-profile action over the PINNED index.
+    #                The rewrite set is EXACT, so a point-fix batch on an
+    #                unsorted layout rewrites only the groups that hold
+    #                batch keys (measured 17 vs 210 groups, ~40% faster
+    #                wall at sf0.1 — and the difference between a bounded
+    #                write and a partition rewrite at 120 MB group sizes);
+    #                ~5% slower on full-spread batches (interleaved A/Bs,
+    #                BASELINE.md).  Falls back to "profile" while the
+    #                cache is cold.
     #   "profile"  — one per-batch workload-profile action over the raw
     #                keyed batch (count/min/max per partition); tagging
-    #                fuses into the write job (measured fastest at sf0.1).
-    #   "warm_tag" — with a warm covering cached index: bounded
-    #                limit(cap+1) size probe + one tag-profile action over
-    #                the PINNED index (exact touched-group set, no batch
-    #                profile).  Wins when groups are near target size and
-    #                the batch touches few of them.
-    fast_lane_probe: str = "profile"
+    #                fuses into the write job; rewrite set = manifest-stats
+    #                superset (+ bloom second stage when a sidecar exists).
+    fast_lane_probe: str = "auto"
     # MOR merged read/compaction: when a dirty slice-set's total log bytes is
     # under this, the base side is split by a broadcast of the log key set —
     # untouched keys pass through in their scan partitions (ZERO shuffle of
@@ -233,10 +245,10 @@ class WriteConfig:
     mor_grouped_deltas: bool = True
 
     def __post_init__(self):
-        if self.fast_lane_probe not in ("profile", "warm_tag"):
+        if self.fast_lane_probe not in ("auto", "profile", "warm_tag"):
             raise ValueError(
-                f"fast_lane_probe must be 'profile' or 'warm_tag', got "
-                f"{self.fast_lane_probe!r}")
+                f"fast_lane_probe must be 'auto', 'profile' or 'warm_tag', "
+                f"got {self.fast_lane_probe!r}")
 
     def with_(self, **kw) -> "WriteConfig":
         return replace(self, **kw)

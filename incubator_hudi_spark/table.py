@@ -784,25 +784,48 @@ class HudiTable:
                 # "profile" keeps the fused single-write-job shape, which
                 # measures faster on small-file-bound layouts (see
                 # BASELINE.md probe-strategy A/B).
+                probe_mode = self.cfg.fast_lane_probe
+                if probe_mode == "auto":
+                    # carried spread signal: with fewer batch keys than
+                    # HALF the file groups, the exact warm_tag rewrite set
+                    # beats the stats superset (point-fix shape); at or
+                    # above it, every group is touched anyway and the
+                    # fused profile shape is cheaper (full-spread shape)
+                    n_last = getattr(self, "_last_batch_rows", None)
+                    groups = sum(1 for _ in view.latest_slices())
+                    probe_mode = ("warm_tag"
+                                  if n_last is not None
+                                  and n_last < 0.5 * max(1, groups)
+                                  else "profile")
+                # no coverage precondition: the warm lane's _load_index
+                # call requests every view partition and extends the
+                # pinned index incrementally (one catch-up load on the
+                # first warm batch of a partition-sparse workload; full
+                # coverage thereafter — the INMEMORY design point anyway)
                 warm_index = (
-                    self.cfg.fast_lane_probe == "warm_tag"
+                    probe_mode == "warm_tag"
                     and self._index_cache_on
                     and self._key_index is not None
-                    and self._key_index_valid_token == tok0
-                    and set(view.partitions()) <= self._key_index_parts)
+                    and self._key_index_valid_token == tok0)
+                self._last_probe_mode = ("warm_tag" if warm_index
+                                         else "profile")
                 if warm_index:
                     prepared = prepared.persist()
                     persisted = True
                     with _stage("upsert.bc_probe"):
-                        bc_fast = prepared.limit(cap + 1).count() <= cap
+                        n_probe = prepared.limit(cap + 1).count()
+                        bc_fast = n_probe <= cap
                     probe_bc = bc_fast   # reused by the fall-through lanes
+                    if bc_fast:          # exact when under the cap
+                        self._last_batch_rows = n_probe
                 else:
                     with _stage("upsert.profile"):
                         prof = profile_src.groupBy(META_PARTITION_PATH).agg(
                             F.count(F.lit(1)).alias("n"),
                             F.min(META_RECORD_KEY).alias("mn"),
                             F.max(META_RECORD_KEY).alias("mx")).collect()
-                    bc_fast = sum(r[1] for r in prof) <= cap
+                    self._last_batch_rows = sum(r[1] for r in prof)
+                    bc_fast = self._last_batch_rows <= cap
                 if bc_fast:
                     if not persisted:
                         prepared = prepared.persist()

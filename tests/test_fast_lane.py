@@ -251,3 +251,27 @@ def test_warm_tag_frozen_group_conflict(spark, tmp_table_path, lineitem):
     assert st is not None
     with pytest.raises(ClusteringUpdateConflict):
         warm.upsert(lineitem.withColumn("l_quantity", F.lit(9.0)))
+
+
+def test_auto_probe_routes_by_spread(spark, tmp_table_path, lineitem):
+    """fast_lane_probe='auto' routes per batch on the carried spread
+    signal: point-fix batches (keys ≪ groups) take the exact warm_tag
+    lane; full-spread batches (keys ≥ groups) take the fused profile
+    lane.  First batch has no history → profile."""
+    from incubator_hudi_spark.config import INDEX_INMEMORY
+    t = make_table(spark, tmp_table_path)
+    t.cfg = t.cfg.with_(index_type=INDEX_INMEMORY)    # default probe: auto
+    assert t.cfg.fast_lane_probe == "auto"
+    t.bulk_insert(lineitem)
+    tiny = (lineitem.filter("l_orderkey % 500 = 7")
+            .withColumn("l_quantity", F.lit(5.0)))
+    t.upsert(tiny)                                   # no history → profile
+    assert t._last_probe_mode == "profile"
+    t.upsert(tiny.withColumn("l_quantity", F.lit(6.0)))
+    assert t._last_probe_mode == "warm_tag"          # sparse history
+    spread = lineitem.withColumn("l_quantity", F.lit(7.0))
+    t.upsert(spread)                                 # history still sparse
+    t.upsert(spread.withColumn("l_quantity", F.lit(8.0)))
+    assert t._last_probe_mode == "profile"           # spread history
+    # values all landed regardless of lane routing
+    assert t.read().filter("l_quantity = 8.0").count() == t.read().count()
