@@ -173,18 +173,22 @@ class FileSystemView:
             for d in md.get("write_stats", []):
                 st = WriteStat.from_json(d)
                 key = (st.partition, st.file_group)
-                slices = self._groups.setdefault(key, {})
                 if st.log:
                     # owner registration BEFORE any attach/skip decision: an
                     # orphaned stat's rows still sit in the (possibly shared)
-                    # file and count as foreign content for other readers
+                    # file and count as foreign content for other readers.
+                    # A true orphan must NOT register its group (a sliceless
+                    # group would leak into partitions()/coverage sets and
+                    # every other _groups consumer).
                     self._log_path_fgs.setdefault(st.path, set()).add(
                         st.file_group)
+                    slices = self._groups.get(key)
                     base = st.base_instant or (max(slices) if slices else None)
-                    if base is None:
+                    if base is None or not slices:
+                        # true orphan (base compacted away before as_of)
                         continue
                     if base not in slices:
-                        if slices and base > max(slices):
+                        if base > max(slices):
                             # log tagged with a pending-compaction instant
                             # whose base hasn't landed yet — serve it from the
                             # newest existing slice until then
@@ -196,6 +200,7 @@ class FileSystemView:
                         LogFile(ins.time, st.path, st.size, st.num_records,
                                 tag=st.base_instant or base))
                 else:
+                    slices = self._groups.setdefault(key, {})
                     sl = slices.setdefault(
                         st.base_instant or ins.time,
                         FileSlice(st.partition, st.file_group, st.base_instant or ins.time))
@@ -235,10 +240,9 @@ class FileSystemView:
 
     def all_slices(self) -> list[tuple[tuple[str, str], list[FileSlice]]]:
         """Every (file group → slices newest-first), for cleaning/compaction
-        planning.  Groups with NO slices are skipped: _build registers a
-        group before deciding a log stat is a true orphan (base compacted
-        away), so a group can exist holding only orphaned-log bookkeeping —
-        there is nothing for a planner to keep or delete in it."""
+        planning.  Groups with NO slices are skipped defensively (a
+        checkpoint written by an older build could carry one; _build itself
+        no longer registers orphan-bookkeeping groups)."""
         out = []
         for key, slices in self._groups.items():
             if not slices:
@@ -260,6 +264,13 @@ class FileSystemView:
 
     def cleaned_paths(self) -> set[str]:
         return set(self._cleaned_paths)
+
+    def group_count(self) -> int:
+        """Live (non-replaced, sliced) file-group count — O(#groups) dict
+        walk, no slice-list construction; the auto probe router's spread
+        denominator."""
+        return sum(1 for key, s in self._groups.items()
+                   if s and key not in self._replaced)
 
     def partitions(self) -> list[str]:
         return sorted({

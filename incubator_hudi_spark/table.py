@@ -786,17 +786,20 @@ class HudiTable:
                 # BASELINE.md probe-strategy A/B).
                 probe_mode = self.cfg.fast_lane_probe
                 if probe_mode == "auto":
-                    # carried spread signal: with fewer batch keys than
+                    # carried spread signal: with fewer batch KEYS than
                     # HALF the file groups, the exact warm_tag rewrite set
                     # beats the stats superset (point-fix shape); at or
                     # above it, every group is touched anyway and the
-                    # fused profile shape is cheaper (full-spread shape)
-                    n_last = getattr(self, "_last_batch_rows", None)
-                    groups = sum(1 for _ in view.latest_slices())
-                    probe_mode = ("warm_tag"
-                                  if n_last is not None
-                                  and n_last < 0.5 * max(1, groups)
-                                  else "profile")
+                    # fused profile shape is cheaper (full-spread shape).
+                    # Skip the group count when warm_tag is impossible.
+                    n_last = getattr(self, "_last_batch_keys", None)
+                    if (n_last is None or not self._index_cache_on
+                            or self._key_index is None):
+                        probe_mode = "profile"
+                    else:
+                        probe_mode = ("warm_tag"
+                                      if n_last < 0.5 * max(1, view.group_count())
+                                      else "profile")
                 # no coverage precondition: the warm lane's _load_index
                 # call requests every view partition and extends the
                 # pinned index incrementally (one catch-up load on the
@@ -816,16 +819,27 @@ class HudiTable:
                         n_probe = prepared.limit(cap + 1).count()
                         bc_fast = n_probe <= cap
                     probe_bc = bc_fast   # reused by the fall-through lanes
-                    if bc_fast:          # exact when under the cap
-                        self._last_batch_rows = n_probe
+                    # prepared is preCombined in this lane → rows == keys.
+                    # Recorded unconditionally: over the cap it is a lower
+                    # bound (cap+1) that correctly flips big-batch
+                    # workloads back toward profile routing.
+                    self._last_batch_keys = n_probe
+                    if not bc_fast:
+                        self._last_probe_mode = "general"
                 else:
                     with _stage("upsert.profile"):
                         prof = profile_src.groupBy(META_PARTITION_PATH).agg(
                             F.count(F.lit(1)).alias("n"),
                             F.min(META_RECORD_KEY).alias("mn"),
-                            F.max(META_RECORD_KEY).alias("mx")).collect()
-                    self._last_batch_rows = sum(r[1] for r in prof)
-                    bc_fast = self._last_batch_rows <= cap
+                            F.max(META_RECORD_KEY).alias("mx"),
+                            F.approx_count_distinct(
+                                META_RECORD_KEY).alias("nk")).collect()
+                    # spread signal in KEY units (the profile scans the raw
+                    # multi-version batch; per-partition distinct sums are
+                    # exact for non-global keys, approx per partition) —
+                    # raw row count stays the broadcast-size gate
+                    self._last_batch_keys = sum(r[4] for r in prof)
+                    bc_fast = sum(r[1] for r in prof) <= cap
                 if bc_fast:
                     if not persisted:
                         prepared = prepared.persist()
