@@ -290,3 +290,32 @@ def test_upsert_survives_compaction_completing_after_listing(
            .distinct().count())
     got = snap.filter("l_quantity = 62.0").count()
     assert got == exp, f"update lost in the race window: {got}/{exp}"
+
+
+def test_mor_incremental_path_glob(spark, tmp_table_path, lineitem):
+    """INCR_PATH_GLOB on a MOR incremental pull: the glob filters slices by
+    partition/file path whether the change arrived as a base file or a
+    delta log (the shared fsview helper matches both file kinds)."""
+    from incubator_hudi_spark import MERGE_ON_READ
+    from incubator_hudi_spark.config import QUERY_INCREMENTAL
+
+    t = HudiTable.create(spark, tmp_table_path, "t",
+                         recordkey_fields=["l_orderkey", "l_linenumber"],
+                         partition_expr="date_format(l_shipdate,'yyyy-MM')",
+                         precombine_field="l_shipdate",
+                         table_type=MERGE_ON_READ)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+    c1 = t.upsert(lineitem)
+    c2 = t.upsert(lineitem.filter("l_linenumber = 3")     # delta logs
+                  .withColumn("l_quantity", F.lit(91.0)))
+    year = (lineitem.selectExpr("date_format(l_shipdate,'yyyy') y")
+            .groupBy("y").count().orderBy(F.desc("count")).first()[0])
+    inc = t.read(QUERY_INCREMENTAL, begin=c1, end=c2,
+                 path_glob=f"{year}-*/*")
+    exp = (lineitem.filter("l_linenumber = 3")
+           .filter(F.date_format("l_shipdate", "yyyy") == year)
+           .selectExpr("l_orderkey", "l_linenumber",
+                       "date_format(l_shipdate,'yyyy-MM') m")
+           .distinct().count())
+    assert inc.count() == exp and exp > 0
+    assert inc.filter(F.date_format("l_shipdate", "yyyy") != year).count() == 0
