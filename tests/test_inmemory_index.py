@@ -223,3 +223,32 @@ def test_one_active_listing_per_steady_batch(spark, tmp_table_path, lineitem):
     # schema check + view, all from the same snapshot) and 1 for the
     # post-commit service-eligibility gates
     assert calls["n"] == 2, f"expected 2 active listings, saw {calls['n']}"
+
+
+def test_real_restore_invalidates_cache(spark, tmp_table_path, lineitem):
+    """A REAL savepoint→restore (not a fabricated token) must drop the
+    warm key index: restore deletes completed instants, which the
+    archival-insensitive validity rule must NOT explain away — the next
+    upsert re-scans and routes against the restored state."""
+    t = _make(spark, tmp_table_path)
+    small = lineitem.filter("l_orderkey % 40 = 3")
+    t.upsert(small)
+    sp = t.savepoint()
+    # post-savepoint commits warm the cache past the savepoint state
+    upd = small.withColumn("l_quantity", F.lit(71.0))
+    t.upsert(upd)
+    t.upsert(upd.withColumn("l_quantity", F.lit(72.0)))
+    assert t._key_index is not None
+    idx_before = t._key_index
+    t.restore(sp)
+    # next write must NOT trust the pre-restore cache (it maps keys into
+    # file groups written by the rolled-back commits)
+    t.upsert(upd.withColumn("l_quantity", F.lit(73.0)))
+    assert t._key_index is not idx_before
+    snap = t.read()
+    assert snap.filter("l_quantity = 72.0").count() == 0   # rolled back
+    exp = (small.selectExpr("l_orderkey", "l_linenumber",
+                            "date_format(l_shipdate,'yyyy-MM') m")
+           .distinct().count())
+    assert snap.filter("l_quantity = 73.0").count() == exp
+    assert snap.count() == exp
