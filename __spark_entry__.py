@@ -1193,6 +1193,55 @@ def span_dedup_corpus(spark, sf_dir):
     return dedup_spans(docs.unionByName(planted), span_words=10)
 
 
+@q("exact_substring_dedup", """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'copied with a lead ' || text
+  FROM documents WHERE doc_id < 25),
+w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM docs),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(
+             ws[CAST(i AS INT) + 1 : CAST(i AS INT) + 20], ' ')) AS h
+  FROM w, unnest(range(0, greatest(len(ws) - 19, 0))) AS t(i)),
+owners AS (SELECT h, min(doc_id) AS owner FROM grams GROUP BY h),
+covered AS (
+  SELECT DISTINCT g.doc_id, g.pos
+  FROM grams g JOIN owners o USING (h) WHERE g.doc_id > o.owner),
+removed AS (
+  SELECT DISTINCT doc_id, CAST(pos + j AS INT) AS wi
+  FROM covered, unnest(range(0, 20)) AS t(j)),
+toks AS (
+  SELECT w.doc_id, CAST(t.i AS INT) - 1 AS wi, ws[CAST(t.i AS INT)] AS word
+  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+kept AS (SELECT toks.* FROM toks ANTI JOIN removed USING (doc_id, wi)),
+rebuilt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY wi) AS text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN r.n_kept = len(string_split(d.text, ' ')) THEN d.text
+            ELSE coalesce(r.text, '') END AS text
+FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+""")
+def exact_substring_dedup(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022's exact-substring pass,
+    suffix-array-free): any word covered by a 20-word window whose exact
+    text occurs in an earlier document is removed; overlapping windows
+    catch arbitrarily aligned copies, so the planted lead-shifted copies
+    degrade to just their lead while originals stay byte-identical.
+    Linear relational plan: window-hash explode (~1 row/word) → owner
+    groupBy → cover join → anti-join rebuild; no suffix array, no driver
+    data."""
+    from incubator_hudi_spark.operators.text import dedup_exact_substrings
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (docs.filter("doc_id < 25")
+               .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+               .withColumn("text", F.concat(F.lit("copied with a lead "),
+                                            F.col("text"))))
+    return dedup_exact_substrings(docs.unionByName(planted), min_words=20)
+
+
 @q("token_budget_mix", """
 WITH toks AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS t FROM documents),
@@ -3422,7 +3471,7 @@ _PRIORITY = [
     "prepped_write_variants", "schema_provider_ingest",
     "span_dedup_corpus", "token_budget_mix",
     # new in r5 — need a first driver row
-    "async_compaction_ingest", "incremental_glob",
+    "async_compaction_ingest", "incremental_glob", "exact_substring_dedup",
     # green in r3 but not re-sampled on r4's rewritten fast-lane/pyds/sink
     "cow_upsert_snapshot", "bulk_insert_roundtrip", "filter_exists",
     "insert_overwrite_table", "truncate_reinsert",
@@ -3441,7 +3490,7 @@ _PRIORITY = [
     "range_join_click_context", "flatten_json_transform",
     "data_skipping_column_stats", "zorder_clustering_scan",
     "point_lookup_pruned", "point_lookup_bloom",
-    "payload_partial_update", "aws_dms_cdc",
+    "payload_partial_update",
 ]
 
 

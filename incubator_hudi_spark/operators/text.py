@@ -462,3 +462,75 @@ def dedup_spans(df: DataFrame, span_words: int = 10,
               .withColumn(text_col, F.when(untouched, F.col(text_col))
                                      .otherwise(F.col("_rebuilt")))
               .select(*df.columns))
+
+
+def dedup_exact_substrings(df: DataFrame, min_words: int = 20,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr deduplication (the exact-substring pass of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally instead of via a suffix array): every word
+    position covered by a ``min_words``-word window whose exact text also
+    occurs in an EARLIER document (lower ``id_col`` — the priority order)
+    is removed; the earliest document owning a window keeps all its
+    occurrences.  Unlike ``dedup_spans`` (fixed non-overlapping windows,
+    corpus-frequency threshold), windows here OVERLAP, so arbitrarily
+    aligned copied passages are caught and removed maximally.
+
+    100 TB shape — every step is linear and relational, no suffix array,
+    no driver data:
+      1. per-doc overlapping window hashes via array expressions (one row
+         per window only after posexplode — ≈ one row per WORD, the same
+         order as tokenization itself);
+      2. one combinable groupBy(hash) → min(doc) finds each window's owner;
+      3. an equi-join marks later documents' covered window starts;
+      4. covered starts explode to removed word indexes (≤ words ×
+         min_words, deduped), and one anti-join + doc-keyed rebuild
+         reassembles the survivors in order.
+    Changed documents are single-space rejoined; untouched documents keep
+    their text byte-for-byte (same contract as dedup_spans).
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    n_words = F.size(words)
+    # window starts 0..len-min_words (none when the doc is shorter)
+    starts = F.when(
+        n_words >= min_words,
+        F.sequence(F.lit(0), n_words - min_words)).otherwise(
+        F.array().cast("array<int>"))
+    grams = F.transform(
+        starts, lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(
+                F.slice(words, i + 1, min_words), " ")).alias("h")))
+    seg = (df.select(id_col, F.explode(grams).alias("g"))
+             .select(id_col, F.col("g.pos").alias("pos"),
+                     F.col("g.h").alias("h")))
+    owners = seg.groupBy("h").agg(F.min(id_col).alias("_owner"))
+    covered = (seg.join(owners, "h")
+               .filter(F.col(id_col) > F.col("_owner"))
+               .select(id_col, "pos").distinct())
+    removed = (covered
+               .select(id_col, F.explode(
+                   F.sequence(F.col("pos"),
+                              F.col("pos") + min_words - 1)).alias("wi"))
+               .distinct())
+    toks = (df.select(id_col, F.posexplode(words).alias("wi", "w"))
+              .join(removed, [id_col, "wi"], "left_anti"))
+    rebuilt = (toks.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("wi", "w"))),
+                            lambda s: s["w"]), " ").alias("_rebuilt"),
+                    F.count(F.lit(1)).alias("_n_kept")))
+    # a rebuilt row exists for every doc with ≥1 token (posexplode of the
+    # split always yields rows, even for empty text) — so a MISSING rebuilt
+    # row means every word was removed, not "untouched"
+    untouched = F.col("_n_kept") == F.size(F.split(F.col(text_col), r"\s+"))
+    out = (df.join(rebuilt, id_col, "left")
+             .withColumn(text_col,
+                         F.when(untouched, F.col(text_col))
+                          .otherwise(F.coalesce(F.col("_rebuilt"),
+                                                F.lit(""))))
+             .select(*df.columns))
+    return out

@@ -520,3 +520,38 @@ def test_sample_token_budget_null_text_source(spark):
     out = sample_token_budget(df, {"good": 0.5, "nulls": 0.5},
                               total_budget=10)
     assert out.filter("source = 'nulls'").count() in (0, 2)  # no crash
+
+
+def test_dedup_exact_substrings(spark):
+    """ExactSubstr pass (Lee et al. 2022): overlapping windows remove
+    copied passages from LATER docs at any alignment; the earliest owner
+    keeps its text byte-for-byte; fully-copied docs degrade to empty;
+    short docs (< min_words) and unique docs are untouched."""
+    from incubator_hudi_spark.operators.text import dedup_exact_substrings
+    common = " ".join(f"c{i}" for i in range(25))
+    rows = [
+        (1, "intro one two " + common + " tail1 tailx"),   # owner
+        (2, "different lead " + common),                   # later copy
+        (3, "short doc under twenty words nothing happens here at all"),
+        (4, common),                                       # full copy
+        (5, "zz " + " ".join(f"u{i}" for i in range(30))),  # unique long
+        (6, ""),                                           # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_exact_substrings(df, min_words=20).collect()}
+    assert out[1] == rows[0][1]            # owner untouched, byte-for-byte
+    assert out[2] == "different lead"      # copied passage removed
+    assert out[3] == rows[2][1]            # too short for any window
+    assert out[4] == ""                    # every word covered
+    assert out[5] == rows[4][1]            # unique → untouched
+    assert out[6] == ""
+    # a copy shifted by 7 words vanishes too (overlapping alignment)
+    df2 = spark.createDataFrame(
+        [(1, common + " xy"),
+         (2, " ".join(f"p{i}" for i in range(7)) + " " + common)],
+        "doc_id long, text string")
+    o2 = {r["doc_id"]: r["text"]
+          for r in dedup_exact_substrings(df2, min_words=20).collect()}
+    assert o2[1] == common + " xy"
+    assert o2[2] == " ".join(f"p{i}" for i in range(7))
