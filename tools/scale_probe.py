@@ -153,6 +153,12 @@ def main():
                             {"src0": 0.5, "src1": 0.3, "src2": 0.2},
                             20_000 * mult).count()
         r["token_budget_mix"] = round(time.time() - t0, 2)
+        from incubator_hudi_spark.operators.text import dedup_exact_substrings
+        t0 = time.time()
+        (dedup_exact_substrings(dscale.select("doc_id", "text"),
+                                min_words=20)
+         .agg(F.sum(F.length("text"))).collect())
+        r["exact_substring_dedup"] = round(time.time() - t0, 2)
         dscale.unpersist()
 
         src.unpersist()
@@ -161,7 +167,7 @@ def main():
 
     cols = ["rows", "bulk_insert", "upsert_full_spread_1pct",
             "upsert_partition_local", "point_lookup_100_keys", "snapshot_agg",
-            "dedup_spans", "token_budget_mix"]
+            "dedup_spans", "token_budget_mix", "exact_substring_dedup"]
     lines = [
         "# SCALE — measured scaling behavior (tools/scale_probe.py)",
         "",
@@ -198,7 +204,10 @@ def main():
         f"{rows[1]['dedup_spans']}s → {rows[2]['dedup_spans']}s → "
         f"{rows[4]['dedup_spans']}s; token_budget_mix "
         f"{rows[1]['token_budget_mix']}s → {rows[2]['token_budget_mix']}s → "
-        f"{rows[4]['token_budget_mix']}s across 1x/2x/4x (the shuffle",
+        f"{rows[4]['token_budget_mix']}s; exact_substring_dedup (~1 exploded",
+        f"row per word) {rows[1]['exact_substring_dedup']}s → "
+        f"{rows[2]['exact_substring_dedup']}s → "
+        f"{rows[4]['exact_substring_dedup']}s across 1x/2x/4x (the shuffle",
         "volume that would dominate at 100 TB grows linearly by plan shape).",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
