@@ -21,6 +21,7 @@ Data-file model (SURVEY §1.2):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Iterable, Optional
 
@@ -329,27 +330,89 @@ def incremental_window(timeline, begin, end):
     return instants, hi, touched
 
 
+def _hadoop_glob_regex(glob: str) -> str:
+    """Translate a glob to regex with org.apache.hadoop.fs.GlobPattern
+    semantics — the matcher the reference compiles for INCR_PATH_GLOB
+    (IncrementalRelation.scala:141, MergeOnReadIncrementalRelation.scala:179
+    both build ``new GlobPattern("*" + pattern)``).  GlobPattern's ``*``
+    compiles to ``.*`` (it DOES cross ``/`` — path-segment splitting is a
+    globStatus concern, not GlobPattern's), ``?`` to ``.``, ``{a,b}`` to an
+    alternation, ``[!x]`` to ``[^x]``, ``\\`` escapes the next char."""
+    out, i, curly = [], 0, 0
+    n = len(glob)
+    while i < n:
+        c = glob[i]
+        if c == "\\" and i + 1 < n:
+            out.append(re.escape(glob[i + 1]))
+            i += 2
+            continue
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "{":
+            out.append("(?:")
+            curly += 1
+        elif c == "," and curly:
+            out.append("|")
+        elif c == "}" and curly:
+            out.append(")")
+            curly -= 1
+        elif c == "[":
+            j = i + 1
+            neg = j < n and glob[j] == "!"
+            if neg:
+                j += 1
+            k = j
+            if k < n and glob[k] == "]":  # literal ] first in the set
+                k += 1
+            while k < n and glob[k] != "]":
+                k += 1
+            if k >= n:  # unterminated set → literal '['
+                out.append(re.escape(c))
+            else:
+                body = glob[j:k].replace("\\", "\\\\")
+                out.append("[^" + body + "]" if neg else "[" + body + "]")
+                i = k + 1
+                continue
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "".join(out)
+
+
 def filter_slices_by_glob(slices, path_glob: Optional[str]):
     """Incremental path-glob filter (DataSourceOptions.scala:87-99
-    INCR_PATH_GLOB; applied in IncrementalRelation.scala:64-181): keep only
-    slices one of whose files' PARTITION-LAYOUT path
-    ``<partition_path>/<file name>`` fnmatches ``*<glob>``.  The reference
-    matches the glob against full file paths under the base path (its
-    physical layout IS partition dirs); this engine's physical layout is
-    instant dirs, so the glob is matched against the logical
-    partition/file path — user-facing globs like ``'2024-0*/*'`` stay
-    portable.  Shared by table._read_incremental and the native DataSource
-    planner so the two cannot desync."""
+    INCR_PATH_GLOB).  Exact matcher parity with the reference: it compiles
+    ``GlobPattern("*" + glob)`` and full-matches file paths
+    (IncrementalRelation.scala:141-143 per-file for COW;
+    MergeOnReadIncrementalRelation.scala:177-186 per file group, testing the
+    base file if present else the latest log file).  Note GlobPattern's
+    ``*`` is ``.*`` — it crosses ``/`` — so ``'03/*'`` matching
+    ``'2024-03/x'`` is reference behavior, not an artifact.
+
+    The reference matches full physical paths (its layout IS partition
+    dirs); this engine's physical layout is instant dirs, so the glob is
+    matched against the logical ``<partition_path>/<file name>`` — user
+    globs like ``'2024-0*/*'`` stay portable.  Granularity follows the MOR
+    reference: a whole slice is kept or dropped on its base file's path
+    (falling back to the newest log file for log-only slices), so rows from
+    non-matching log files of a matching slice are still returned — the
+    same file-group coarseness as MergeOnReadIncrementalRelation.  Shared by
+    table._read_incremental and the native DataSource planner so the two
+    cannot desync."""
     if not path_glob:
         return slices
-    import fnmatch
     import os as _os
-    pat = "*" + path_glob
+    pat = re.compile(".*" + _hadoop_glob_regex(path_glob))
 
     def _hit(sl) -> bool:
-        names = ([_os.path.basename(f.path) for f in sl.base_files]
-                 + [_os.path.basename(lf.path) for lf in sl.log_files])
-        return any(fnmatch.fnmatch(f"{sl.partition}/{n}", pat)
-                   for n in names)
+        if sl.base_files:
+            names = [_os.path.basename(f.path) for f in sl.base_files]
+        elif sl.log_files:
+            names = [_os.path.basename(sl.log_files[-1].path)]
+        else:
+            return False
+        return any(pat.fullmatch(f"{sl.partition}/{n}") for n in names)
 
     return [sl for sl in slices if _hit(sl)]

@@ -90,12 +90,23 @@ class AsyncInstantService:
         if self._stopped:
             # a prior stop() timed out: report honestly.  Still wedged →
             # re-raise (never report a clean stop over outstanding work);
-            # unwedged since (sentinel consumed, unfinished == 0) → fall
-            # through to the normal error/completed report.
-            if self._stop_timed_out and self._q.unfinished_tasks:
-                raise ServiceStopTimeout(
-                    f"worker still busy ({self._q.unfinished_tasks} "
-                    "item(s) outstanding since the timed-out stop)")
+            # unwedged since → fall through to the normal error/completed
+            # report.  The timed-out stop() enqueued a retire sentinel that
+            # counts toward unfinished_tasks until the worker consumes it
+            # and exits — give the worker a brief grace join, then exclude
+            # that sentinel from the outstanding count (FIFO: the sentinel
+            # was enqueued last, so while the worker is alive exactly one
+            # unconsumed sentinel is in the count; a recovered worker with
+            # only the sentinel left is NOT wedged).
+            if self._stop_timed_out:
+                self._worker.join(timeout=0.5)
+                outstanding = self._q.unfinished_tasks
+                if self._worker.is_alive():
+                    outstanding -= 1  # the unconsumed retire sentinel
+                if outstanding > 0:
+                    raise ServiceStopTimeout(
+                        f"worker still busy ({outstanding} item(s) "
+                        "outstanding since the timed-out stop)")
             if self.errors and raise_errors:
                 raise self.errors[0]
             return list(self.completed)

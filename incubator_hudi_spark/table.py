@@ -1765,7 +1765,13 @@ class HudiTable:
         cheap mode for pipelines that re-aggregate by key anyway.
         ``path_glob`` (incremental only, DataSourceOptions.scala:87-99
         INCR_PATH_GLOB): restrict the pull to slices whose
-        ``partition/file`` path matches ``*<glob>``."""
+        ``partition/file`` path matches ``*<glob>`` (Hadoop GlobPattern
+        semantics — ``*`` crosses ``/``).  Filtering is slice-granular on
+        the base file's path (newest log file for log-only slices), the
+        same file-group coarseness as MergeOnReadIncrementalRelation:
+        the glob selects partitions/file groups, not individual rows —
+        a matching slice returns ALL its rows, including ones that
+        arrived via log files whose own names don't match."""
         if query_type == QUERY_INCREMENTAL:
             return self._read_incremental(begin, end, partitions, path_glob)
         if path_glob is not None:

@@ -288,7 +288,20 @@ def test_async_service_stop_deadline_and_guards():
     except ServiceStopTimeout:
         pass
     assert _time.monotonic() - t0 < 5, "deadline not honored"
+
+    # while still wedged, a second stop() re-raises honestly
+    try:
+        s.stop()
+        assert False, "second stop() over a wedged worker must re-raise"
+    except ServiceStopTimeout:
+        pass
+
     s.release.set()                      # unhang; worker drains and exits
+    s._worker.join(timeout=10)
+    # recovered-after-timeout: the hung item finished and only the retire
+    # sentinel was left — a later stop() must NOT report the worker as
+    # wedged (the sentinel is excluded from the outstanding count)
+    assert s.stop(raise_errors=False) == ["t1"]
 
     class Quick(AsyncInstantService):
         def _execute(self, instant_time):

@@ -204,10 +204,10 @@ def main():
         f"{rows[1]['dedup_spans']}s → {rows[2]['dedup_spans']}s → "
         f"{rows[4]['dedup_spans']}s; token_budget_mix "
         f"{rows[1]['token_budget_mix']}s → {rows[2]['token_budget_mix']}s → "
-        f"{rows[4]['token_budget_mix']}s; exact_substring_dedup (~1 exploded",
-        f"row per word) {rows[1]['exact_substring_dedup']}s → "
+        f"{rows[4]['token_budget_mix']}s; exact_substring_dedup "
+        f"(~1 exploded row per word) {rows[1]['exact_substring_dedup']}s → "
         f"{rows[2]['exact_substring_dedup']}s → "
-        f"{rows[4]['exact_substring_dedup']}s across 1x/2x/4x (the shuffle",
+        f"{rows[4]['exact_substring_dedup']}s across 1x/2x/4x (the shuffle "
         "volume that would dominate at 100 TB grows linearly by plan shape).",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
