@@ -485,10 +485,20 @@ def dedup_exact_substrings(df: DataFrame, min_words: int = 20,
       2. one combinable groupBy(hash) → min(doc) finds each window's owner;
       3. an equi-join marks later documents' covered window starts;
       4. covered starts explode to removed word indexes (≤ words ×
-         min_words, deduped), and one anti-join + doc-keyed rebuild
-         reassembles the survivors in order.
+         min_words, deduped) — this ``removed`` set is proportional to
+         DIRTY words only, and is locally checkpointed so it feeds two
+         consumers off one computation;
+      5. a candidate prefilter (Lee et al. 2022 §4: dedup touches a small
+         corpus fraction) semi-joins the corpus against the dirty doc-ids,
+         so ONLY documents owning ≥1 covered window pay the
+         tokenize/posexplode/anti-join/rebuild pass — on a mostly-clean
+         corpus (the 100 TB case) the second per-word pass all but
+         disappears; clean documents flow through a plain left join.
     Changed documents are single-space rejoined; untouched documents keep
-    their text byte-for-byte (same contract as dedup_spans).
+    their text byte-for-byte (same contract as dedup_spans).  The
+    checkpoint uses ``localCheckpoint`` (executor-local storage); on a
+    long-lived production cluster prefer a reliable checkpoint directory —
+    executor loss would otherwise recompute the lineage-truncated frame.
     """
     words = F.split(F.col(text_col), r"\s+")
     n_words = F.size(words)
@@ -514,23 +524,28 @@ def dedup_exact_substrings(df: DataFrame, min_words: int = 20,
                    F.sequence(F.col("pos"),
                               F.col("pos") + min_words - 1)).alias("wi"))
                .distinct())
-    toks = (df.select(id_col, F.posexplode(words).alias("wi", "w"))
+    # one computation, two consumers (dirty-id semi-join + token anti-join):
+    # lineage-truncate so the corpus-wide window pass runs exactly once
+    removed = removed.localCheckpoint(eager=False)
+    dirty_ids = removed.select(id_col).distinct()
+    toks = (df.join(dirty_ids, id_col, "left_semi")
+              .select(id_col, F.posexplode(words).alias("wi", "w"))
               .join(removed, [id_col, "wi"], "left_anti"))
-    rebuilt = (toks.groupBy(id_col)
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct("wi", "w"))),
-                            lambda s: s["w"]), " ").alias("_rebuilt"),
-                    F.count(F.lit(1)).alias("_n_kept")))
-    # a rebuilt row exists for every doc with ≥1 token (posexplode of the
-    # split always yields rows, even for empty text) — so a MISSING rebuilt
-    # row means every word was removed, not "untouched"
-    untouched = F.col("_n_kept") == F.size(F.split(F.col(text_col), r"\s+"))
+    survivors = (toks.groupBy(id_col)
+                 .agg(F.array_join(
+                          F.transform(
+                              F.array_sort(F.collect_list(
+                                  F.struct("wi", "w"))),
+                              lambda s: s["w"]), " ").alias("_rebuilt")))
+    # a dirty doc whose EVERY word was removed yields no survivors row —
+    # it must come back as empty text, not pass through verbatim, so
+    # re-attach survivors to the dirty-id set before joining the corpus
+    rebuilt = (dirty_ids.join(survivors, id_col, "left")
+               .select(id_col,
+                       F.coalesce("_rebuilt", F.lit("")).alias("_rebuilt")))
+    # clean documents (no rebuilt row) keep their original text verbatim
     out = (df.join(rebuilt, id_col, "left")
              .withColumn(text_col,
-                         F.when(untouched, F.col(text_col))
-                          .otherwise(F.coalesce(F.col("_rebuilt"),
-                                                F.lit(""))))
+                         F.coalesce(F.col("_rebuilt"), F.col(text_col)))
              .select(*df.columns))
     return out

@@ -159,6 +159,32 @@ def main():
                                 min_words=20)
          .agg(F.sum(F.length("text"))).collect())
         r["exact_substring_dedup"] = round(time.time() - t0, 2)
+
+        # LOW-DUP ExactSubstr probe (Lee et al. 2022 §4: real corpora are
+        # mostly clean).  Per-doc word salting makes every window globally
+        # unique, then ~3% of documents get a shared 40-word boilerplate
+        # tail — only those are dirty.  The candidate prefilter means the
+        # rebuild pass must track the DIRTY fraction, not corpus size; the
+        # remaining growth is the (unavoidable) linear window pass.
+        boiler = " ".join(f"boilerplate{k}" for k in range(40))
+        lowdup = (dscale.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 33 == 0,
+                   F.concat(F.col("text"), F.lit(" " + boiler)))
+             .otherwise(
+                 F.array_join(
+                     F.transform(F.split("text", r"\s+"),
+                                 lambda w: F.concat(
+                                     w, F.lit("_"),
+                                     F.col("doc_id").cast("string"))),
+                     " "))
+             .alias("text")).persist())
+        lowdup.count()
+        t0 = time.time()
+        (dedup_exact_substrings(lowdup, min_words=20)
+         .agg(F.sum(F.length("text"))).collect())
+        r["exact_substring_lowdup"] = round(time.time() - t0, 2)
+        lowdup.unpersist()
         dscale.unpersist()
 
         src.unpersist()
@@ -167,7 +193,8 @@ def main():
 
     cols = ["rows", "bulk_insert", "upsert_full_spread_1pct",
             "upsert_partition_local", "point_lookup_100_keys", "snapshot_agg",
-            "dedup_spans", "token_budget_mix", "exact_substring_dedup"]
+            "dedup_spans", "token_budget_mix", "exact_substring_dedup",
+            "exact_substring_lowdup"]
     lines = [
         "# SCALE — measured scaling behavior (tools/scale_probe.py)",
         "",
@@ -209,6 +236,18 @@ def main():
         f"{rows[2]['exact_substring_dedup']}s → "
         f"{rows[4]['exact_substring_dedup']}s across 1x/2x/4x (the shuffle "
         "volume that would dominate at 100 TB grows linearly by plan shape).",
+        "",
+        "ExactSubstr candidate prefilter (Lee et al. 2022 §4 — real corpora",
+        "are mostly clean): on a salted low-dup corpus (~3% dirty docs via a",
+        "shared 40-word boilerplate tail) the rebuild pass only touches the",
+        "dirty documents, so the remaining cost is the unavoidable linear",
+        "window pass: exact_substring_lowdup "
+        f"{rows[1]['exact_substring_lowdup']}s → "
+        f"{rows[2]['exact_substring_lowdup']}s → "
+        f"{rows[4]['exact_substring_lowdup']}s vs the removal-heavy "
+        f"worst case {rows[1]['exact_substring_dedup']}s → "
+        f"{rows[4]['exact_substring_dedup']}s (every window duplicated "
+        "across copies — every document pays the rebuild).",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALE.md"), "w") as f:
