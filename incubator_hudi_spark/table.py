@@ -954,14 +954,6 @@ class HudiTable:
                     broadcast_incoming=False,
                     update_partition_path=self.cfg.global_index_update_partition_path,
                 ).dropDuplicates([uid, FG_COL]).drop(uid)
-            tagged = tagged.persist()
-
-            updates = tagged.filter(F.col(FG_COL).isNotNull()) \
-                            .withColumn(FG, F.col(FG_COL)).drop(FG_COL)
-            inserts = tagged.filter(F.col(FG_COL).isNull()).drop(FG_COL)
-            if is_delete:
-                inserts = inserts.limit(0)  # deletes of absent keys are no-ops
-
             # MOR fast lane: updates already carry their file-group routing
             # in the data, and delta appends read nothing — so no pre-write
             # profile action is needed at all.  The delta write materializes
@@ -971,12 +963,40 @@ class HudiTable:
             # which needs the per-file-group profile.
             has_ext = self.tc.table_type == MERGE_ON_READ and any(
                 f.external for sl in view.latest_slices() for f in sl.base_files)
-            if self.tc.table_type == MERGE_ON_READ and not has_ext:
+            mor_fast = self.tc.table_type == MERGE_ON_READ and not has_ext
+
+            # fold the insert-existence probe into the delta-write action:
+            # a CollectMetrics node under the tagging cache counts untagged
+            # rows while the delta write materializes it, so the
+            # steady-state update-only batch (zero inserts) skips the
+            # per-partition insert-probe job entirely.  UNSAFE when a
+            # pending clustering plan exists: _check_frozen's bounded
+            # limit().count() probe is then the FIRST action on the cache
+            # and completes the observation from a PARTIAL scan — the
+            # undercounted metric could claim "no inserts" while inserts
+            # exist, so the fold is disabled and the probe runs as before.
+            tag_obs = None
+            if mor_fast and not is_delete and not frozen_fgs:
+                from pyspark.sql import Observation
+                tag_obs = Observation()
+                tagged = tagged.observe(
+                    tag_obs,
+                    F.count(F.when(F.col(FG_COL).isNull(), True))
+                     .alias("n_inserts"))
+            tagged = tagged.persist()
+
+            updates = tagged.filter(F.col(FG_COL).isNotNull()) \
+                            .withColumn(FG, F.col(FG_COL)).drop(FG_COL)
+            inserts = tagged.filter(F.col(FG_COL).isNull()).drop(FG_COL)
+            if is_delete:
+                inserts = inserts.limit(0)  # deletes of absent keys are no-ops
+
+            if mor_fast:
                 self._check_frozen(updates, FG, frozen_fgs)
                 with _stage("upsert.write"):
                     stats, fg_map, schema = self._upsert_mor_fast(
                         view, instant.time, updates, inserts,
-                        pending_compaction, is_delete)
+                        pending_compaction, is_delete, tag_obs=tag_obs)
                 # MOR inserts only ever open NEW file groups, so base files
                 # in the stats ⇔ insert rows landed
                 wrote_inserts = any(not s.log for s in stats)
@@ -1520,14 +1540,23 @@ class HudiTable:
     def _upsert_mor_fast(self, view: FileSystemView, instant_time: str,
                          updates: DataFrame, inserts: DataFrame,
                          pending_compaction: Optional[dict[str, str]],
-                         is_delete: bool):
+                         is_delete: bool, tag_obs=None):
         """Profile-free MOR upsert: the delta append needs no pre-write
         counts — each update row already carries its file group from the
         tagging join, and appends read nothing.  One Spark job writes the
         delta files (materializing the tagging cache); the insert side is
         then probed on that cache for ~free.  Saves one full action per
         steady-state batch vs the profiled path (the reference pays the same
-        profile job per batch, WorkloadProfile.java:33-50)."""
+        profile job per batch, WorkloadProfile.java:33-50).
+
+        ``tag_obs``: Observation attached under the tagging cache counting
+        untagged (insert) rows.  The delta-write action evaluates every
+        cache partition (the observe node sits below the persist, the
+        update filter above it), so by the time the write returns the
+        metric is the EXACT insert count — an update-only batch skips the
+        insert-probe job entirely, folding it into the delta write the way
+        the reference folds sizing into the append handle's observed stats
+        (HoodieAppendHandle.java:336-390)."""
         base_of = {sl.file_group: sl.base_instant
                    for sl in view.latest_slices()}
         fg_part = {sl.file_group: sl.partition for sl in view.latest_slices()}
@@ -1536,27 +1565,48 @@ class HudiTable:
             base_of[fg] = max(base_of.get(fg) or "", ctime)
         upd = updates.withColumn(META_FILE_NAME, F.col(FG))
         schema = self._commit_schema(upd)
-        if self.cfg.mor_grouped_deltas:
-            from .writer import write_grouped_log_files
-            stats = write_grouped_log_files(
-                upd, self.meta, instant_time, fg_part, base_of,
-                compression=self.cfg.parquet_compression)
-        else:
-            stats = write_instant_files(
-                upd, self.meta, instant_time, fg_part, self.cfg,
-                sort_cols=[META_RECORD_KEY], log=True,
-                fg_base_instant=base_of, subdir="log")
+        with _stage("mor.delta_write"):
+            if self.cfg.mor_grouped_deltas:
+                from .writer import write_grouped_log_files
+                stats = write_grouped_log_files(
+                    upd, self.meta, instant_time, fg_part, base_of,
+                    compression=self.cfg.parquet_compression)
+            else:
+                stats = write_instant_files(
+                    upd, self.meta, instant_time, fg_part, self.cfg,
+                    sort_cols=[META_RECORD_KEY], log=True,
+                    fg_base_instant=base_of, subdir="log")
         fg_map = {s.file_group: s.partition for s in stats}
 
         if not is_delete:
-            # one action doubles as existence probe and bucket profile
-            # (tagged is already cached by the delta write above)
-            insert_profile = {r[0]: r[1] for r in
-                              inserts.groupBy(META_PARTITION_PATH)
-                                     .count().collect()}
+            n_ins = None
+            if tag_obs is not None:
+                try:
+                    n_ins = tag_obs.get.get("n_inserts")
+                except Exception:
+                    # When the update side is EMPTY (pure-insert batch), AQE
+                    # empty-relation propagation collapses the delta-write
+                    # plan and the CollectMetrics results vanish — the
+                    # Observation completes with an empty row that the
+                    # py4j row conversion rejects.  Metrics lost ⟺ the
+                    # batch had no updates ⟺ inserts exist, so falling
+                    # back to the probe is exactly the pre-fold behavior.
+                    n_ins = None
+            if n_ins == 0:
+                # the delta write's observed metrics prove the batch was
+                # update-only — no probe job needed
+                insert_profile = {}
+            else:
+                # one action doubles as existence probe and bucket profile
+                # (tagged is already cached by the delta write above)
+                with _stage("mor.insert_probe"):
+                    insert_profile = {r[0]: r[1] for r in
+                                      inserts.groupBy(META_PARTITION_PATH)
+                                             .count().collect()}
             if insert_profile:
-                s, m, schema = self._mor_write_new_fgs(inserts, insert_profile,
-                                                       instant_time)
+                with _stage("mor.new_fg_write"):
+                    s, m, schema = self._mor_write_new_fgs(
+                        inserts, insert_profile, instant_time)
                 stats += s
                 fg_map.update(m)
         if schema is None:
