@@ -319,3 +319,49 @@ def test_mor_incremental_path_glob(spark, tmp_table_path, lineitem):
            .distinct().count())
     assert inc.count() == exp and exp > 0
     assert inc.filter(F.date_format("l_shipdate", "yyyy") != year).count() == 0
+
+
+def test_mor_insert_probe_fold_batch_shapes(spark, tmp_table_path, lineitem):
+    """The observed-metrics insert-probe fold must be correct for all three
+    batch shapes: pure update (metric=0, probe skipped), mixed (metric>0,
+    probe runs), and PURE INSERT — where AQE empty-relation propagation
+    erases the CollectMetrics results (the delta-write input is empty) and
+    the fold must fall back to the probe instead of dropping the inserts."""
+    from incubator_hudi_spark import MERGE_ON_READ
+
+    t = HudiTable.create(spark, tmp_table_path, "t",
+                         recordkey_fields=["l_orderkey", "l_linenumber"],
+                         partition_expr="date_format(l_shipdate,'yyyy-MM')",
+                         precombine_field="l_shipdate",
+                         table_type=MERGE_ON_READ)
+    t.cfg = t.cfg.with_(inline_compaction=False)
+    t.upsert(lineitem)
+    n0 = t.read().count()
+
+    # pure update — fold skips the probe; values must land
+    t.upsert(lineitem.filter("l_linenumber = 1")
+             .withColumn("l_quantity", F.lit(77.0)))
+    snap = t.read()
+    assert snap.count() == n0
+    assert snap.filter("l_linenumber = 1 AND l_quantity != 77.0").count() == 0
+
+    # pure insert — empty update side; inserts must not be lost
+    shifted = (lineitem.filter("l_orderkey % 7 = 1")
+               .withColumn("l_orderkey", F.col("l_orderkey") + 5_000_000))
+    t.upsert(shifted)
+    n_new = (shifted.selectExpr("l_orderkey", "l_linenumber",
+                                "date_format(l_shipdate,'yyyy-MM') m")
+             .distinct().count())
+    assert t.read().count() == n0 + n_new
+
+    # mixed — both sides in one batch
+    mix = (lineitem.filter("l_linenumber = 2")
+           .withColumn("l_quantity", F.lit(88.0))
+           .unionByName(lineitem.filter("l_orderkey % 7 = 2").limit(500)
+                        .withColumn("l_orderkey",
+                                    F.col("l_orderkey") + 6_000_000)))
+    t.upsert(mix)
+    snap = t.read()
+    assert snap.filter("l_linenumber = 2 AND l_orderkey < 5000000 "
+                       "AND l_quantity != 88.0").count() == 0
+    assert snap.filter("l_orderkey >= 6000000").count() > 0
