@@ -14,6 +14,16 @@ Usage::
     with OccWriter(table) as txn:
         instant = table.upsert(batch)
         txn.commit(instant)   # raises ConcurrentWriteConflict on overlap
+
+Cross-process deployment note (pinned by tests/test_occ_cross_process.py —
+two separate Spark processes, shared table, filesystem lock): instant times
+are millisecond-resolution and monotonic per PROCESS (timeline.
+new_instant_time), so two writers minting an instant in the same
+millisecond could collide — the same exposure as the reference's 0.x OCC
+(HoodieActiveTimeline.createNewInstantTime).  Production multi-writer
+setups should allocate instant times under the table lock (as later
+reference versions do) or add a writer-unique suffix via an external
+lock/sequencer provider.
 """
 
 from __future__ import annotations
