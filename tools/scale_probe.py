@@ -249,9 +249,18 @@ def main():
         f"{rows[4]['exact_substring_dedup']}s (every window duplicated "
         "across copies — every document pays the rebuild).",
     ]
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SCALE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALE.md")
+    # preserve the driver-planning section owned by tools/driver_plan_probe.py
+    tail = ""
+    marker = "## Driver-side planning vs partition count"
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        if marker in old:
+            tail = "\n" + marker + old.split(marker, 1)[1].rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + tail)
     print("wrote SCALE.md", "FLAT-OK" if flat else "FLATNESS VIOLATED")
 
 
