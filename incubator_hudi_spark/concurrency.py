@@ -11,9 +11,10 @@ Reference parity:
 
 Usage::
 
-    with OccWriter(table) as txn:
-        instant = table.upsert(batch)
-        txn.commit(instant)   # raises ConcurrentWriteConflict on overlap
+    with OccWriter(table):
+        table.upsert(batch)   # validates under the table lock just before
+                              # its instant turns COMPLETED; raises
+                              # ConcurrentWriteConflict on overlap
 
 Cross-process deployment note (pinned by tests/test_occ_cross_process.py —
 two separate Spark processes, shared table, filesystem lock): instant times

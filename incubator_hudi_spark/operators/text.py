@@ -496,9 +496,10 @@ def dedup_exact_substrings(df: DataFrame, min_words: int = 20,
          disappears; clean documents flow through a plain left join.
     Changed documents are single-space rejoined; untouched documents keep
     their text byte-for-byte (same contract as dedup_spans).  The
-    checkpoint uses ``localCheckpoint`` (executor-local storage); on a
-    long-lived production cluster prefer a reliable checkpoint directory —
-    executor loss would otherwise recompute the lineage-truncated frame.
+    checkpoint uses ``localCheckpoint`` (executor-local storage) — its
+    lineage is TRUNCATED, so blocks lost to executor failure cannot be
+    recomputed and the job fails; on a long-lived cluster with executor
+    churn use a reliable checkpoint directory instead.
     """
     words = F.split(F.col(text_col), r"\s+")
     n_words = F.size(words)

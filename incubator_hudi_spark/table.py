@@ -961,8 +961,9 @@ class HudiTable:
             # (~free).  Not applicable when bootstrap (external) file groups
             # exist: those updates must re-route through a COW rewrite,
             # which needs the per-file-group profile.
-            has_ext = self.tc.table_type == MERGE_ON_READ and any(
-                f.external for sl in view.latest_slices() for f in sl.base_files)
+            mor_sls = (view.latest_slices()
+                       if self.tc.table_type == MERGE_ON_READ else [])
+            has_ext = any(f.external for sl in mor_sls for f in sl.base_files)
             mor_fast = self.tc.table_type == MERGE_ON_READ and not has_ext
 
             # fold the insert-existence probe into the delta-write action:
@@ -995,7 +996,7 @@ class HudiTable:
                 self._check_frozen(updates, FG, frozen_fgs)
                 with _stage("upsert.write"):
                     stats, fg_map, schema = self._upsert_mor_fast(
-                        view, instant.time, updates, inserts,
+                        mor_sls, instant.time, updates, inserts,
                         pending_compaction, is_delete, tag_obs=tag_obs)
                 # MOR inserts only ever open NEW file groups, so base files
                 # in the stats ⇔ insert rows landed
@@ -1537,7 +1538,7 @@ class HudiTable:
                                     sort_cols=[META_RECORD_KEY])
         return stats, fg_map, schema
 
-    def _upsert_mor_fast(self, view: FileSystemView, instant_time: str,
+    def _upsert_mor_fast(self, latest_sls: list, instant_time: str,
                          updates: DataFrame, inserts: DataFrame,
                          pending_compaction: Optional[dict[str, str]],
                          is_delete: bool, tag_obs=None):
@@ -1557,9 +1558,12 @@ class HudiTable:
         insert-probe job entirely, folding it into the delta write the way
         the reference folds sizing into the append handle's observed stats
         (HoodieAppendHandle.java:336-390)."""
-        base_of = {sl.file_group: sl.base_instant
-                   for sl in view.latest_slices()}
-        fg_part = {sl.file_group: sl.partition for sl in view.latest_slices()}
+        # ONE latest_slices materialization per batch, shared with the
+        # caller's has_ext probe (the walk+sort is O(file groups) driver
+        # work — at the 100k-group scale the driver probe targets, paying
+        # it three times per batch was a real cost)
+        base_of = {sl.file_group: sl.base_instant for sl in latest_sls}
+        fg_part = {sl.file_group: sl.partition for sl in latest_sls}
         # pending-compaction log routing — see _upsert_mor for the contract
         for fg, ctime in (pending_compaction or {}).items():
             base_of[fg] = max(base_of.get(fg) or "", ctime)
@@ -1592,9 +1596,15 @@ class HudiTable:
                     # batch had no updates ⟺ inserts exist, so falling
                     # back to the probe is exactly the pre-fold behavior.
                     n_ins = None
-            if n_ins == 0:
+            if n_ins == 0 and stats:
                 # the delta write's observed metrics prove the batch was
-                # update-only — no probe job needed
+                # update-only — no probe job needed.  The `stats` guard is
+                # a positive invariant, not belt-and-braces: the write
+                # paths return [] exactly when the update side was empty,
+                # and an empty update side means the observation CANNOT
+                # have come from a full scan of the tagging cache (AQE may
+                # collapse the plan) — so a 0 metric is only trusted when
+                # a non-empty delta write proves the full scan happened.
                 insert_profile = {}
             else:
                 # one action doubles as existence probe and bucket profile

@@ -52,6 +52,21 @@ def test_curly_alternation_and_escape():
     assert not _m("a.b/*", "aXb/f.parquet")
 
 
+def test_escaped_bracket_inside_set():
+    # GlobPattern handles BACKSLASH before set logic: '[\]]' is a set
+    # holding a literal ']'
+    assert _m(r"a[\]]b/*", "a]b/f.parquet")
+    assert not _m(r"a[\]]b/*", "axb/f.parquet")
+    assert _m(r"[a\]b]x/*", "ax/f.parquet")
+    assert _m(r"[a\]b]x/*", "]x/f.parquet")
+    assert _m(r"[a\]b]x/*", "bx/f.parquet")
+    assert not _m(r"[a\]b]x/*", "cx/f.parquet")
+    # ']' first in the set is literal too; ranges still work
+    assert _m("f[]]g/*", "f]g/f.parquet")
+    assert _m("202[0-4]-*/*", "2024-03/f.parquet")
+    assert not _m("202[0-4]-*/*", "2025-03/f.parquet")
+
+
 def test_anchoring_full_match():
     # full match: the glob must consume the path to its END (only the
     # leading '*' is implicit) — 'f.parquet' can't match a longer tail
