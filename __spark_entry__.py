@@ -445,6 +445,28 @@ def incremental_glob(spark, sf_dir):
                       "l_quantity")
 
 
+@q("incremental_glob_braces", f"""
+WITH {_LI_DEDUP}
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '{_TS_FMT_DUCK}') AS ship_ts,
+       l_quantity + 1000.0 AS l_quantity
+FROM li_d WHERE l_linenumber = 1
+  AND strftime(l_shipdate, '%Y-%m') IN ('1996-01', '1996-02', '1996-03')
+""")
+def incremental_glob_braces(spark, sf_dir):
+    """INCR_PATH_GLOB with Hadoop GlobPattern {a,b} alternation (new r6 —
+    the reference compiles GlobPattern('*'+glob), IncrementalRelation.scala
+    :141, whose curly braces fnmatch lacks): the change stream restricted
+    to three named monthly partitions in one glob."""
+    from incubator_hudi_spark import QUERY_INCREMENTAL
+    r = _r_cow_upserted(spark, sf_dir)
+    inc = r["t"].read(QUERY_INCREMENTAL, begin=r["c1"], end=r["c2"],
+                      path_glob="1996-{01,02,03}/*")
+    return inc.select("l_orderkey", "l_linenumber",
+                      F.date_format("l_shipdate", _TS_FMT_SPARK).alias("ship_ts"),
+                      "l_quantity")
+
+
 @q("cow_point_in_time", f"""
 WITH {_LI_DEDUP}
 SELECT l_orderkey, l_linenumber,
@@ -3468,6 +3490,8 @@ def aws_dms_cdc(spark, sf_dir):
 # this list keep their relative registration order after the priority
 # block.
 _PRIORITY = [
+    # NEW in r6 — needs a first driver row
+    "incremental_glob_braces",
     # r5-sampled but REWRITTEN in r6 — re-earn on current code
     "exact_substring_dedup", "incremental_glob", "pyds_native_mor_snapshot",
     "async_compaction_ingest", "mor_snapshot", "mor_skip_merge",

@@ -17,14 +17,15 @@ Usage::
                               # ConcurrentWriteConflict on overlap
 
 Cross-process deployment note (pinned by tests/test_occ_cross_process.py —
-two separate Spark processes, shared table, filesystem lock): instant times
-are millisecond-resolution and monotonic per PROCESS (timeline.
-new_instant_time), so two writers minting an instant in the same
-millisecond could collide — the same exposure as the reference's 0.x OCC
-(HoodieActiveTimeline.createNewInstantTime).  Production multi-writer
-setups should allocate instant times under the table lock (as later
-reference versions do) or add a writer-unique suffix via an external
-lock/sequencer provider.
+two separate Spark processes, shared table, filesystem lock): instant
+times are minted through ``timeline.claim_instant`` — an atomic
+O_CREAT|O_EXCL claim of the requested file plus a same-time re-mint loop —
+so two writers minting the same millisecond can never share a (time,
+action) instant or a ``data/<instant>/`` directory (the reference's 0.x
+OCC is exposed here, HoodieActiveTimeline.createNewInstantTime; ours
+closes it to a sub-millisecond cross-action scan window on stores with
+atomic exclusive create).  On object stores without atomic-create
+semantics, front instant allocation with the external lock provider.
 """
 
 from __future__ import annotations

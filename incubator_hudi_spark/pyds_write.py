@@ -274,11 +274,12 @@ class HudiBulkWriter(DataSourceArrowWriter):
         # open the instant BEFORE tasks write under its directory — same
         # 3-state protocol as the engine (timeline.py); a crash leaves a
         # dangling inflight the next engine write rolls back
-        self._instant = tl.new_instant_time()
         action = tl.REPLACE_COMMIT if overwrite else tl.COMMIT
-        ins = self._meta.timeline.create_requested(
-            self._instant, action, {"operation": "insert_overwrite_table"
-                                    if overwrite else op})
+        # atomic cross-process claim — see timeline.claim_instant
+        ins = self._meta.timeline.claim_instant(
+            action, {"operation": "insert_overwrite_table"
+                     if overwrite else op})
+        self._instant = ins.time
         self._meta.timeline.transition_to_inflight(ins)
         self._action = action
 

@@ -370,10 +370,11 @@ class HudiTable:
                 self._recovered_on_start = True
             finally:
                 self._recovering = False
-        t = tl.new_instant_time()
-        ins = self.timeline.create_requested(t, action)
+        # atomic cross-process claim: two writers minting the same
+        # millisecond can never share an instant (timeline.claim_instant)
+        ins = self.timeline.claim_instant(action)
         if action in tl.DATA_ACTIONS and not getattr(self, "_recovering", False):
-            self._last_started = t
+            self._last_started = ins.time
         return self.timeline.transition_to_inflight(ins)
 
     def _complete(self, instant: tl.Instant, operation: str,

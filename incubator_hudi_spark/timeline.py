@@ -161,10 +161,47 @@ class Timeline:
             json.dump(payload, f, default=str)
         os.replace(tmp, path)
 
-    def create_requested(self, instant_time: str, action: str, metadata: Optional[dict] = None) -> Instant:
+    def create_requested(self, instant_time: str, action: str,
+                         metadata: Optional[dict] = None,
+                         exclusive: bool = False) -> Instant:
+        """``exclusive=True`` claims the requested file atomically
+        (O_CREAT|O_EXCL) and raises FileExistsError if another writer got
+        there first — streaming replay and rollback re-creation keep the
+        default overwrite semantics."""
         ins = Instant(instant_time, action, REQUESTED)
+        if exclusive:
+            fd = os.open(self._path(ins),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump(metadata or {}, f, default=str)
+            return ins
         self._write_json(self._path(ins), metadata or {})
         return ins
+
+    def claim_instant(self, action: str,
+                      metadata: Optional[dict] = None) -> Instant:
+        """Mint a NEW instant time and atomically claim its requested file.
+
+        new_instant_time() is monotonic per process only; two processes can
+        mint the same millisecond (the reference's 0.x OCC shares this
+        exposure, HoodieActiveTimeline.createNewInstantTime).  The claim
+        loop makes same-(time, action) collisions impossible (O_EXCL — the
+        loser re-mints the next millisecond), and re-mints when ANY instant
+        of that time already exists so two actions never share a
+        ``data/<instant>/`` directory either (scan-then-create: the
+        remaining cross-action window is two processes passing the scan in
+        the same millisecond with different actions, then both winning
+        distinct O_EXCL files — mitigated to sub-millisecond and distinct
+        timeline files; an external instant allocator closes it entirely)."""
+        while True:
+            t = new_instant_time()
+            if self.contains(t):
+                continue               # cross-action same-ms guard
+            try:
+                return self.create_requested(t, action, metadata,
+                                             exclusive=True)
+            except FileExistsError:
+                continue               # lost the same-action race — re-mint
 
     def transition_to_inflight(self, instant: Instant, metadata: Optional[dict] = None) -> Instant:
         inflight = Instant(instant.time, instant.action, INFLIGHT)

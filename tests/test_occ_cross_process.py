@@ -19,12 +19,12 @@ the COMPLETED timeline in instant order into an exact expected model — any
 lost update, resurrected loser write, or unserialized commit fails the
 equality check.
 
-Known deployment caveat (documented, matches the reference's 0.x-era OCC):
-instant times are millisecond-resolution and monotonic per process, so two
-processes could in principle mint the same instant in the same
-millisecond; writers stagger their start here.  Production multi-writer
-setups should allocate instants under the table lock (as later reference
-versions do).
+Instant minting is collision-safe cross-process: timeline.claim_instant
+atomically claims the requested file (O_CREAT|O_EXCL) and re-mints on any
+same-time instant, so same-millisecond writers can never share an instant
+or a data/<instant>/ directory (test_claim_instant_collision below pins
+the primitive; the writers' start stagger here just de-noises the
+rendezvous).
 """
 
 import json
@@ -93,6 +93,31 @@ for k in range(N):
 print("RESULT:" + json.dumps(
     {"writer": w, "committed": committed, "conflicts": conflicts}))
 """
+
+
+def test_claim_instant_collision(tmp_path):
+    """claim_instant must never hand two callers the same (time, action) —
+    or the same time under ANY action (two actions would share one
+    data/<instant>/ dir)."""
+    from incubator_hudi_spark import timeline as tl
+
+    t = tl.Timeline(str(tmp_path))
+    os.makedirs(str(tmp_path), exist_ok=True)
+    a = t.claim_instant(tl.COMMIT)
+    # same (time, action): exclusive create refuses
+    try:
+        t.create_requested(a.time, tl.COMMIT, exclusive=True)
+        raise AssertionError("exclusive re-claim must raise")
+    except FileExistsError:
+        pass
+    # overwrite semantics stay available for replay/rollback callers
+    t.create_requested(a.time, tl.COMMIT)
+    # same time, different action: claim loop re-mints a fresh time
+    b = t.claim_instant(tl.REPLACE_COMMIT)
+    assert b.time != a.time and b.time > a.time
+    # burst of claims: all unique, all monotonic
+    times = [t.claim_instant(tl.COMMIT).time for _ in range(5)]
+    assert len(set(times)) == 5 and times == sorted(times)
 
 
 def test_two_process_occ_soak(spark, tmp_table_path, lineitem):
