@@ -195,8 +195,16 @@ class Timeline:
         timeline files; an external instant allocator closes it entirely)."""
         while True:
             t = new_instant_time()
-            if self.contains(t):
-                continue               # cross-action same-ms guard
+            # cross-action same-ms guard: raw prefix scan of the active dir
+            # (NOT a Timeline.instants() listing — no parse, and the
+            # one-listing-per-batch accounting stays at one)
+            try:
+                taken = any(fn.startswith(t + ".")
+                            for fn in os.listdir(self.meta_dir))
+            except FileNotFoundError:
+                taken = False
+            if taken:
+                continue
             try:
                 return self.create_requested(t, action, metadata,
                                              exclusive=True)

@@ -33,6 +33,8 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
 
 _WRITER = r"""
@@ -120,14 +122,18 @@ def test_claim_instant_collision(tmp_path):
     assert len(set(times)) == 5 and times == sorted(times)
 
 
-def test_two_process_occ_soak(spark, tmp_table_path, lineitem):
-    from incubator_hudi_spark import HudiTable
+@pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+def test_two_process_occ_soak(spark, tmp_table_path, lineitem, table_type):
+    from incubator_hudi_spark import MERGE_ON_READ, HudiTable
     from incubator_hudi_spark import timeline as tl
 
     t = HudiTable.create(spark, tmp_table_path, "occ",
                          recordkey_fields=["l_orderkey", "l_linenumber"],
                          partition_expr="date_format(l_shipdate,'yyyy-MM')",
-                         precombine_field="l_shipdate")
+                         precombine_field="l_shipdate",
+                         table_type=table_type)
+    if table_type == MERGE_ON_READ:
+        t.cfg = t.cfg.with_(inline_compaction=False)
     t.bulk_insert(lineitem)
 
     bdir = os.path.join(tmp_table_path, "_barriers")
@@ -158,8 +164,12 @@ def test_two_process_occ_soak(spark, tmp_table_path, lineitem):
     assert total_conflicts >= 1, (
         "rendezvoused shared batches must produce a conflict", results)
 
-    # fresh handle: rollback-on-open reclaims any loser debris
+    # fresh handle: rollback-on-open reclaims any loser debris; for MOR,
+    # compact the cross-process delta logs first — the model equality then
+    # also proves the merged winners survive compaction intact
     t2 = HudiTable.load(spark, tmp_table_path)
+    if table_type == MERGE_ON_READ:
+        t2.run_compaction()
     snap = t2.read()
 
     # serialized, unique, strictly-ordered completed commits
