@@ -502,22 +502,31 @@ def dedup_exact_substrings(df: DataFrame, min_words: int = 20,
     churn use a reliable checkpoint directory instead.
     """
     words = F.split(F.col(text_col), r"\s+")
-    n_words = F.size(words)
+    # Window-hash kernel (measured, tools/ab_window_hash.py — 6.6× the
+    # md5-of-joined-string kernel at sf0.1): hash each WORD once
+    # (xxhash64), explode the window start positions, then hash the
+    # 20-long slice of word-hashes twice with different salts — 128
+    # effective bits like md5, but no per-window string reconstruction
+    # and a 16-byte hash pair instead of a 32-char md5 in the shuffle.
+    # The word-hash array is materialized through the explode boundary:
+    # inlining it into a per-window lambda makes Catalyst recompute the
+    # word hashes for every window (~20× per word — measured 12× slower).
+    n_words = F.size(F.col("_wh"))
     # window starts 0..len-min_words (none when the doc is shorter)
     starts = F.when(
         n_words >= min_words,
         F.sequence(F.lit(0), n_words - min_words)).otherwise(
         F.array().cast("array<int>"))
-    grams = F.transform(
-        starts, lambda i: F.struct(
-            i.alias("pos"),
-            F.md5(F.array_join(
-                F.slice(words, i + 1, min_words), " ")).alias("h")))
-    seg = (df.select(id_col, F.explode(grams).alias("g"))
-             .select(id_col, F.col("g.pos").alias("pos"),
-                     F.col("g.h").alias("h")))
-    owners = seg.groupBy("h").agg(F.min(id_col).alias("_owner"))
-    covered = (seg.join(owners, "h")
+    win = F.slice(F.col("_wh"), F.col("pos") + 1, F.lit(min_words))
+    seg = (df.select(id_col,
+                     F.transform(words,
+                                 lambda w: F.xxhash64(w)).alias("_wh"))
+             .select(id_col, "_wh", F.explode(starts).alias("pos"))
+             .select(id_col, "pos",
+                     F.xxhash64(win).alias("h1"),
+                     F.xxhash64(F.lit(0x9E3779B9), win).alias("h2")))
+    owners = seg.groupBy("h1", "h2").agg(F.min(id_col).alias("_owner"))
+    covered = (seg.join(owners, ["h1", "h2"])
                .filter(F.col(id_col) > F.col("_owner"))
                .select(id_col, "pos").distinct())
     removed = (covered
