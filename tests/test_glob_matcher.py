@@ -101,3 +101,45 @@ def test_filter_slices_granularity_follows_mor_reference():
 
     # no glob → identity
     assert filter_slices_by_glob([with_base], None) == [with_base]
+
+
+# ---- property tests (model-based) -----------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HYP = True
+except ImportError:                                   # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    import fnmatch
+
+    _seg_chars = st.sampled_from("ab3-._")
+    _glob_seg = st.text(alphabet=st.sampled_from("ab3*?."), min_size=0,
+                        max_size=4)
+    _path_seg = st.text(alphabet=_seg_chars, min_size=1, max_size=4)
+
+    @settings(max_examples=300, deadline=None)
+    @given(glob_segs=st.lists(_glob_seg, min_size=1, max_size=3),
+           path_segs=st.lists(_path_seg, min_size=1, max_size=4))
+    def test_star_question_subset_equals_fnmatch(glob_segs, path_segs):
+        """On globs of only literals/*/?, GlobPattern('*'+g) ≡ fnmatch
+        with '*'+g: both compile * -> .* (crossing '/') and ? -> . —
+        fnmatch is the independent model for that subset."""
+        glob = "/".join(glob_segs)
+        path = "/".join(path_segs)
+        want = fnmatch.fnmatchcase(path, "*" + glob)
+        assert _m(glob, path) == want, (glob, path)
+
+    @settings(max_examples=200, deadline=None)
+    @given(alts=st.lists(st.text(alphabet=st.sampled_from("ab3"),
+                                 min_size=0, max_size=3),
+                         min_size=1, max_size=3),
+           prefix=st.text(alphabet=st.sampled_from("ab3*?"), max_size=3),
+           path_segs=st.lists(_path_seg, min_size=1, max_size=3))
+    def test_braces_equal_or_of_expansions(alts, prefix, path_segs):
+        """{x,y,z} must match exactly when one expanded glob matches."""
+        glob = prefix + "{" + ",".join(alts) + "}/*"
+        path = "/".join(path_segs)
+        want = any(_m(prefix + a + "/*", path) for a in alts)
+        assert _m(glob, path) == want, (glob, path)
