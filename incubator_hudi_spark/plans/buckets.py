@@ -40,6 +40,16 @@ def new_fg_id() -> str:
     return uuid.uuid4().hex[:16]
 
 
+#: target number of sampled keys per planned bucket for GLOBAL_SORT range
+#: split points.  Also used to derive the count-free sample fraction of the
+#: fused profile pass (see range_split_points / table._write_inserts):
+#: f = SAMPLES_PER_BUCKET * rec_size / target_file_size — since a partition
+#: is planned k ≈ n·rec_size/target buckets, a uniform f yields ≈ this many
+#: samples per bucket regardless of n, so ONE aggregation can collect counts
+#: and split samples together without knowing the counts first.
+SAMPLES_PER_BUCKET = 100
+
+
 def avg_record_size(meta, timeline, default: int, active=None) -> int:
     """Recalculate average record size from recent commit stats
     (UpsertPartitioner.java:160-163).  ``active``: optional
@@ -105,12 +115,20 @@ def plan_insert_buckets(
 def range_split_points(prepared: DataFrame, plan: list[InsertBucket],
                        profile: dict[str, int],
                        partition_col: str, key_col: str,
-                       samples_per_bucket: int = 100) -> dict[str, list[str]]:
+                       samples_per_bucket: int = SAMPLES_PER_BUCKET,
+                       samples: Optional[dict[str, list[str]]] = None
+                       ) -> dict[str, list[str]]:
     """Per-partition key split points for GLOBAL_SORT assignment
     (GlobalSortPartitioner.java:34-45 — ``records.sortBy``; Spark's own
     RangePartitioner uses the same sample-then-split technique).  Only
     partitions planned with >1 bucket are sampled — steady-state writes
-    (one bucket per partition) pay nothing.  One Spark job total."""
+    (one bucket per partition) pay nothing.
+
+    ``samples``: key samples already gathered by the caller (the fused
+    profile+sample aggregation in table._write_inserts — round 6) — when
+    provided, NO Spark job runs here, removing one of the bulk load's full
+    input passes.  Without it, one sampling job runs (the pre-r6 shape,
+    kept for callers that profile a different frame than they assign)."""
     from collections import defaultdict
     k_of: dict[str, int] = defaultdict(int)
     for b in plan:
@@ -118,19 +136,24 @@ def range_split_points(prepared: DataFrame, plan: list[InsertBucket],
     need = {p: k for p, k in k_of.items() if k > 1}
     if not need:
         return {}
-    fracs = {p: min(1.0, max(samples_per_bucket * k, 50) / max(1, profile.get(p, 1)))
-             for p, k in need.items()}
-    frac_map = F.create_map(*[x for p, fr in fracs.items()
-                              for x in (F.lit(p), F.lit(fr))])
-    sampled = (prepared
-               .select(F.col(partition_col).alias("_p"),
-                       F.col(key_col).alias("_k"))
-               .filter(F.col("_p").isin(list(need)))
-               .filter(F.rand(46474747) < frac_map[F.col("_p")])
-               .collect())
-    by_p: dict[str, list[str]] = defaultdict(list)
-    for r in sampled:
-        by_p[r[0]].append(r[1])
+    by_p: dict[str, list[str]]
+    if samples is not None:
+        by_p = {p: list(samples.get(p, [])) for p in need}
+    else:
+        fracs = {p: min(1.0, max(samples_per_bucket * k, 50)
+                        / max(1, profile.get(p, 1)))
+                 for p, k in need.items()}
+        frac_map = F.create_map(*[x for p, fr in fracs.items()
+                                  for x in (F.lit(p), F.lit(fr))])
+        sampled = (prepared
+                   .select(F.col(partition_col).alias("_p"),
+                           F.col(key_col).alias("_k"))
+                   .filter(F.col("_p").isin(list(need)))
+                   .filter(F.rand(46474747) < frac_map[F.col("_p")])
+                   .collect())
+        by_p = defaultdict(list)
+        for r in sampled:
+            by_p[r[0]].append(r[1])
     splits = {}
     for p, k in need.items():
         ks = sorted(by_p.get(p, []))

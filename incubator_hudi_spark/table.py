@@ -480,12 +480,40 @@ class HudiTable:
         view = action_view if action_view is not None else self.view()
         # validate evolution on the raw batch BEFORE any union coerces types
         self._commit_schema(prepared)
-        with _stage("insert.profile"):
-            src = profile_df if profile_df is not None else prepared
-            profile = {r[0]: r[1] for r in
-                       src.groupBy(META_PARTITION_PATH).count().collect()}
         rec_size = avg_record_size(self.meta, self.timeline,
                                    self.cfg.record_size_estimate)
+        # GLOBAL_SORT all-new-bucket loads (bulk_insert / insert_overwrite*)
+        # fold the range-split key sampling into the profile aggregation —
+        # r6: the bulk load then scans its input twice (profile+sample,
+        # write) instead of three times.  The sample fraction needs no row
+        # counts: a partition with n rows is planned k ≈ n·rec_size/target
+        # buckets, so a uniform f = samples_per_bucket·rec_size/target
+        # yields ≈ samples_per_bucket keys per bucket for ANY n.  Sampling
+        # is a deterministic key-hash cut (not rand()): retried tasks
+        # re-derive the same sample (the SPARK-38388 class of hazards) and
+        # duplicate keys sample together, matching the one-bucket-per-key
+        # preCombine contract downstream.
+        sample_keys = None
+        with _stage("insert.profile"):
+            src = profile_df if profile_df is not None else prepared
+            if sort_mode == SORT_GLOBAL and not pack_small_files:
+                from .plans.buckets import SAMPLES_PER_BUCKET
+                frac = min(1.0, (SAMPLES_PER_BUCKET * rec_size)
+                           / max(1, self.cfg.target_file_size_bytes))
+                thresh = max(1, int(frac * (1 << 20)))
+                key_src = src if META_RECORD_KEY in src.columns else prepared
+                rows = (key_src.groupBy(META_PARTITION_PATH)
+                        .agg(F.count(F.lit(1)).alias("_n"),
+                             F.collect_list(F.when(
+                                 F.pmod(F.xxhash64(F.col(META_RECORD_KEY)),
+                                        F.lit(1 << 20)) < F.lit(thresh),
+                                 F.col(META_RECORD_KEY))).alias("_ks"))
+                        .collect())
+                profile = {r[0]: r[1] for r in rows}
+                sample_keys = {r[0]: r[2] for r in rows}
+            else:
+                profile = {r[0]: r[1] for r in
+                           src.groupBy(META_PARTITION_PATH).count().collect()}
         if frozen_fgs is None and pack_small_files:
             from .services.clustering import pending_clustering_fgs
             frozen_fgs = set(pending_clustering_fgs(self))
@@ -504,7 +532,8 @@ class HudiTable:
             from .plans.buckets import (assign_insert_buckets_range,
                                         range_split_points)
             splits = range_split_points(prepared, plan, profile,
-                                        META_PARTITION_PATH, META_RECORD_KEY)
+                                        META_PARTITION_PATH, META_RECORD_KEY,
+                                        samples=sample_keys)
             assigned = assign_insert_buckets_range(
                 self.spark, prepared, plan,
                 META_PARTITION_PATH, META_RECORD_KEY, FG, splits)

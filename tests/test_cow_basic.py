@@ -320,3 +320,39 @@ def test_failed_write_rearms_recovery(spark, tmp_table_path, lineitem):
     assert not [p for p in t.timeline.pending()
                 if p.action in tl.DATA_ACTIONS]
     assert t.read().count() == n
+
+
+def test_fused_profile_sampling_no_second_pass(spark, tmp_table_path,
+                                               lineitem):
+    """r6: GLOBAL_SORT all-new-bucket loads gather range-split samples inside
+    the profile aggregation, so range_split_points must build splits from
+    the provided samples WITHOUT touching the input frame (the pre-r6 second
+    sampling scan).  Poisoning `prepared` proves no job can run; the
+    end-to-end layout property is pinned by test_bulk_insert_sort_modes."""
+    from incubator_hudi_spark.plans.buckets import (InsertBucket,
+                                                    range_split_points)
+
+    class _Poisoned:
+        def __getattr__(self, name):
+            raise AssertionError(
+                "range_split_points touched the input frame despite "
+                "caller-provided samples")
+
+    plan = [InsertBucket("p1", "fg_a", 0, 100, True),
+            InsertBucket("p1", "fg_b", 100, 200, True),
+            InsertBucket("p2", "fg_c", 0, 50, True)]
+    samples = {"p1": [f"k{i:03d}" for i in range(0, 100, 7)], "p2": ["k1"]}
+    splits = range_split_points(_Poisoned(), plan, {"p1": 200, "p2": 50},
+                                "_hoodie_partition_path",
+                                "_hoodie_record_key", samples=samples)
+    # only multi-bucket partitions get split points; k buckets → k-1 points,
+    # drawn from the sorted sample
+    assert set(splits) == {"p1"}
+    assert len(splits["p1"]) == 1
+    assert splits["p1"][0] in samples["p1"]
+
+    # a multi-bucket partition with an (improbable) empty sample degrades to
+    # "everything → first bucket", same as the pre-r6 degenerate case
+    empty = range_split_points(_Poisoned(), plan, {"p1": 200, "p2": 50},
+                               "_p", "_k", samples={})
+    assert empty == {"p1": []}
