@@ -105,6 +105,47 @@ def main():
     wm.read().count()                    # merged-read window path
     wm.run_compaction()
 
+    # Window-health canary (ADDED r6, excluded from the engine total):
+    # fixed code-independent CPU work — bit_xor(xxhash64) over 80M rows per
+    # core, so the healthy value (~1.2–1.6 s) is constant across the
+    # driver's core-count sweep.  This host shows multi-second sys-CPU/
+    # steal storms under sustained parallel load (BASELINE.md r6 section);
+    # the canary lets any reader separate window degradation from code:
+    # canary at ~1.5 s → trust the run; canary at 3 s+ → the window, not
+    # the engine, moved.  Pure spark.range compute: no engine code, no
+    # files, identical bytes every round.
+    timed_median("host_canary_fixed_work", lambda: (
+        spark.range(0, 80_000_000 * CPUS, 1, CPUS)
+             .selectExpr("bit_xor(xxhash64(id))").collect()))
+
+    # Second canary, same contract: CONCURRENT small-file create+delete
+    # ($CPUS threads x 200 x 64 KB, driver-side, no Spark) — the write
+    # lanes' actual failure mode on this host is a kernel-side collapse
+    # under parallel file churn (measured 0.27 s healthy -> 5.4-8.6 s in
+    # degraded windows while the CPU canary stays clean), so this is the
+    # number that explains a slow bulk_insert/upsert entry when the CPU
+    # canary does not.
+    def _churn_once():
+        import shutil as _sh
+        import tempfile as _tf
+        import threading as _th
+
+        def churn(d, n=200, sz=64 * 1024):
+            for i in range(n):
+                with open(os.path.join(d, f"f{i}"), "wb") as fh:
+                    fh.write(b"x" * sz)
+            for i in range(n):
+                os.unlink(os.path.join(d, f"f{i}"))
+        dirs = [_tf.mkdtemp(prefix="canary_churn_") for _ in range(CPUS)]
+        ths = [_th.Thread(target=churn, args=(d,)) for d in dirs]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join()
+        for d in dirs:
+            _sh.rmtree(d, ignore_errors=True)
+    timed_median("host_canary_file_churn", _churn_once)
+
     def make_table(name, table_type="COPY_ON_WRITE"):
         return HudiTable.create(
             spark, os.path.join(work, name), name=name,
@@ -218,7 +259,10 @@ def main():
     timed_median("sessionization",
                  lambda: sessionize(ev, gap_minutes=30).count())
 
-    total = round(sum(timings.values()), 3)
+    # the canaries measure the HOST, not the engine — they stay out of the
+    # engine total so round-over-round totals keep comparing engine work
+    total = round(sum(v for k, v in timings.items()
+                      if not k.startswith("host_canary_")), 3)
     shutil.rmtree(work, ignore_errors=True)
 
     print(json.dumps({
