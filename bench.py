@@ -48,6 +48,7 @@ def main():
     work = tempfile.mkdtemp(prefix="hudi_bench_")
     timings: dict[str, float] = {}
     repeats: dict[str, int] = {}
+    samples: dict[str, list[float]] = {}
 
     def timed(name):
         class _T:
@@ -56,13 +57,15 @@ def main():
             def __exit__(self, *a):
                 timings[name] = round(time.time() - self.t0, 3)
                 repeats[name] = 1
+                samples[name] = [timings[name]]
         return _T()
 
     def timed_median(name, fn, n=3):
         """Sub-second idempotent entries flap ±0.2 s with window drift on
         this box — run them n× and record the MEDIAN so round-over-round
         deltas measure code, not hypervisor noise (still one run's worth in
-        the total)."""
+        the total).  Raw samples are published in the "samples" field so a
+        reader can see flap directly instead of trusting the median."""
         xs = []
         for _ in range(n):
             t0 = time.time()
@@ -70,6 +73,7 @@ def main():
             xs.append(time.time() - t0)
         timings[name] = round(sorted(xs)[len(xs) // 2], 3)
         repeats[name] = n
+        samples[name] = [round(x, 3) for x in xs]
 
     li = load_table(spark, SF_DIR, "lineitem")
     li.persist().count()
@@ -114,9 +118,16 @@ def main():
     # canary at ~1.5 s → trust the run; canary at 3 s+ → the window, not
     # the engine, moved.  Pure spark.range compute: no engine code, no
     # files, identical bytes every round.
-    timed_median("host_canary_fixed_work", lambda: (
-        spark.range(0, 80_000_000 * CPUS, 1, CPUS)
-             .selectExpr("bit_xor(xxhash64(id))").collect()))
+    #
+    # r7 restructure (ordered by the r6 verdict): the canaries BRACKET the
+    # run — CPU canary here (start) and again at the very end
+    # (host_canary_fixed_work_end), and the file-churn canary runs AFTER the
+    # last timed entry, so its own ~19k file create/deletes can no longer
+    # perturb the timed sections it is supposed to stamp.
+    def _cpu_canary():
+        spark.range(0, 80_000_000 * CPUS, 1, CPUS) \
+             .selectExpr("bit_xor(xxhash64(id))").collect()
+    timed_median("host_canary_fixed_work", _cpu_canary)
 
     # Second canary, same contract: CONCURRENT small-file create+delete
     # ($CPUS threads x 200 x 64 KB, driver-side, no Spark) — the write
@@ -124,7 +135,7 @@ def main():
     # under parallel file churn (measured 0.27 s healthy -> 5.4-8.6 s in
     # degraded windows while the CPU canary stays clean), so this is the
     # number that explains a slow bulk_insert/upsert entry when the CPU
-    # canary does not.
+    # canary does not.  Invoked after the last timed entry (see below).
     def _churn_once():
         import shutil as _sh
         import tempfile as _tf
@@ -144,7 +155,6 @@ def main():
             th.join()
         for d in dirs:
             _sh.rmtree(d, ignore_errors=True)
-    timed_median("host_canary_file_churn", _churn_once)
 
     def make_table(name, table_type="COPY_ON_WRITE"):
         return HudiTable.create(
@@ -259,6 +269,14 @@ def main():
     timed_median("sessionization",
                  lambda: sessionize(ev, gap_minutes=30).count())
 
+    # ---- closing canary bracket (after the LAST timed entry) -------------
+    # host_canary_file_churn keeps its r6 name but now runs here so its file
+    # churn cannot trigger the host pathology inside the timed window; the
+    # second CPU canary closes the bracket — a run is trustworthy when BOTH
+    # fixed-work readings and the churn reading are healthy.
+    timed_median("host_canary_file_churn", _churn_once)
+    timed_median("host_canary_fixed_work_end", _cpu_canary)
+
     # the canaries measure the HOST, not the engine — they stay out of the
     # engine total so round-over-round totals keep comparing engine work
     total = round(sum(v for k, v in timings.items()
@@ -271,6 +289,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "repeats": repeats,
+        "samples": samples,
         "sf": os.path.basename(SF_DIR.rstrip("/")),
     }))
 

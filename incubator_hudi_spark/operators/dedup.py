@@ -126,11 +126,21 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
     return ex.groupBy("_id").agg(*perms)
 
 
+#: per-task bucket-slice target for the banded self-join: buckets larger
+#: than this are salted into ceil(n / HOT_BUCKET_ROWS) groups so no single
+#: task owns a whole hot bucket's pair generation (guide §2.5 — AQE skew
+#: join cannot split a single enormous key).  Inert when every bucket is
+#: smaller (g = 1: the salt column is constant 0 and the b-side explode
+#: yields exactly one row).
+HOT_BUCKET_ROWS = 1024
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 16, bands: int = 8,
                       shingle_w: int = 3,
                       verify_threshold: float | None = 0.5,
-                      hash_family: str = "xxhash64") -> DataFrame:
+                      hash_family: str = "xxhash64",
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     shingle → k minhashes → ``bands`` band-hashes → bucket self-join carrying
@@ -142,9 +152,29 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     three times.  Carrying the k-element signature array fattens the banding
     shuffle by ~8×k bytes/doc, but deletes two sig-table joins (each of
     which would shuffle the sig table again) — strictly fewer bytes moved
-    and one aggregation instead of three.  The self-join is per
-    (band, band_hash) bucket; skewed buckets (boilerplate content) are
-    handled by AQE skew-join.  Returns (id_a, id_b, sig_similarity)."""
+    and one aggregation instead of three.
+
+    ``max_bucket_size`` (r7, guide §2.5/§3 — default None = off) BOUNDS the
+    per-(band, band_hash) bucket self-join for skewed corpora:
+      * a count window partitioned by the join key (riding the join's own
+        exchange and sort on the big-data sort-merge shape) drops
+        singleton buckets (no possible pair — results unaffected) and
+        buckets larger than the cap;
+      * surviving multi-member buckets are SALTED — side a cut into
+        g = ceil(n/HOT_BUCKET_ROWS) deterministic id-hash groups, side b
+        replicated g ways — so one hot bucket's pair generation spreads
+        over g tasks instead of funnelling into one (AQE skew-join cannot
+        split a single key).  Pair (a,b) meets in exactly one salt group,
+        so salting never changes the pair set.  The CAP does change
+        results: a bucket of n near-identical boilerplate docs
+        contributes n(n-1)/2 pairs — at degenerate sizes the OUTPUT is
+        the explosion and no partitioning fixes O(n²) output (run exact
+        dedup first to collapse identical content).  Off by default and
+        unused by the oracle-checked queries.  The default path keeps the
+        r6 single-exchange shape on purpose: an always-on singleton
+        prefilter was A/B-measured at sf0.1 and rejected (see the inline
+        note below).
+    Returns (id_a, id_b, sig_similarity)."""
     r = k // bands
     sigs = minhash_signatures_df(df, text_col, id_col, k, shingle_w,
                                  hash_family)
@@ -162,12 +192,36 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
             for b in range(bands)])).alias("bk")
     ).select("_id", "_sig", "bk.band", "bk.bh")
+    if max_bucket_size is not None:
+        # bounded mode: the bucket-size window partitions by the join key,
+        # so on the big-data (sort-merge) shape it rides the join's own
+        # exchange and sort; singleton buckets (no possible pair) and
+        # over-cap buckets are dropped, survivors are salted
+        counted = (banded.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bh")))
+            .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket_size)))
+        g = F.greatest(F.lit(1),
+                       F.ceil(F.col("_n") / F.lit(HOT_BUCKET_ROWS))) \
+             .cast("int")
+        side_a = counted.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("_id")), g).cast("int"))
+        side_b = counted.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), g - F.lit(1))))
+        join_keys = ["band", "bh", "_salt"]
+    else:
+        # unbounded default: plain single-exchange self-join (broadcast at
+        # small inputs, SMJ + AQE skew split at scale).  An always-on
+        # singleton-bucket window prefilter was A/B-measured at sf0.1 and
+        # REJECTED: it forces an Exchange+Sort the broadcast-join plan
+        # never needed (0.93 s → 1.11 s, tools/ab_minhash_bound.py).
+        side_a = side_b = banded
+        join_keys = ["band", "bh"]
     sim = (F.aggregate(
         F.zip_with(F.col("a._sig"), F.col("b._sig"),
                    lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, v: acc + v) / F.lit(float(k)))
-    out = (banded.alias("a")
-           .join(banded.alias("b"), on=["band", "bh"])
+    out = (side_a.alias("a")
+           .join(side_b.alias("b"), on=join_keys)
            .filter(F.col("a._id") < F.col("b._id"))
            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
                    sim.alias("sig_similarity"))

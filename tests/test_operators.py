@@ -44,6 +44,40 @@ def test_minhash_lsh_finds_near_dups(spark, documents):
     assert deduped.count() < with_dups.count()
 
 
+def test_minhash_bounded_bucket_join(spark, documents, monkeypatch):
+    """max_bucket_size mode: salting never changes the pair set; the cap
+    drops degenerate buckets; the salted plan carries the bounded join."""
+    # plant a hot bucket: 30 identical copies of one doc all collide in
+    # every band; HOT_BUCKET_ROWS shrunk so salting activates (g > 1)
+    monkeypatch.setattr(dedup, "HOT_BUCKET_ROWS", 4)
+    one = documents.limit(1)
+    hot = one
+    for i in range(29):
+        hot = hot.unionByName(
+            one.withColumn("doc_id", F.col("doc_id") + 500_000 + i))
+    corpus = documents.limit(50).unionByName(hot)
+
+    unbounded = dedup.minhash_lsh_pairs(corpus, k=16, bands=8,
+                                        verify_threshold=0.5)
+    bounded = dedup.minhash_lsh_pairs(corpus, k=16, bands=8,
+                                      verify_threshold=0.5,
+                                      max_bucket_size=10_000)
+    ra = sorted(map(tuple, unbounded.collect()))
+    rb = sorted(map(tuple, bounded.collect()))
+    assert ra == rb and len(ra) >= 30 * 29 // 2
+    # the salted join is in the plan: salt column in the join keys
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan and "sequence(0" in plan
+    # capping at 8 removes the 30-member bucket's pairs entirely
+    capped = dedup.minhash_lsh_pairs(corpus, k=16, bands=8,
+                                     verify_threshold=0.5,
+                                     max_bucket_size=8)
+    capped_ids = {r["id_a"] for r in capped.collect()} \
+        | {r["id_b"] for r in capped.collect()}
+    hot_ids = {r["doc_id"] for r in hot.collect()}
+    assert not (capped_ids & hot_ids)
+
+
 def test_simhash_near_dups(spark, documents):
     near = (documents.limit(10)
             .withColumn("doc_id", F.col("doc_id") + 300_000)
