@@ -112,11 +112,57 @@ def plan_insert_buckets(
     return plan
 
 
+def fused_profile_splits(src: DataFrame, partition_col: str, key_col: str,
+                         rec_size: int, target_file_size_bytes: int,
+                         samples_per_bucket: int = SAMPLES_PER_BUCKET
+                         ) -> DataFrame:
+    """ONE aggregation yielding, per partition: row count AND the GLOBAL_SORT
+    range split points — (partition, _n, _splits).
+
+    Sampling is a deterministic key-hash cut at a count-free uniform
+    fraction f = samples_per_bucket·rec_size/target (a partition with n
+    rows is planned k ≈ n·rec_size/target buckets, so f yields
+    ≈ samples_per_bucket keys per bucket for ANY n); retried tasks
+    re-derive the same sample (no rand() — the SPARK-38388 hazard class)
+    and null keys drop out of the collect_list.
+
+    Split-point SELECTION is distributed too (r7): a projection on the
+    aggregated row sorts the sample and reduces it to the k-1 quantile
+    points, where k is the EXACT bucket count plan_insert_buckets derives
+    from the same count (both equal ceil(n / rows_per_new_file) on the
+    no-packing path — the ceil(n/ceil(n/m)) filling identity keeps the
+    plan's positive takes at exactly that k).  The driver therefore
+    collects O(total buckets) keys, not O(total samples) — at the 100 TB
+    bulk-load shape ~875k buckets × 100 samples of raw keys would be a
+    multi-GB driver payload.  The selection expression mirrors the
+    driver-side fallback in range_split_points index for index:
+    idx = min(len(ks)-1, floor(len(ks)·i/k)), ks sorted (sort_array's
+    UTF8 binary order = Python's code-point order, a UTF-8 property)."""
+    frac = min(1.0, (samples_per_bucket * rec_size)
+               / max(1, target_file_size_bytes))
+    thresh = max(1, int(frac * (1 << 20)))
+    rpnf = max(1, target_file_size_bytes // rec_size)
+    return (src.groupBy(partition_col)
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.sort_array(F.collect_list(F.when(
+                     F.pmod(F.xxhash64(F.col(key_col)),
+                            F.lit(1 << 20)) < F.lit(thresh),
+                     F.col(key_col)))).alias("_ks"))
+            .withColumn("_k", F.expr(f"(_n + {rpnf - 1}) div {rpnf}"))
+            .select(partition_col, "_n", F.expr(
+                "CASE WHEN _k > 1 AND size(_ks) > 0 THEN "
+                "transform(sequence(1, int(_k) - 1), i -> "
+                "element_at(_ks, int(least(size(_ks) - 1, "
+                "(size(_ks) * i) div _k)) + 1)) "
+                "ELSE array() END").alias("_splits")))
+
+
 def range_split_points(prepared: DataFrame, plan: list[InsertBucket],
                        profile: dict[str, int],
                        partition_col: str, key_col: str,
                        samples_per_bucket: int = SAMPLES_PER_BUCKET,
-                       samples: Optional[dict[str, list[str]]] = None
+                       samples: Optional[dict[str, list[str]]] = None,
+                       splits: Optional[dict[str, list[str]]] = None
                        ) -> dict[str, list[str]]:
     """Per-partition key split points for GLOBAL_SORT assignment
     (GlobalSortPartitioner.java:34-45 — ``records.sortBy``; Spark's own
@@ -124,11 +170,21 @@ def range_split_points(prepared: DataFrame, plan: list[InsertBucket],
     partitions planned with >1 bucket are sampled — steady-state writes
     (one bucket per partition) pay nothing.
 
-    ``samples``: key samples already gathered by the caller (the fused
-    profile+sample aggregation in table._write_inserts — round 6) — when
-    provided, NO Spark job runs here, removing one of the bulk load's full
-    input passes.  Without it, one sampling job runs (the pre-r6 shape,
-    kept for callers that profile a different frame than they assign)."""
+    ``splits``: split points already SELECTED distributed (r7 — the fused
+    profile aggregation in table._write_inserts reduces each partition's
+    sorted key sample to its k-1 quantile points executor-side, so the
+    driver never sees raw sampled keys); NO Spark job runs here and this
+    function only subsets to the >1-bucket partitions.
+
+    ``samples``: raw key samples gathered by the caller (the r6 fused
+    shape) — no Spark job runs, split selection happens here on the
+    driver.  Kept for callers that fuse sampling but not selection.
+
+    With neither, one sampling job runs (the pre-r6 shape, kept for
+    callers that profile a different frame than they assign).  Note the
+    ``max(samples_per_bucket·k, 50)`` per-partition sample floor applies
+    only to this fallback path; the fused paths use a uniform count-free
+    fraction (see SAMPLES_PER_BUCKET above)."""
     from collections import defaultdict
     k_of: dict[str, int] = defaultdict(int)
     for b in plan:
@@ -136,6 +192,8 @@ def range_split_points(prepared: DataFrame, plan: list[InsertBucket],
     need = {p: k for p, k in k_of.items() if k > 1}
     if not need:
         return {}
+    if splits is not None:
+        return {p: list(splits.get(p, [])) for p in need}
     by_p: dict[str, list[str]]
     if samples is not None:
         by_p = {p: list(samples.get(p, [])) for p in need}
@@ -149,20 +207,25 @@ def range_split_points(prepared: DataFrame, plan: list[InsertBucket],
                    .select(F.col(partition_col).alias("_p"),
                            F.col(key_col).alias("_k"))
                    .filter(F.col("_p").isin(list(need)))
+                   # null record keys would crash sorted() below (str/None);
+                   # drop them like the fused path's when()→null does —
+                   # assign_insert_buckets_range coalesces nulls into the
+                   # first interval either way
+                   .filter(F.col("_k").isNotNull())
                    .filter(F.rand(46474747) < frac_map[F.col("_p")])
                    .collect())
         by_p = defaultdict(list)
         for r in sampled:
             by_p[r[0]].append(r[1])
-    splits = {}
+    out = {}
     for p, k in need.items():
         ks = sorted(by_p.get(p, []))
         if not ks:
-            splits[p] = []          # degenerate: everything → first bucket
+            out[p] = []             # degenerate: everything → first bucket
             continue
-        splits[p] = [ks[min(len(ks) - 1, int(len(ks) * i / k))]
-                     for i in range(1, k)]
-    return splits
+        out[p] = [ks[min(len(ks) - 1, int(len(ks) * i / k))]
+                  for i in range(1, k)]
+    return out
 
 
 def assign_insert_buckets_range(spark: SparkSession, inserts: DataFrame,

@@ -483,34 +483,25 @@ class HudiTable:
         rec_size = avg_record_size(self.meta, self.timeline,
                                    self.cfg.record_size_estimate)
         # GLOBAL_SORT all-new-bucket loads (bulk_insert / insert_overwrite*)
-        # fold the range-split key sampling into the profile aggregation —
-        # r6: the bulk load then scans its input twice (profile+sample,
-        # write) instead of three times.  The sample fraction needs no row
-        # counts: a partition with n rows is planned k ≈ n·rec_size/target
-        # buckets, so a uniform f = samples_per_bucket·rec_size/target
-        # yields ≈ samples_per_bucket keys per bucket for ANY n.  Sampling
-        # is a deterministic key-hash cut (not rand()): retried tasks
-        # re-derive the same sample (the SPARK-38388 class of hazards) and
-        # duplicate keys sample together, matching the one-bucket-per-key
-        # preCombine contract downstream.
-        sample_keys = None
+        # fold the range-split key sampling AND split-point selection into
+        # the profile aggregation (r6 fused the sampling — 3 input scans →
+        # 2; r7 distributes the selection — the driver collects O(buckets)
+        # split points, never raw sampled keys; see fused_profile_splits).
+        # Requires a keyed profile frame: a keyless profile_df (no current
+        # caller) must NOT silently switch the counted frame to `prepared`
+        # (ADVICE r6) — it falls back to the unfused count + legacy
+        # sampling of `prepared` below.
+        sample_splits = None
         with _stage("insert.profile"):
             src = profile_df if profile_df is not None else prepared
-            if sort_mode == SORT_GLOBAL and not pack_small_files:
-                from .plans.buckets import SAMPLES_PER_BUCKET
-                frac = min(1.0, (SAMPLES_PER_BUCKET * rec_size)
-                           / max(1, self.cfg.target_file_size_bytes))
-                thresh = max(1, int(frac * (1 << 20)))
-                key_src = src if META_RECORD_KEY in src.columns else prepared
-                rows = (key_src.groupBy(META_PARTITION_PATH)
-                        .agg(F.count(F.lit(1)).alias("_n"),
-                             F.collect_list(F.when(
-                                 F.pmod(F.xxhash64(F.col(META_RECORD_KEY)),
-                                        F.lit(1 << 20)) < F.lit(thresh),
-                                 F.col(META_RECORD_KEY))).alias("_ks"))
-                        .collect())
+            if (sort_mode == SORT_GLOBAL and not pack_small_files
+                    and META_RECORD_KEY in src.columns):
+                from .plans.buckets import fused_profile_splits
+                rows = fused_profile_splits(
+                    src, META_PARTITION_PATH, META_RECORD_KEY, rec_size,
+                    self.cfg.target_file_size_bytes).collect()
                 profile = {r[0]: r[1] for r in rows}
-                sample_keys = {r[0]: r[2] for r in rows}
+                sample_splits = {r[0]: r[2] for r in rows}
             else:
                 profile = {r[0]: r[1] for r in
                            src.groupBy(META_PARTITION_PATH).count().collect()}
@@ -533,7 +524,7 @@ class HudiTable:
                                         range_split_points)
             splits = range_split_points(prepared, plan, profile,
                                         META_PARTITION_PATH, META_RECORD_KEY,
-                                        samples=sample_keys)
+                                        splits=sample_splits)
             assigned = assign_insert_buckets_range(
                 self.spark, prepared, plan,
                 META_PARTITION_PATH, META_RECORD_KEY, FG, splits)

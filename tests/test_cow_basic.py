@@ -356,3 +356,65 @@ def test_fused_profile_sampling_no_second_pass(spark, tmp_table_path,
     empty = range_split_points(_Poisoned(), plan, {"p1": 200, "p2": 50},
                                "_p", "_k", samples={})
     assert empty == {"p1": []}
+
+    # r7: caller-selected splits pass through verbatim (subset to the
+    # >1-bucket partitions), again with no job
+    pre = range_split_points(_Poisoned(), plan, {"p1": 200, "p2": 50},
+                             "_p", "_k",
+                             splits={"p1": ["k050"], "p2": ["zzz"]})
+    assert pre == {"p1": ["k050"]}
+
+
+def test_distributed_split_selection_matches_driver(spark):
+    """r7: the executor-side quantile selection in fused_profile_splits must
+    reproduce the r6 driver-side selection byte for byte — same sampled
+    keys (deterministic hash cut), same sorted order, same index formula,
+    and a bucket count k equal to what plan_insert_buckets derives from the
+    same row count."""
+    from pyspark.sql import functions as F
+
+    from incubator_hudi_spark.plans.buckets import (SAMPLES_PER_BUCKET,
+                                                    fused_profile_splits,
+                                                    plan_insert_buckets)
+    from incubator_hudi_spark.config import WriteConfig
+
+    rec_size, target = 64, 16 * 1024  # 256 rows per bucket
+    rows = [(f"p{j}", f"key{i:06d}-{j}") for j in range(3)
+            for i in range(1200 * (j + 1))]       # 1200/2400/3600 rows
+    rows += [("p9", "solo")]                      # single-bucket partition
+    rows += [("p0", None)] * 5                    # null keys must drop out
+    df = spark.createDataFrame(rows, "part string, key string")
+
+    got = {r[0]: (r[1], list(r[2]))
+           for r in fused_profile_splits(df, "part", "key",
+                                         rec_size, target).collect()}
+
+    # python reference: the r6 driver-side selection over the same
+    # deterministic hash-cut sample
+    frac = min(1.0, SAMPLES_PER_BUCKET * rec_size / target)
+    thresh = max(1, int(frac * (1 << 20)))
+    hashed = df.filter("key is not null").withColumn(
+        "_h", F.pmod(F.xxhash64("key"), F.lit(1 << 20))).collect()
+    rpnf = max(1, target // rec_size)
+    from collections import defaultdict
+    by_p, counts = defaultdict(list), defaultdict(int)
+    for r in hashed:
+        counts[r["part"]] += 1
+        if r["_h"] < thresh:
+            by_p[r["part"]].append(r["key"])
+    counts["p0"] += 5  # nulls count in the profile, never in the sample
+    for p, (n, splits) in got.items():
+        assert n == counts[p]
+        k = -(-n // rpnf)  # ceil
+        plan = plan_insert_buckets({p: n}, None,
+                                   WriteConfig(target_file_size_bytes=target),
+                                   rec_size, pack_small_files=False)
+        assert len(plan) == k, "k must equal the planned bucket count"
+        if k <= 1 or not by_p[p]:
+            assert splits == []
+            continue
+        ks = sorted(by_p[p])
+        ref = [ks[min(len(ks) - 1, int(len(ks) * i / k))]
+               for i in range(1, k)]
+        assert splits == ref, (p, splits, ref)
+        assert len(splits) == k - 1
