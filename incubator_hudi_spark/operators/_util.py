@@ -8,6 +8,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def checkpoint(df: DataFrame, checkpoint_dir: Optional[str],
+               eager: bool) -> DataFrame:
+    """Pin ``df`` off its lineage: ``localCheckpoint`` by default (cheap,
+    executor-local — blocks lost to executor failure are unrecoverable), or
+    a RELIABLE ``checkpoint`` when ``checkpoint_dir`` is set (survives
+    executor loss; pass an HDFS/object-store path on long-lived clusters).
+    Results are identical either way."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 def ensure_min_parallelism(df: DataFrame, key: Optional[str] = None) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-heavy per-row work.
 

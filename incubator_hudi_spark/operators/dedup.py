@@ -364,7 +364,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                 max_iterations: int = 20) -> DataFrame:
+                 max_iterations: int = 20,
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over a near-duplicate pair list → cluster ids
     (min member id wins), the step that turns pairwise dup detection into
     keep-one-per-cluster corpus pruning.
@@ -376,6 +377,11 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     clusters are near-cliques).  Each round is one shuffle; frames are
     persisted and the fixpoint check piggybacks on the aggregation.
     Returns (doc_id, cluster_id) for every vertex that appears in a pair.
+
+    ``checkpoint_dir``: directory for a RELIABLE checkpoint of the result
+    (survives executor loss on long-lived clusters); default None pins it
+    with ``localCheckpoint`` — cheaper, but executor-local blocks lost to
+    failure are unrecoverable.  Results are identical either way.
     """
     a, b = F.col(id_a), F.col(id_b)
     edges = (pairs.select(a.alias("src"), b.alias("dst"))
@@ -409,9 +415,11 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # chain without a cache is exponential), then release the cache —
         # localCheckpoint blocks are reclaimed with the DataFrame, unlike a
         # persist the caller can never unpersist
-        out = labels.select(F.col("v").alias("doc_id"),
-                            F.col("label").alias("cluster_id")) \
-                    .localCheckpoint(eager=True)
+        from ._util import checkpoint
+        out = checkpoint(
+            labels.select(F.col("v").alias("doc_id"),
+                          F.col("label").alias("cluster_id")),
+            checkpoint_dir, eager=True)
         labels.unpersist()
         return out
     finally:

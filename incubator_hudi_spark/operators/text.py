@@ -472,7 +472,8 @@ def dedup_spans(df: DataFrame, span_words: int = 10,
 
 def dedup_exact_substrings(df: DataFrame, min_words: int = 20,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           checkpoint_dir: str | None = None) -> DataFrame:
     """ExactSubstr deduplication (the exact-substring pass of Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better",
     re-expressed relationally instead of via a suffix array): every word
@@ -501,11 +502,15 @@ def dedup_exact_substrings(df: DataFrame, min_words: int = 20,
          corpus (the 100 TB case) the second per-word pass all but
          disappears; clean documents flow through a plain left join.
     Changed documents are single-space rejoined; untouched documents keep
-    their text byte-for-byte (same contract as dedup_spans).  The
-    checkpoint uses ``localCheckpoint`` (executor-local storage) — its
-    lineage is TRUNCATED, so blocks lost to executor failure cannot be
-    recomputed and the job fails; on a long-lived cluster with executor
-    churn use a reliable checkpoint directory instead.
+    their text byte-for-byte (same contract as dedup_spans).
+
+    ``checkpoint_dir``: directory for a RELIABLE checkpoint of the
+    ``removed`` intermediate.  Default None uses ``localCheckpoint``
+    (executor-local storage — cheapest, but lineage is TRUNCATED, so
+    blocks lost to executor failure cannot be recomputed and the job
+    fails); on a long-lived cluster with executor churn pass a
+    fault-tolerant path (HDFS/object store) so the intermediate survives
+    executor loss.  Results are identical either way.
     """
     words = F.split(F.col(text_col), r"\s+")
     # Window-hash kernel (measured, tools/ab_window_hash.py — 6.6× the
@@ -542,7 +547,8 @@ def dedup_exact_substrings(df: DataFrame, min_words: int = 20,
                .distinct())
     # one computation, two consumers (dirty-id semi-join + token anti-join):
     # lineage-truncate so the corpus-wide window pass runs exactly once
-    removed = removed.localCheckpoint(eager=False)
+    from ._util import checkpoint
+    removed = checkpoint(removed, checkpoint_dir, eager=False)
     dirty_ids = removed.select(id_col).distinct()
     toks = (df.join(dirty_ids, id_col, "left_semi")
               .select(id_col, F.posexplode(words).alias("wi", "w"))

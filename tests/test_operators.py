@@ -78,6 +78,35 @@ def test_minhash_bounded_bucket_join(spark, documents, monkeypatch):
     assert not (capped_ids & hot_ids)
 
 
+def test_reliable_checkpoint_option(spark, documents, tmp_path):
+    """checkpoint_dir switches localCheckpoint -> reliable checkpoint in
+    the lineage-truncating operators; results are identical and the
+    checkpoint actually lands in the given directory."""
+    planted = (documents.limit(3)
+               .withColumn("doc_id", F.col("doc_id") + 600_000))
+    corpus = documents.limit(60).unionByName(planted)
+
+    base = text.dedup_exact_substrings(corpus, min_words=8)
+    ckpt_dir = str(tmp_path / "ckpt")
+    rel = text.dedup_exact_substrings(corpus, min_words=8,
+                                      checkpoint_dir=ckpt_dir)
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, rel.collect()))
+    assert a == b
+    import os
+    assert any(os.scandir(ckpt_dir)), "reliable checkpoint wrote nothing"
+
+    pairs = dedup.minhash_lsh_pairs(corpus, k=16, bands=8,
+                                    verify_threshold=0.5)
+    c1 = sorted(map(tuple, dedup.dup_clusters(pairs).collect()))
+    ckpt2 = str(tmp_path / "ckpt2")
+    c2 = sorted(map(tuple,
+                    dedup.dup_clusters(pairs, checkpoint_dir=ckpt2)
+                    .collect()))
+    assert c1 == c2
+    assert any(os.scandir(ckpt2))
+
+
 def test_simhash_near_dups(spark, documents):
     near = (documents.limit(10)
             .withColumn("doc_id", F.col("doc_id") + 300_000)
