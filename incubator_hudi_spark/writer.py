@@ -39,6 +39,34 @@ from .timing import _stage
 FG = "_fg"                       # transient bucket column, becomes the dir name
 API_DELETE = "_hoodie_api_delete"  # hard delete (EmptyPayload semantics)
 
+#: Engine writes on LOCAL (file://) storage skip the Hadoop client-side
+#: .crc sidecars and _SUCCESS markers (r7, guide §6).  Rationale: the
+#: checksummed LocalFileSystem writes a hidden .<name>.crc next to EVERY
+#: output file and a _SUCCESS/._SUCCESS.crc pair per job, doubling the
+#: small-file create/rename churn of every write lane, while parquet pages
+#: already carry their own CRCs (parquet.page.write-checksum.enabled
+#: defaults to true) — the sidecars add I/O, not integrity.  The switch
+#: rides the write job's Hadoop conf (per-write .options(), merged by
+#: newHadoopConfWithOptions), so the user's session configuration and
+#: already-cached FileSystem instances are untouched, and it only applies
+#: to bare/file:// paths — hdfs://, s3a://, ... keep their native
+#: integrity machinery (the options are file-scheme keys and are not even
+#: emitted for other schemes).
+LOCAL_RAW_FS_WRITES = True
+
+
+def local_write_options(path: str) -> dict:
+    """Per-write options disabling .crc sidecars + _SUCCESS markers for
+    engine writes to local paths (no-op for non-file schemes or when
+    LOCAL_RAW_FS_WRITES is off)."""
+    if not LOCAL_RAW_FS_WRITES:
+        return {}
+    if "://" in path and not path.startswith("file:"):
+        return {}
+    return {"fs.file.impl": "org.apache.hadoop.fs.RawLocalFileSystem",
+            "fs.file.impl.disable.cache": "true",
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs": "false"}
+
 
 def with_key_columns(df: DataFrame, tc: TableConfig) -> DataFrame:
     return add_key_columns(df, tc.recordkey_fields, tc.partition_expr,
@@ -276,7 +304,9 @@ def write_grouped_log_files(
              .repartition(F.col(META_FILE_NAME))   # AQE coalesces small batches
              .sortWithinPartitions(META_FILE_NAME, META_RECORD_KEY))
     with _stage("write.files"):
-        out.write.option("compression", compression).mode("append").parquet(out_dir)
+        (out.write.option("compression", compression)
+            .options(**local_write_options(out_dir))
+            .mode("append").parquet(out_dir))
     with _stage("write.stats"):
         if not os.path.isdir(out_dir):             # empty batch wrote nothing
             return []
@@ -391,6 +421,7 @@ def write_instant_files(
                     "equivalent (use gzip/zlib, snappy, zstd, lz4, none)")
         w = (out.write
              .option("compression", codec)
+             .options(**local_write_options(out_dir))
              .partitionBy(FG)
              .mode("append"))    # dir is unique per instant; append avoids pre-listing
         w.orc(out_dir) if fmt == "orc" else w.parquet(out_dir)

@@ -124,6 +124,7 @@ def test_admin_dataframes(spark, tmp_table_path, orders):
     assert t.tc.version == 2
 
 
+@pytest.mark.slow
 def test_global_bloom_index_matches_global_simple(spark, tmp_path, orders):
     """GLOBAL_BLOOM = global routing + key-range file pruning
     (SparkHoodieGlobalBloomIndex.java:143) — same results as GLOBAL_SIMPLE."""
@@ -163,6 +164,7 @@ def test_prepped_variants(spark, tmp_path, orders):
     assert t.read().count() == n - 40
 
 
+@pytest.mark.slow
 def test_compaction_admin_validate_and_unschedule(spark, tmp_table_path, lineitem):
     from incubator_hudi_spark import HudiTable, MERGE_ON_READ
     from pyspark.sql import functions as F

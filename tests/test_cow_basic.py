@@ -418,3 +418,27 @@ def test_distributed_split_selection_matches_driver(spark):
                for i in range(1, k)]
         assert splits == ref, (p, splits, ref)
         assert len(splits) == k - 1
+
+
+def test_local_writes_skip_crc_sidecars(spark, tmp_table_path, lineitem):
+    """r7: engine writes to local paths must not mint Hadoop .crc sidecars
+    or _SUCCESS markers (they double small-file churn; parquet pages carry
+    their own CRCs), and the table must read back identically.  The switch
+    is per-write-scoped: the session's own writes stay checksummed."""
+    import os
+
+    from incubator_hudi_spark import writer as W
+
+    assert W.LOCAL_RAW_FS_WRITES  # default ON
+    t = make_lineitem_table(spark, tmp_table_path)
+    t.bulk_insert(lineitem)
+    t.upsert(lineitem.limit(100).withColumn("l_quantity", F.lit(7.0)))
+    names = [f for r, _, fs in os.walk(tmp_table_path) for f in fs]
+    assert not [f for f in names if f.endswith(".crc")], names[:5]
+    assert not [f for f in names if "SUCCESS" in f]
+    assert t.read().filter("l_quantity = 7.0").count() > 0
+    # non-file schemes never get the options
+    assert W.local_write_options("s3a://bucket/x") == {}
+    assert W.local_write_options("hdfs://nn/x") == {}
+    assert W.local_write_options("/tmp/x") != {}
+    assert W.local_write_options("file:/tmp/x") != {}

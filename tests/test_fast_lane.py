@@ -43,6 +43,7 @@ def _rewritten_fgs(t, instant):
             for p in _instant_files(t, instant)}
 
 
+@pytest.mark.slow
 def test_fast_lane_matches_general_lane(spark, tmp_table_path, lineitem):
     """Same batch through both lanes → identical snapshots."""
     fast = make_table(spark, tmp_table_path + "_fast")
@@ -167,6 +168,7 @@ def _warm_table(spark, path, lineitem):
     return t
 
 
+@pytest.mark.slow
 def test_warm_tag_probe_matches_profile_lane(spark, tmp_table_path, lineitem):
     """warm_tag probe strategy (exact tag-profile over the pinned index,
     no per-batch workload profile) produces snapshots identical to the

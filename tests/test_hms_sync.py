@@ -138,6 +138,7 @@ print("HMS_SYNC_OK")
 """
 
 
+@pytest.mark.slow
 def test_sync_ddl_against_embedded_derby_hms(tmp_path):
     env = dict(os.environ,
                REPO_ROOT=os.path.dirname(os.path.dirname(

@@ -123,6 +123,7 @@ def test_claim_instant_collision(tmp_path):
 
 
 @pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+@pytest.mark.slow
 def test_two_process_occ_soak(spark, tmp_table_path, lineitem, table_type):
     from incubator_hudi_spark import MERGE_ON_READ, HudiTable
     from incubator_hudi_spark import timeline as tl

@@ -63,6 +63,7 @@ def test_cow_orc_matches_parquet_twin(spark, tmp_table_path, li):
     _same(tp.read_keys(keys).select(cols), torc.read_keys(keys).select(cols))
 
 
+@pytest.mark.slow
 def test_mor_orc_services_and_native_read(spark, tmp_table_path, li):
     t = _mk(spark, tmp_table_path, "orc", table_type="MERGE_ON_READ")
     t.bulk_insert(li)

@@ -7,6 +7,7 @@ random exploration.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -25,6 +26,7 @@ profiles = st.dictionaries(
        rec_size=st.integers(min_value=64, max_value=10_000),
        target=st.integers(min_value=1 << 20, max_value=1 << 28))
 @settings(max_examples=300, deadline=None)
+@pytest.mark.slow
 def test_bucket_plan_covers_every_row_exactly_once(profile, rec_size, target):
     """The insert bucket plan must partition [0, n) per partition into
     disjoint, contiguous, covering ranges — otherwise rows are dropped or

@@ -52,6 +52,7 @@ def test_cow_snapshot_and_incremental(spark, tmp_table_path, sample):
     _same(inc, t.read(QUERY_INCREMENTAL, begin="0", end=c1))
 
 
+@pytest.mark.slow
 def test_mor_snapshot_ro_incremental_stream(spark, tmp_table_path, sample):
     t = _make(spark, tmp_table_path, sample, table_type="MERGE_ON_READ")
     t.upsert(sample.limit(200).withColumn("o_comment", F.lit("d1")))
@@ -175,6 +176,7 @@ def test_file_uri_path_normalized(spark, tmp_table_path, sample):
     assert got.count() == t.read().count()
 
 
+@pytest.mark.slow
 def test_native_read_of_metadata_only_bootstrap(spark, tmp_path):
     """format("hudi_py") over a METADATA_ONLY-bootstrapped table: the kernel
     derives the virtual skeleton (key via the shared pandas keygen,
@@ -260,6 +262,7 @@ def test_sql_using_hudi_py_watch(spark, tmp_path):
     assert n == t.read().count()
 
 
+@pytest.mark.slow
 def test_native_bootstrap_soft_delete_and_nullable_ints(spark, tmp_path):
     """External-slice kernel edge cases: adopted files carrying a
     _hoodie_is_deleted marker are snapshot-filtered (parity with the

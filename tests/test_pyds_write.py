@@ -30,6 +30,7 @@ def li(lineitem):
     return lineitem.limit(2000).cache()
 
 
+@pytest.mark.slow
 def test_native_bulk_insert_and_keygen_parity(spark, tmp_table_path, li):
     (li.write.format("hudi_py").options(**OPTS).mode("append")
        .save(tmp_table_path))
@@ -87,6 +88,7 @@ def test_unsupported_paths_raise(spark, tmp_table_path, li):
         .timeline.completed_data_instants()]
 
 
+@pytest.mark.slow
 def test_stream_sink_exactly_once(spark, tmp_table_path, li):
     """writeStream.format("hudi_py"): per-batch bulk appends; the batch id
     is stamped atomically with the commit, so a replayed micro-batch (Spark

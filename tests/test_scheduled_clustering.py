@@ -178,6 +178,7 @@ def test_completed_with_inflight_residue_is_not_reexecuted(
     assert t.read().count() == before           # committed files intact
 
 
+@pytest.mark.slow
 def test_async_clustering_interleaved_with_ingest(spark, tmp_table_path,
                                                   lineitem):
     """Daemon twin of async compaction (AsyncClusteringService.java /
@@ -215,6 +216,7 @@ def test_async_clustering_interleaved_with_ingest(spark, tmp_table_path,
     assert t.read().filter("l_quantity = 33.0").count() > 0
 
 
+@pytest.mark.slow
 def test_async_clustering_with_async_compaction_mor(spark, tmp_table_path,
                                                     lineitem):
     """Both daemons live on one MOR table: compaction folds logs while

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from incubator_hudi_spark import MERGE_ON_READ, HudiTable
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", MERGE_ON_READ])
 def test_soak_ingest_with_all_services(spark, tmp_table_path, lineitem,

@@ -25,6 +25,8 @@ from pyspark.sql.types import (IntegerType, StringType, StructField,
 
 from incubator_hudi_spark import QUERY_INCREMENTAL, HudiTable
 
+pytestmark = pytest.mark.slow
+
 PARTS = ["2024-01", "2024-02", "2024-03"]
 KEYS = [f"k{i:03d}" for i in range(40)]
 
