@@ -81,15 +81,20 @@ def main():
         wall = time.time() - t0
         return wall, tm.read().count()
 
-    variants = {"checksummed": False, "rawfs": True}
+    variants = [("checksummed", False), ("rawfs", True)]
     # warm
     W.LOCAL_RAW_FS_WRITES = False
     cow_lane(os.path.join(work, "warm_cow"))
-    results = {f"{lane}:{v}": [] for v in variants for lane in ("cow", "mor")}
+    results = {f"{lane}:{v}": [] for v, _ in variants for lane in ("cow", "mor")}
     counts = {}
     crc_seen = {}
-    for r in range(3):
-        for vname, flag in variants.items():
+    rounds = int(os.environ.get("AB_ROUNDS", "4"))
+    for r in range(rounds):
+        # counterbalanced ordering: alternate which variant runs first each
+        # round so a drifting host window cannot systematically favor the
+        # later variant
+        order = variants if r % 2 == 0 else variants[::-1]
+        for vname, flag in order:
             W.LOCAL_RAW_FS_WRITES = flag
             for lane, fn in (("cow", cow_lane), ("mor", mor_lane)):
                 p = os.path.join(work, f"{lane}_{vname}_{r}")
