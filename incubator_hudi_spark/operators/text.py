@@ -536,7 +536,22 @@ def dedup_exact_substrings(df: DataFrame, min_words: int = 20,
              .select(id_col, "pos",
                      F.xxhash64(win).alias("h1"),
                      F.xxhash64(F.lit(0x9E3779B9), win).alias("h2")))
-    owners = seg.groupBy("h1", "h2").agg(F.min(id_col).alias("_owner"))
+    # corpus-frequency prefilter (r7): a window hash that occurs ONCE
+    # corpus-wide can never produce a covered row (its only seg row has
+    # id == owner), so drop singleton hashes before the join — provably
+    # the same covered set.  Invisible at bench scale (the owners side
+    # broadcasts anyway); at the 100 TB sort-merge shape it shrinks the
+    # owners-side SMJ sort from every-distinct-window to duplicated-
+    # windows-only, which on a mostly-clean corpus is ~the whole side.
+    # The count rides the existing aggregation — no extra pass.  (The
+    # join-free collect_list single-pass variant measured 8-15% faster at
+    # sf0.1 but holds one in-memory list per hash group, an unbounded
+    # hot-window hazard on boilerplate-heavy corpora — rejected, see
+    # tools/ab_exactsubstr_prefilter.py.)
+    owners = (seg.groupBy("h1", "h2")
+              .agg(F.min(id_col).alias("_owner"),
+                   F.count(F.lit(1)).alias("_n"))
+              .filter(F.col("_n") >= 2).drop("_n"))
     covered = (seg.join(owners, ["h1", "h2"])
                .filter(F.col(id_col) > F.col("_owner"))
                .select(id_col, "pos").distinct())

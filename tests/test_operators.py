@@ -78,6 +78,25 @@ def test_minhash_bounded_bucket_join(spark, documents, monkeypatch):
     assert not (capped_ids & hot_ids)
 
 
+def test_dedup_exact_substrings_intra_doc_repeat(spark):
+    """The r7 corpus-frequency prefilter keeps window hashes with count>=2;
+    a window repeated WITHIN one document hits that count but has no
+    earlier owner, so the doc must stay byte-for-byte untouched — the
+    id > owner rule, not the count, decides coverage.  A later doc copying
+    that window is still cleaned (the prefilter must not drop dup hashes)."""
+    from incubator_hudi_spark.operators.text import dedup_exact_substrings
+    block = " ".join(f"b{i}" for i in range(20))
+    rows = [
+        (1, block + " mid " + block),      # intra-doc repeat, no other owner
+        (2, "lead in words " + block),     # later doc copying the block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_exact_substrings(df, min_words=20).collect()}
+    assert out[1] == rows[0][1]            # repeat inside owner: untouched
+    assert out[2] == "lead in words"       # cross-doc copy still removed
+
+
 def test_reliable_checkpoint_option(spark, documents, tmp_path):
     """checkpoint_dir switches localCheckpoint -> reliable checkpoint in
     the lineage-truncating operators; results are identical and the
