@@ -178,67 +178,119 @@ def _write_task_files(meta: TableMetaClient, instant: str,
     (task, partition) under the instant's directory, return WriteStat dicts.
     Task retries are safe: the manifest (assembled at commit) is the source
     of truth; files from failed attempts are ignorable orphans."""
-    import pandas as pd
     import pyarrow as pa
     from pyspark import TaskContext
 
     tid = TaskContext.get().partitionId()
-    part_fn = _parse_partition_expr(partition_expr)
     batches = list(iterator)
-    stats: list[dict] = []
     if not batches:
-        return stats
-    tbl = pa.Table.from_batches(batches)
-    pdf = tbl.to_pandas()
-    pdf[META_RECORD_KEY] = _record_key_series(pdf, fields)
+        return []
+    return _write_table(meta, instant, tid, schema, fields,
+                        partition_expr, base_format,
+                        pa.Table.from_batches(batches))
+
+
+def _write_table(meta: TableMetaClient, instant: str, tid: int,
+                 schema: StructType, fields: list,
+                 partition_expr: Optional[str], base_format: str,
+                 tbl) -> list[dict]:
+    """Arrow-native task kernel (r7).  The r6 kernel round-tripped the WHOLE
+    task batch through pandas (``to_pandas`` → groupby → ``from_pandas``),
+    boxing every payload string into Python objects twice; now only the
+    key/partition INPUT columns take the pandas path (through the exact
+    evaluators the randomized keygen-parity test pins), and the payload
+    moves batch-at-a-time in Arrow: per-partition row selection is a
+    vectorized ``Table.filter`` and files are written straight from the
+    original Arrow columns — which also ends the int64→float64→int64
+    round-trip pandas imposed on nullable integer columns."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    part_fn = _parse_partition_expr(partition_expr)
+    # decide with small rows: the pandas evaluators see ONLY the columns
+    # they read (key fields + identifiers in the partition expr — the expr
+    # grammar is closed, identifiers appear verbatim, so a word-boundary
+    # scan over the schema names finds every referenced column; a false
+    # positive just converts one extra narrow column)
+    need = list(dict.fromkeys(
+        list(fields)
+        + [c for c in tbl.column_names
+           if partition_expr
+           and re.search(rf"\b{re.escape(c)}\b", partition_expr)]))
+    pdf = tbl.select(need).to_pandas()
+    keys = _record_key_series(pdf, fields)
     # null / unparseable partition values land in the default partition —
-    # groupby would silently DROP NA keys otherwise, breaking the "every
-    # input row preserved" bulk_insert contract
+    # a group-by would silently DROP NA keys otherwise, breaking the
+    # "every input row preserved" bulk_insert contract
     ppath = pd.Series(part_fn(pdf), index=pdf.index, dtype="object")
-    pdf[META_PARTITION_PATH] = ppath.where(ppath.notna(), NON_PARTITIONED)
-    pdf[META_COMMIT_TIME] = instant
-    pdf[META_COMMIT_SEQNO] = [f"{instant}_{tid}_{i}"
-                              for i in range(len(pdf))]
+    ppath = ppath.where(ppath.notna(), NON_PARTITIONED)
+
+    n = len(tbl)
+    meta_cols = [META_COMMIT_TIME, META_COMMIT_SEQNO, META_RECORD_KEY,
+                 META_PARTITION_PATH, META_FILE_NAME]
+    data_cols = [f.name for f in schema.fields
+                 if not f.name.startswith("_hoodie")]
+    part_arr = pa.array(ppath, type=pa.string(), from_pandas=True)
+    combined = pa.Table.from_arrays(
+        [pa.array([instant] * n, pa.string()),
+         pa.array([f"{instant}_{tid}_{i}" for i in range(n)], pa.string()),
+         pa.array(keys, type=pa.string(), from_pandas=True),
+         part_arr]
+        + [tbl.column(c) for c in data_cols],
+        schema=pa.schema(
+            [pa.field(c, pa.string()) for c in meta_cols[:4]]
+            + [tbl.schema.field(c) for c in data_cols]))
     out_dir = meta.instant_data_dir(instant)
-    for part, grp in pdf.groupby(META_PARTITION_PATH, sort=False):
+    stats: list[dict] = []
+    # One stable sort by partition code, then zero-copy slices per group —
+    # O(n log n) once instead of one O(n) filter pass PER partition.
+    # dictionary_encode assigns codes in first-appearance order and
+    # sort_indices is stable, so group order matches the old pandas
+    # groupby(sort=False) and rows keep their input order within a group
+    # (the _hoodie_commit_seqno sequence per file is unchanged).
+    dic = pc.dictionary_encode(part_arr)
+    codes = dic.indices
+    order = pc.sort_indices(codes)
+    sorted_tbl = combined.take(order)
+    keys_sorted = keys.iloc[order.to_numpy()]
+    parts_in_order = dic.dictionary.to_pylist()
+    counts = {vc["values"]: vc["counts"]
+              for vc in pc.value_counts(codes).to_pylist()}
+    off = 0
+    for code, part in enumerate(parts_in_order):
+        cnt = counts[code]
         # fg ids become partitionBy directory names on later ENGINE writes:
         # '/' or other specials would be %-escaped there and round-trip as a
         # DIFFERENT fg id than the manifest's — keep ids dir-safe
         safe = re.sub(r"[^A-Za-z0-9_.\-]", "_", str(part))
         fg = f"{safe}-{tid}-{uuid.uuid4().hex[:8]}"
-        grp = grp.copy()
-        grp[META_FILE_NAME] = fg
         d = os.path.join(out_dir, f"_fg={fg}")
         os.makedirs(d, exist_ok=True)
         suffix = ".orc" if base_format == "orc" else ".parquet"
         fpath = os.path.join(d, f"part-{tid:05d}-0{suffix}")
-        meta_cols = [META_COMMIT_TIME, META_COMMIT_SEQNO, META_RECORD_KEY,
-                     META_PARTITION_PATH, META_FILE_NAME]
-        data_cols = [f.name for f in schema.fields
-                     if not f.name.startswith("_hoodie")]
-        # explicit output schema: pandas silently widens nullable ints to
-        # float64, and an unschema'd from_pandas would persist DOUBLE where
-        # the table schema says BIGINT — readers would then fail the scan
-        out_schema = pa.schema(
-            [pa.field(c, pa.string()) for c in meta_cols]
-            + [tbl.schema.field(c) for c in data_cols])
-        otbl = pa.Table.from_pandas(grp[meta_cols + data_cols],
-                                    schema=out_schema, preserve_index=False)
+        sub = sorted_tbl.slice(off, cnt)
+        otbl = sub.add_column(
+            4, pa.field(META_FILE_NAME, pa.string()),
+            pa.array([fg] * cnt, pa.string()))
         if suffix == ".orc":
             import pyarrow.orc as orc
             orc.write_table(otbl, fpath)
         else:
             import pyarrow.parquet as pq
             pq.write_table(otbl, fpath, compression="snappy")
-        keys = grp[META_RECORD_KEY]
+        # min/max through the same pandas series as r6 (object-compare
+        # semantics preserved, keys are narrow)
+        grp_keys = keys_sorted.iloc[off:off + cnt]
         stats.append({
             "partition": part, "file_group": fg,
             "path": meta.rel_path(fpath),
             "size": os.path.getsize(fpath),
-            "num_records": int(len(grp)),
-            "min_key": str(keys.min()), "max_key": str(keys.max()),
+            "num_records": int(cnt),
+            "min_key": str(grp_keys.min()), "max_key": str(grp_keys.max()),
             "log": False, "base_instant": instant,
         })
+        off += cnt
     return stats
 
 
