@@ -3479,51 +3479,48 @@ def aws_dms_cdc(spark, sf_dir):
 
 
 # The driver's correctness gate samples a prefix of queries() in dict order
-# (50 queries per round).  Round 6 rotation (VERDICT r5 "Next #1" — from
-# now on no row should be >2 rounds old): first the rows whose code paths
-# ROUND 6 rewrote (ExactSubstr prefilter, GlobPattern matcher, pyarrow MOR
-# merge kernel, MOR insert-probe fold, async stop), then the 7 oldest rows
-# (r3-earned, deferred from r5), then the 50 r4-earned rows in the
-# verdict's value order (index/DML/service machinery first, pure-corpus
-# operators whose operators/ paths are untouched since r4 last — the tail
-# past slot 50 rolls to the front of r7's window).  Queries absent from
-# this list keep their relative registration order after the priority
-# block.
+# (50 queries per round).  Round 7 rotation (continuing the standing
+# VERDICT r5 "no row >2 rounds old" policy; the r6 window's own comment
+# promised its past-slot-50 tail rolls to r7's front): first the 13
+# r4-earned pure-corpus rows the r6 window could not fit (the oldest
+# unsampled rows in the registry), then the rows whose code paths ROUND 7
+# rewrote (ExactSubstr owners prefilter, pyds arrow write kernel,
+# distributed GLOBAL_SORT split selection, reliable-checkpoint operators,
+# bounded-LSH dedup module), then r5-sampled rows now two rounds old —
+# write/service lanes first (every one of them exercises the r7 rawfs
+# write option).  Queries absent from this list keep their relative
+# registration order after the priority block; the eight remaining
+# two-round-old pure-corpus rows (cap_per_source_100, chunk_documents_512,
+# filter_exists, gopher_rule_filter, pipeline_training_corpus,
+# quality_filter_counts, sequence_packing, token_budget_mix) are the
+# front of round 8's window.
 _PRIORITY = [
-    # NEW in r6 — needs a first driver row
-    "incremental_glob_braces",
-    # r5-sampled but REWRITTEN in r6 — re-earn on current code
-    "exact_substring_dedup", "incremental_glob", "pyds_native_mor_snapshot",
-    "async_compaction_ingest", "mor_snapshot", "mor_skip_merge",
-    # oldest rows (r3-earned, deferred from the r5 window)
-    "stratified_sample", "vocab_top100", "windowed_agg_10min",
-    "gopher_repetition_rules", "tfidf_top_terms", "repetition_bigram",
-    "aws_dms_cdc",
-    # r4-earned, judge-named high value (index/DML/service machinery that
-    # sits one round behind the one-listing token + auto-router rewrites)
-    "bloom_index_upsert", "global_bloom_upsert", "inmemory_index_lifecycle",
-    "merge_into", "sql_dml", "mor_delete", "occ_conflict_detection",
-    "rollback", "savepoint_restore", "async_clustering_ingest",
-    "minhash_lsh_pairs", "ann_brute_force_topk", "ann_lsh_topk",
-    "simhash_pairs",
-    # r4-earned rows on paths touched by the r6 MOR fold / services
-    "mor_read_optimized", "mor_incremental", "mor_compaction",
-    "streaming_sink_events", "streaming_incremental_batch",
-    "multi_table_ingest", "insert_overwrite_and_drop_partition",
-    "update_delete_where", "clustering_cleaning_archival",
-    "schema_evolution", "schema_widening", "bootstrap_full_record",
-    "bootstrap_metadata_only", "pyds_native_bootstrap",
-    "partition_sort_layout", "bulk_insert_none_mode",
-    "metadata_table_listing", "show_partitions_commits",
-    "global_index_partition_stickiness", "payload_default_event_time_guard",
-    "insert_duplicate_semantics", "keygen_nonpartitioned", "pii_scrub",
-    # r4-earned pure-corpus tail (operators/ untouched since earned; these
-    # roll past the 50-slot window into r7's front)
+    # oldest unsampled rows: r4-earned pure-corpus tail deferred from r6
     "snapshot_export", "embedding_neardup_pairs", "embedding_cosine_pairs",
     "ann_ivf_topk", "semantic_dedup_survivors", "multimodal_features",
     "dedup_exact", "ngram_jaccard", "contamination_13gram",
     "text_token_counts", "text_quality", "lang_id_counts",
     "doc_fingerprint",
+    # REWRITTEN in r7 — re-earn on current code (owners count>=2
+    # prefilter; arrow write kernel; executor-side split selection;
+    # checkpoint_dir plumbing; max_bucket_size mode in dedup.py)
+    "exact_substring_dedup", "dup_clusters", "span_dedup_corpus",
+    "corpus_dedup_keep_one", "pyds_native_write_roundtrip",
+    "pyds_native_stream", "bulk_insert_roundtrip", "zorder_clustering_scan",
+    "point_lookup_bloom", "point_lookup_pruned", "insert_overwrite_table",
+    "data_skipping_column_stats",
+    # r5-sampled, now two rounds old — write/service/join lanes
+    "cow_upsert_snapshot", "cow_delete", "cow_incremental_pull",
+    "cow_point_in_time", "cow_snapshot_agg_q1", "truncate_reinsert",
+    "upgrade_downgrade_roundtrip", "orc_base_cow_snapshot",
+    "payload_partial_update", "keygen_complex", "timestamp_keygen_daily",
+    "timestamp_keygen_epoch", "global_index_partition_move",
+    "scheduled_clustering_execute", "schema_provider_ingest",
+    "ingest_checkpointed", "hudi_incr_pipeline",
+    "catalog_sync_external_read", "prepped_write_variants",
+    "sessionization", "join_q3_on_hudi", "join_q5_on_hudi",
+    "asof_join_attribution", "range_join_click_context",
+    "flatten_json_transform",
 ]
 
 
